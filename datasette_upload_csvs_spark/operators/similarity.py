@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k — exact, one pass, fully
+distributed (per-partition partial top-k via TakeOrderedAndProject;
+no full sort materializes). Scale path: random-hyperplane LSH
+bucketing — each vector lands in a small number of buckets, queries
+probe only their own bucket(s), turning the scan into a targeted
+join. Recall is tunable via number of hyperplanes / probes.
+
+All vector math is Catalyst expressions (functions/vector.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datasette_upload_csvs_spark.functions.vector import as_double_array, cosine, dot
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors of the vector with id `query_id`.
+
+    The single query row is broadcast (it is one row), so the scan of
+    the corpus is shuffle-free: map-side cosine + TakeOrderedAndProject
+    partial top-k per partition, merged on the driver. This is the
+    plan shape that survives 100 TB — no shuffle, no global sort.
+    """
+    v = emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+    q = v.filter(F.col(id_col) == query_id).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        v.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("v"), F.col("qv")).alias("cos_raw"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col("neighbor_id").asc())
+        .limit(k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_raw", 6).alias("cos_sim"),
+        )
+    )
+
+
+# Deterministic pseudo-random hyperplanes: component h[p][d] derived
+# from xxhash64-free integer mixing so plans contain only literals.
+def _hyperplane(p: int, dim: int) -> list[float]:
+    comps = []
+    s = (p + 1) * 0x9E3779B97F4A7C15 % (1 << 63)
+    for _ in range(dim):
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        comps.append((s / float(1 << 63)) * 2.0 - 1.0)
+    return comps
+
+
+def lsh_bucket_ids(
+    emb: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, v, bucket) — sign-of-projection LSH bucket per vector.
+
+    bucket = n_planes-bit code; expected bucket population n/2^p.
+    At corpus scale, repartition by bucket → co-located candidate
+    neighborhoods; a query probes 1 bucket (+ optionally multiprobe
+    neighbors at Hamming distance 1).
+    """
+    v = emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+    bucket = None
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(p, dim)])
+        bit = F.when(dot(F.col("v"), plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return v.withColumn("bucket", bucket.cast("int"))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_planes: int = 6,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k via multiprobe LSH: search buckets whose
+    code is within `probe_hamming` bits of the query's bucket.
+
+    Returns the same schema as brute_force_topk. Recall < 1 by
+    construction; measure with `recall_vs_brute_force`. Multiprobe
+    trades recall against candidate-set size without re-hashing —
+    the standard knob (Lv et al., multi-probe LSH, VLDB'07).
+    """
+    bucketed = lsh_bucket_ids(emb, n_planes, dim, vec_col, id_col)
+    q = bucketed.filter(F.col(id_col) == query_id).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        bucketed.filter(F.col(id_col) != query_id)
+        .join(
+            F.broadcast(q),
+            F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket")))
+            <= probe_hamming,
+        )
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("v"), F.col("qv")).alias("cos_raw"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col("neighbor_id").asc())
+        .limit(k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+def recall_vs_brute_force(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_planes: int = 6,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """recall@k of the LSH path against the exact baseline (one row)."""
+    exact = brute_force_topk(emb, query_id, k).select("neighbor_id")
+    approx = lsh_topk(
+        emb, query_id, k, n_planes, probe_hamming=probe_hamming
+    ).select("neighbor_id")
+    hit = exact.join(approx, "neighbor_id", "left_semi").count()
+    total = exact.count()
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(query_id, float(hit) / float(total) if total else 0.0)],
+        "query_id long, recall double",
+    )

@@ -1,0 +1,1365 @@
+"""Named query registry: SURVEY.md §2's operator inventory, one
+entry per operator, each with a DuckDB oracle-SQL twin.
+
+Contract (driver harness): each query is ``(spark, sf_dir) -> DataFrame``;
+the oracle SQL runs on the same parquet files in DuckDB and must
+hash-match (row count + schema + order-insensitive value hash).
+
+Determinism rules used throughout (they are why the oracles match):
+
+- SUM/AVG over doubles: summation order is engine-dependent, so both
+  sides cast to DECIMAL first (exact arithmetic), then cast the exact
+  result back to double. AVG = exact-sum / count as explicit division.
+- top-k / window ordering: always a unique total order (tiebreak on a
+  key column).
+- computed floats (cosine, ratios): round(…, 6) on both sides; raw
+  filters use the identical unrounded expression on both sides.
+- type alignment: DuckDB count/len/rank → BIGINT where Spark gives
+  int, so oracles CAST to the Spark-side type explicitly.
+
+The relational rows (B1-B28) delegate to Catalyst builtins — the
+reference delegates exactly this surface to SQLite (SURVEY.md §2
+Part B). Extension rows (B29+) call the operators/ modules.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datasette_upload_csvs_spark.operators import dedup, similarity, textstats
+from datasette_upload_csvs_spark.functions.text import SPLIT_RE, STOPWORDS, TOKEN_RE
+from datasette_upload_csvs_spark.functions.vector import as_double_array, cosine
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): Spark reads it as
+        # long (nanosAsLong conf, session.py); truncate to micros with
+        # integer division (exactly what DuckDB does reading nanos).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col, alias: str, scale: int = 4):
+    """Exact distributed sum of a double column: decimal-cast partial
+    sums are order-independent; final cast back to double."""
+    return F.sum(col.cast(f"decimal(28,{scale})")).cast("double").alias(alias)
+
+
+def _davg(col, alias: str, scale: int = 6):
+    return (
+        F.sum(col.cast(f"decimal(28,{scale})")).cast("double") / F.count(col)
+    ).alias(alias)
+
+
+# ====================================================================
+# B1/B4/B5/B11/B19 — flagship: TPC-H Q1-shaped pricing summary
+# ====================================================================
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "sum_disc_price",
+                6,
+            ),
+            _dsum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                "sum_charge",
+                6,
+            ),
+            _davg(F.col("l_quantity"), "avg_qty"),
+            _davg(F.col("l_extendedprice"), "avg_price"),
+            _davg(F.col("l_discount"), "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ====================================================================
+# B6 — multi-way equi-join + group + top-k (TPC-H Q3 shape)
+# ====================================================================
+
+
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    # customer is the small side → broadcast; lineitem⋈orders shuffles
+    # on orderkey only.
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 6
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# ====================================================================
+# B6/B7 — 6-way join through the star schema (TPC-H Q5 shape)
+# ====================================================================
+
+
+@q(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # Dimensions broadcast (supplier/nation/region/customer are tiny
+    # next to lineitem at any SF); the only shuffle is l⋈o on orderkey.
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 6
+            ),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+# ====================================================================
+# B12 — global aggregate
+# ====================================================================
+
+
+@q(
+    "global_agg",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
+)
+def global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        _dsum(F.col("l_quantity"), "sum_qty"),
+        _davg(F.col("l_extendedprice"), "avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+# ====================================================================
+# B13 — COUNT(DISTINCT)
+# ====================================================================
+
+
+@q(
+    "count_distinct",
+    """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ====================================================================
+# B14 — approximate count-distinct (HLL), tolerance-checked
+# ====================================================================
+
+
+@q(
+    "approx_count_distinct",
+    """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_count,
+           TRUE AS within_tol
+    FROM lineitem
+    """,
+)
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct is sketch-based, so engines can't match
+    values; the contract checked here is |approx-exact|/exact ≤ 15%
+    (HLL rsd default 5%). The oracle pins the exact count and the
+    tolerance verdict."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.countDistinct("l_partkey").alias("exact_count"),
+        F.approx_count_distinct("l_partkey").alias("approx"),
+    ).select(
+        "exact_count",
+        (
+            F.abs(F.col("approx") - F.col("exact_count"))
+            / F.col("exact_count").cast("double")
+            <= 0.15
+        ).alias("within_tol"),
+    )
+
+
+# ====================================================================
+# B15 — ROLLUP / CUBE
+# ====================================================================
+
+
+@q(
+    "rollup_nation_priority",
+    """
+    SELECT n_name, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, o_orderpriority)
+    """,
+)
+def rollup_nation_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice"), "sum_total"),
+        )
+    )
+
+
+@q(
+    "cube_flag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"), _dsum(F.col("l_quantity"), "sum_qty")
+    )
+
+
+# ====================================================================
+# B16 — ranking window functions
+# ====================================================================
+
+
+@q(
+    "window_rank_customers",
+    """
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(row_number() OVER w AS INTEGER) AS rn,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ====================================================================
+# B17 — lag / lead / first / last
+# ====================================================================
+
+
+@q(
+    "window_lag_lead_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS last_price_so_far
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price_so_far"),
+    )
+
+
+# ====================================================================
+# B18 — framed window aggregates (running total, moving average)
+# ====================================================================
+
+
+@q(
+    "window_running_total",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    wbase = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = wbase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wmov = wbase.rowsBetween(-2, Window.currentRow)
+    dec = F.col("o_totalprice").cast("decimal(28,4)")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(dec).over(wrun).cast("double").alias("running_total"),
+        (F.sum(dec).over(wmov).cast("double") / F.count(F.lit(1)).over(wmov)).alias(
+            "moving_avg3"
+        ),
+    )
+
+
+# ====================================================================
+# B20 — per-group top-k
+# ====================================================================
+
+
+@q(
+    "topk_per_group",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal, CAST(rn AS INTEGER) AS rn
+    FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal DESC, c_custkey) AS rn
+          FROM customer)
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ====================================================================
+# B8 — semi / anti joins
+# ====================================================================
+
+
+@q(
+    "semi_join_big_spenders",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@q(
+    "anti_join_no_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ====================================================================
+# B7 — outer joins
+# ====================================================================
+
+
+@q(
+    "left_join_order_counts",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_total
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            _dsum(F.col("o_totalprice"), "sum_total"),
+        )
+    )
+
+
+@q(
+    "full_outer_nation_supplier",
+    """
+    SELECT n_name, s_name
+    FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+    """,
+)
+def full_outer_nation_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    return n.join(s, n.n_nationkey == s.s_nationkey, "full").select(
+        "n_name", "s_name"
+    )
+
+
+# ====================================================================
+# B9 — cross join / theta join
+# ====================================================================
+
+
+@q(
+    "cross_join_region_pairs",
+    """
+    SELECT r1.r_name AS r1_name, r2.r_name AS r2_name
+    FROM region r1 CROSS JOIN region r2
+    """,
+)
+def cross_join_region_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    r1 = r.select(F.col("r_name").alias("r1_name"))
+    r2 = r.select(F.col("r_name").alias("r2_name"))
+    return r1.crossJoin(r2)
+
+
+@q(
+    "theta_join_richer_suppliers",
+    """
+    SELECT s_suppkey, COUNT(*) AS n_poorer_customers
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+    GROUP BY s_suppkey
+    """,
+)
+def theta_join_richer_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    return (
+        s.join(
+            c,
+            (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_poorer_customers"))
+    )
+
+
+# ====================================================================
+# B10 — range/interval predicate join
+# ====================================================================
+
+
+@q(
+    "range_join_ship_lag",
+    """
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1
+    """,
+)
+def range_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey)
+            & F.col("l_shipdate").between(
+                F.col("o_orderdate"),
+                F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+            ),
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_items"),
+            _dsum(F.col("l_extendedprice"), "sum_price"),
+        )
+    )
+
+
+# ====================================================================
+# B21/B22 — set operations
+# ====================================================================
+
+
+@q(
+    "union_all_nation_keys",
+    """
+    SELECT nationkey, COUNT(*) AS n
+    FROM (SELECT c_nationkey AS nationkey FROM customer
+          UNION ALL
+          SELECT s_nationkey AS nationkey FROM supplier)
+    GROUP BY nationkey
+    """,
+)
+def union_all_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).groupBy("nationkey").agg(F.count("*").alias("n"))
+
+
+@q(
+    "intersect_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@q(
+    "except_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s)
+
+
+# ====================================================================
+# B23 — DISTINCT
+# ====================================================================
+
+
+@q(
+    "distinct_status_priority",
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).distinct()
+
+
+# ====================================================================
+# B24 — string functions
+# ====================================================================
+
+
+@q(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS lower_name,
+           upper(p_brand) AS upper_brand,
+           substring(p_name, 1, 8) AS name_prefix,
+           replace(p_type, ' ', '_') AS type_underscored,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           CAST(strpos(p_name, 'e') AS INTEGER) AS e_pos,
+           trim(p_name) AS trimmed,
+           p_name LIKE '%re%' AS has_re
+    FROM part
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lower_name"),
+        F.upper("p_brand").alias("upper_brand"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_underscored"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.instr(F.col("p_name"), "e").alias("e_pos"),
+        F.trim("p_name").alias("trimmed"),
+        F.col("p_name").like("%re%").alias("has_re"),
+    )
+
+
+# ====================================================================
+# B25 — date/time functions
+# ====================================================================
+
+
+@q(
+    "date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month_num,
+           CAST(day(o_orderdate) AS INTEGER) AS order_day,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(o_orderdate AS DATE) + 30 AS plus_30,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month_num"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        d.alias("order_date"),
+        F.date_add(d, 30).alias("plus_30"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+    )
+
+
+# ====================================================================
+# B26 — math functions
+# ====================================================================
+
+
+@q(
+    "math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_quantity / 7.0, 3) AS qty_div7,
+           abs(l_discount - 0.05) AS abs_disc_delta,
+           CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+           CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+           l_linenumber % 3 AS mod3,
+           power(l_quantity, 2) AS qty_sq,
+           round(sqrt(l_extendedprice), 6) AS sqrt_price
+    FROM lineitem
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_quantity") / 7.0, 3).alias("qty_div7"),
+        F.abs(F.col("l_discount") - 0.05).alias("abs_disc_delta"),
+        F.ceil("l_extendedprice").alias("ceil_price"),
+        F.floor("l_extendedprice").alias("floor_price"),
+        (F.col("l_linenumber") % 3).alias("mod3"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+    )
+
+
+# ====================================================================
+# B27 — conditional expressions
+# ====================================================================
+
+
+@q(
+    "conditional_case",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 150000 THEN 'mid'
+                ELSE 'small' END AS size_class,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_x,
+           o_orderpriority IN ('1-URGENT', '2-HIGH') AS is_high_priority,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_int
+    FROM orders
+    """,
+)
+def conditional_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 150000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_x"
+        ),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_high_priority"),
+        F.floor("o_totalprice").cast("bigint").alias("price_int"),
+    )
+
+
+# ====================================================================
+# B28 — JSON extraction
+# ====================================================================
+
+
+@q(
+    "json_extract_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
+           MIN(k) AS min_k, MAX(k) AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    return (
+        e.select("event_type", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+# ====================================================================
+# B29 — array ops over embeddings
+# ====================================================================
+
+
+@q(
+    "array_ops_embeddings",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           round(CAST(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))) AS DOUBLE) / len(embedding), 6) AS mean_val,
+           CAST(list_max(embedding) AS DOUBLE) AS max_val
+    FROM embeddings
+    """,
+)
+def array_ops_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    v = as_double_array(F.col("embedding"))
+    ssum = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    vsum = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(ssum), 6).alias("l2_norm"),
+        F.round(vsum / F.size("embedding"), 6).alias("mean_val"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+    )
+
+
+# ====================================================================
+# B30 — tumbling / sliding time windows (batch form)
+# ====================================================================
+
+
+@q(
+    "events_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value"), "sum_value", 6),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@q(
+    "events_sliding_window",
+    """
+    SELECT bucket_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT time_bucket(INTERVAL '10 minutes', ts,
+                         TIMESTAMP '2024-01-01 00:00:00') AS bucket_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '10 minutes', ts,
+                         TIMESTAMP '2024-01-01 00:05:00') AS bucket_start, value FROM events
+    )
+    GROUP BY bucket_start
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes: each event falls in
+    exactly two windows; the oracle reconstructs them as two shifted
+    tumbling bucketings."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value"), "sum_value", 6),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"), "n_events", "sum_value"
+        )
+    )
+
+
+# ====================================================================
+# B32 — session windows (batch form)
+# ====================================================================
+
+
+@q(
+    "events_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts >= INTERVAL '5 minutes'
+                     THEN 1 ELSE 0 END AS new_session
+      FROM o
+    ), sessions AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 5-minute gap via F.session_window —
+    Spark merges events closer than the gap; the oracle reconstructs
+    identical sessions with the classic lag + cumulative-sum SQL."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value"), "sum_value", 6),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ====================================================================
+# B37 — dedup family (extension operators)
+# ====================================================================
+
+
+@q(
+    "dedup_exact_ranks",
+    """
+    SELECT doc_id, md5(text) AS content_hash,
+           CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                AS INTEGER) AS dup_rank,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+             AS is_keeper
+    FROM documents
+    """,
+)
+def dedup_exact_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_ranks(load(spark, sf_dir, "documents"))
+
+
+_JACCARD_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared, sa.n AS n_a, sb.n AS n_b,
+           CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+    FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+               JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= {thr}
+"""
+
+
+@q("dedup_ngram_jaccard", _JACCARD_ORACLE.format(thr="0.3"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.3
+    )
+
+
+@q(
+    "dedup_minhash_lsh",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+    FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+               JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates, exact-verified at jaccard ≥ 0.7.
+
+    Output is exact (candidates are verified), so the oracle is the
+    exact-Jaccard SQL. LSH recall at j=0.7 with 32 bands × 4 rows is
+    0.9998 and ≥ 1-1e-15 for j ≥ 0.9 (all planted near-dup pairs in
+    the test corpus are j ≥ 0.9).
+    """
+    return dedup.minhash_near_dup_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.7
+    )
+
+
+@q("dedup_simhash")  # no SQL oracle: engine-specific 64-bit hashing
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dup_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=8
+    )
+
+
+@q(
+    "dedup_embedding_cosine",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(range(1, len(a.v) + 1),
+                      i -> a.v[i] * b.v[i]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos_raw
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cos_raw, 6) AS cos_sim
+    FROM p WHERE cos_raw >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+# ====================================================================
+# B38 — similarity search
+# ====================================================================
+
+
+@q(
+    "similarity_topk_bruteforce",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id = 0
+    ), scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             list_sum(list_transform(range(1, len(a.v) + 1),
+                      i -> a.v[i] * q.qv[i]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos_raw
+      FROM v a CROSS JOIN q
+      WHERE a.vec_id <> 0
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos_sim
+    FROM scored
+    ORDER BY cos_raw DESC, neighbor_id ASC
+    LIMIT 10
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10
+    )
+
+
+@q(
+    "similarity_lsh_recall",
+    "SELECT CAST(0 AS BIGINT) AS query_id, TRUE AS recall_ok",
+)
+def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic LSH-vs-exact recall gate: the LSH top-k (single
+    bucket probe) must recover ≥ 30% of the exact top-10. The sketch
+    is engine-specific so the oracle pins only the verdict."""
+    rec = similarity.recall_vs_brute_force(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10, n_planes=4
+    )
+    return rec.select(
+        "query_id", (F.col("recall") >= 0.3).alias("recall_ok")
+    )
+
+
+# ====================================================================
+# B39 — text analysis
+# ====================================================================
+
+
+@q(
+    "text_token_stats",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                         x -> x <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+             / greatest(len(t), 1) AS avg_token_len
+    FROM toks
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_stats(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_word_freq",
+    f"""
+    SELECT word, COUNT(*) AS freq
+    FROM (SELECT unnest(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                    x -> x <> '')) AS word
+          FROM documents)
+    GROUP BY word
+    ORDER BY freq DESC, word ASC
+    LIMIT 20
+    """,
+)
+def text_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.word_frequencies(load(spark, sf_dir, "documents"), top_n=20)
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@q(
+    "text_quality",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(t) AS INTEGER) AS n_tokens,
+             CAST(len(list_filter(t, x -> list_contains([{_STOP_SQL}], x)))
+                  AS DOUBLE) / greatest(len(t), 1) AS stop_ratio,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                  AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+             len(t) BETWEEN 5 AND 100000 AS length_ok
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(CASE WHEN length_ok THEN 0.5 ELSE 0.0 END
+                 + least(stop_ratio * 2.0, 0.3)
+                 + CASE WHEN punct_ratio <= 0.1 THEN 0.2 ELSE 0.0 END, 6)
+             AS quality_score
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_scores(load(spark, sf_dir, "documents"))
+
+
+_LANG_COUNTS_SQL = ",\n             ".join(
+    "CAST(len(list_filter(t, x -> list_contains(["
+    + ", ".join(f"'{w}'" for w in words)
+    + f"], x))) AS INTEGER) AS hits_{lang}"
+    for lang, words in textstats.LANG_MARKERS.items()
+)
+
+
+@q(
+    "text_lang_id",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{SPLIT_RE}'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), counts AS (
+      SELECT doc_id,
+             {_LANG_COUNTS_SQL}
+      FROM toks
+    )
+    SELECT doc_id,
+           CASE WHEN hits_en >= greatest(hits_de, hits_fr, hits_es, 1) THEN 'en'
+                WHEN hits_de >= greatest(hits_fr, hits_es, 1) THEN 'de'
+                WHEN hits_fr >= greatest(hits_es, 1) THEN 'fr'
+                WHEN hits_es >= 1 THEN 'es'
+                ELSE 'und' END AS predicted_lang,
+           hits_en, hits_de, hits_fr, hits_es
+    FROM counts
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.language_id(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split_regex(lower(text), '{SPLIT_RE}'),
+                         x -> x <> ''))), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "token_count_bpe",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INTEGER)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(TOKEN_RE)).alias("n_bpe_tokens"),
+    )
+
+
+# ====================================================================
+# entry() flagship
+# ====================================================================
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    return q1_pricing_summary(spark, sf_dir)

@@ -1,0 +1,77 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]``; the configs below are the ones
+that matter identically on a real cluster: AQE (runtime re-planning,
+skew-join splitting, partition coalescing), a generous broadcast
+threshold (every TPC-H-ish dimension table is broadcast-able), Arrow
+for any pandas-UDF path, and UTC session time so timestamp semantics
+are stable across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that are safe (and wanted) on any cluster size. Shuffle
+# partition count is a *starting* value only: AQE coalesces small
+# post-shuffle partitions and splits skewed ones at runtime, so the
+# same code scales from local[32] to 1000 executors without retuning.
+ENGINE_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet scans: push filters + prune columns (defaults, pinned
+    # explicitly because correctness of the bench depends on them).
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # The driver's events.parquet stores TIMESTAMP(NANOS); Spark has
+    # no nanos timestamp type, so scan them as long and convert
+    # (queries.load re-derives micros with exact integer division).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "datasette-upload-csvs-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    warehouse_dir: str | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's configs.
+
+    If a session already exists (e.g. the driver harness owns it),
+    runtime-settable confs are applied to it and it is returned.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        configure(active)
+        return active
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus))
+    )
+    if warehouse_dir:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    spark = builder.getOrCreate()
+    return spark
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine confs to an existing session."""
+    for k, v in ENGINE_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a running session — keep its value
+    return spark

@@ -1,0 +1,103 @@
+"""Local replica of the driver's correctness gate: every queries()
+entry with an oracle must match DuckDB on row count, column names,
+and order-insensitive values.
+
+This is the same bar CORRECTNESS_r{N}.json applies at sf0.01; tests
+default to sf0.001 for speed (override SPARK_GRAFT_TEST_SF_DIR).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(rows, columns):
+    """Column-name-sorted, order-insensitive canonical form."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = f"{v:.10g}"
+            vals.append(str(v))
+        out.append("\x1f".join(vals))
+    out.sort()
+    return out
+
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir):
+    qfn = QUERIES[name]
+    sdf = qfn(spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    if name not in ORACLES:
+        # rows-only contract: must run and return a stable schema
+        assert isinstance(spark_cols, list) and spark_cols
+        return
+
+    con = duck_con(sf_dir)
+    res = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: columns differ: spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    ns = normalize(spark_rows, spark_cols)
+    nd = normalize(duck_rows, duck_cols)
+    mism = [i for i, (a, b) in enumerate(zip(ns, nd)) if a != b][:5]
+    assert ns == nd, (
+        f"{name}: value mismatch at sorted idx {mism}; "
+        f"spark sample={[ns[i] for i in mism]} duck sample={[nd[i] for i in mism]}"
+    )
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+
+
+def test_every_oracle_has_query():
+    assert set(ORACLES) <= set(QUERIES)
