@@ -141,24 +141,30 @@ def minhash_signatures(
     n: int = 3,
     num_perm: int = 128,
 ) -> DataFrame:
-    """(id, signature array<long>[num_perm]) via elementwise-min agg.
+    """(id, signature array<long>[num_perm]) — pure map-side projection.
 
-    The signature is built as num_perm independent MIN aggregations
-    over the exploded shingle relation — partial (map-side) min means
-    the shuffle carries one row per (doc, permutation set), not one
-    per shingle.
+    Shingle set, shingle hashes, and all num_perm permutation minima
+    are computed with nested higher-order functions on each row: NO
+    explode, NO shuffle, no aggregation. Per-doc cost is
+    |shingles|×num_perm integer ops inside codegen; at corpus scale
+    the signature stage is embarrassingly parallel and shuffle-free —
+    the only shuffle in the whole MinHash pipeline is the LSH band
+    bucket join.
     """
-    sh = doc_shingles(docs, text_col, id_col, n).withColumn(
-        "h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    hashes = F.transform(
+        shingles(F.col(text_col), n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
     )
-    aggs = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_perm_consts(num_perm))
-    ]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        id_col, F.array(*[f"mh{i}" for i in range(num_perm)]).alias("signature")
-    )
+    d = docs.select(F.col(id_col), hashes.alias("hs"))
+    # One SQL-text expression for the whole signature: a single parse
+    # JVM-side instead of 128 py4j-built lambda trees (plan build
+    # drops from seconds to milliseconds).
+    p = _MERSENNE
+    sig_sql = "array(" + ",".join(
+        f"array_min(transform(hs, h -> (h * {a}L + {b}L) % {p}L))"
+        for a, b in _perm_consts(num_perm)
+    ) + ")"
+    return d.select(F.col(id_col), F.expr(sig_sql).alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -170,27 +176,14 @@ def minhash_lsh_candidates(
     that composite key groups colliding docs. Self-join happens per
     bucket only — never across the corpus.
     """
+    band_sql = "array(" + ",".join(
+        f"struct({i} AS band, xxhash64(array_join(transform("
+        f"slice(signature, {i * rows + 1}, {rows}), x -> cast(x AS string)"
+        f"), ',')) AS bucket)"
+        for i in range(bands)
+    ) + ")"
     banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice("signature", i * rows + 1, rows),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        id_col, F.explode(F.expr(band_sql)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
@@ -222,11 +215,31 @@ def minhash_near_dup_pairs(
     only matters within ~0.01 of the threshold.
     """
     rows = num_perm // bands
-    sig = minhash_signatures(docs, text_col, id_col, n, num_perm)
+    # Small-file inputs arrive as one partition; signature math is
+    # CPU-bound per row (higher-order exprs are interpreted, not
+    # codegen'd), so spread the corpus across the cluster first.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    docs = docs.repartition(par, F.col(id_col))
+    # Materialize signatures once: the band explode references the
+    # signature array 32×, and without a barrier Catalyst's projection
+    # collapse would inline the 128-permutation expression into every
+    # band hash (quadratic codegen). Persist = compute once, reuse.
+    sig = minhash_signatures(docs, text_col, id_col, n, num_perm).persist()
     cand = minhash_lsh_candidates(sig, id_col, bands, rows)
-    exact = ngram_jaccard_pairs(docs, text_col, id_col, n, threshold=0.0)
+    # Verify ONLY the candidate pairs: join each side to its shingle
+    # set and intersect arrays. Cost is O(candidates), not O(pairs
+    # sharing a shingle) — the whole point of LSH at corpus scale.
+    sets = docs.select(
+        F.col(id_col), shingles(F.col(text_col), n).alias("sh")
+    )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    denom = F.size("sh_a") + F.size("sh_b") - shared
     return (
-        cand.join(exact, on=["id_a", "id_b"])
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", shared.cast("double") / denom.cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
