@@ -99,7 +99,25 @@ def detect_encoding(path: str, sniff_bytes: int = SNIFF_BYTES_DEFAULT) -> str:
     if encoding in ("ascii", "utf_8", "utf-8-sig"):
         # keep utf-8 variants as utf-8; ascii upgraded (ref :139-142)
         encoding = "latin-1" if encoding == "ascii" else "utf-8"
-    return encoding
+    return _spark_charset(encoding)
+
+
+def _spark_charset(encoding: str) -> str:
+    """Map a detected charset to Spark's CSV charset whitelist
+    (iso-8859-1, us-ascii, utf-8, utf-16[le|be], utf-32).
+
+    Any single-byte charset (latin-1, cp1252, …) is read as
+    iso-8859-1: every byte decodes, so ingest never fails — the
+    reference's ascii→latin-1 upgrade exists for the same reason
+    (ref __init__.py:139-142). cp1252's 0x80-0x9F printables decode
+    to C1 controls instead; a documented approximation.
+    """
+    e = encoding.lower().replace("_", "-")
+    if e in ("utf-8", "utf-8-sig", "utf8"):
+        return "utf-8"
+    if e.startswith("utf-16") or e.startswith("utf-32"):
+        return e
+    return "iso-8859-1"
 
 
 def read_csv_all_strings(
@@ -140,7 +158,7 @@ def infer_column_types(df: DataFrame) -> dict[str, str]:
         v = F.trim(F.col(c))
         present = F.col(c).isNotNull() & (v != "")
         not_int = present & ~v.rlike(_INT_RE)
-        not_float = present & v.cast("double").isNull()
+        not_float = present & v.try_cast("double").isNull()
         any_present = F.max(present.cast("int"))
         aggs.append(F.max(not_int.cast("int")).alias(f"{c}ni"))
         aggs.append(F.max(not_float.cast("int")).alias(f"{c}nf"))
@@ -174,7 +192,7 @@ def apply_types(df: DataFrame, types: dict[str, str]) -> DataFrame:
             cols.append(F.col(c))
         else:
             cols.append(
-                F.nullif(F.trim(F.col(c)), F.lit("")).cast(t).alias(c)
+                F.nullif(F.trim(F.col(c)), F.lit("")).try_cast(t).alias(c)
             )
     return df.select(*cols)
 
@@ -241,9 +259,20 @@ def upload_csv(
     """
     task_id = task_id or str(uuid.uuid4())
     logical = table if table is not None else cat.derive_table_name(os.path.basename(path))
-    bytes_todo = os.stat(path).st_size  # reference :131,:255-261
     db = database
     started = _utcnow_str()
+    try:
+        bytes_todo = os.stat(path).st_size  # reference :131,:255-261
+    except OSError as ex:
+        return IngestResult(
+            task_id=task_id,
+            table=cat.sanitize_identifier(logical),
+            logical_name=logical,
+            database=db,
+            rows=0,
+            bytes_todo=0,
+            error=str(ex),
+        )
 
     physical_base = cat.sanitize_identifier(logical)
     physical = cat.resolve_collision(spark, physical_base, db)

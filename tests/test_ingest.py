@@ -1,0 +1,143 @@
+"""CSV-ingest correctness tests — ports of the reference's five test
+fixtures (reference tests/test_datasette_upload_csvs.py:52-102) plus
+type-inference contract pins (reference expectations :52-82).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datasette_upload_csvs_spark import ingest
+from datasette_upload_csvs_spark import catalog as cat
+
+SIMPLE = b"name,age\nCleo,5\nPancakes,4\n"
+
+# latin-1, CRLF, pound signs in headers — reference NOT_UTF8 fixture
+NOT_UTF8 = (
+    "IncidentNumber,DateOfCall,Lat,Notional Cost (\xa3)\r\n"
+    "139091,01/01/2009 03:01,51.5,255\r\n"
+    "139093,01/01/2009 03:03,51.6,259\r\n"
+    "139094,2008/09,51.7,263\r\n"
+).encode("latin-1")
+
+# ascii for the first 2KB, a latin-1 byte later (reference :83-86)
+LATIN1_AFTER_2KB = b"content\n" + b"aaaaa\n" * 420 + "sm\xf6rg\xe5s\n".encode("latin-1")
+
+
+def write(tmp_path, name: str, data: bytes) -> str:
+    p = os.path.join(tmp_path, name)
+    with open(p, "wb") as f:
+        f.write(data)
+    return p
+
+
+def test_simple_upload_types_and_rows(spark, tmp_path):
+    path = write(tmp_path, "dogs.csv", SIMPLE)
+    res = ingest.upload_csv(spark, path)
+    assert res.error is None
+    assert res.table == "dogs"
+    assert res.types == {"name": "text", "age": "integer"}
+    rows = {tuple(r) for r in spark.table("dogs").collect()}
+    assert rows == {("Cleo", 5), ("Pancakes", 4)}
+
+
+def test_not_utf8_encoding_and_types(spark, tmp_path):
+    path = write(tmp_path, "encodings.csv", NOT_UTF8)
+    res = ingest.upload_csv(spark, path)
+    assert res.error is None
+    df = spark.table(res.table)
+    # £ survives decoding; dates/yearmonth stay text (no date inference)
+    assert "Notional Cost (£)" in df.columns
+    assert res.types["IncidentNumber"] == "integer"
+    assert res.types["DateOfCall"] == "text"
+    assert res.types["Lat"] == "float"
+    assert res.types["Notional Cost (£)"] == "integer"
+    got = {tuple(r) for r in df.collect()}
+    assert (139091, "01/01/2009 03:01", 51.5, 255) in got
+    assert (139094, "2008/09", 51.7, 263) in got
+
+
+def test_latin1_after_sniff_window_degrades_gracefully(spark, tmp_path):
+    path = write(tmp_path, "latin1_tail.csv", LATIN1_AFTER_2KB)
+    res = ingest.upload_csv(spark, path, sniff_bytes=2048)
+    # reference: must not fail; content of the late row is unspecified
+    assert res.error is None
+    assert res.rows == 421
+
+
+def test_weird_filename_logical_physical_mapping(spark, tmp_path):
+    path = write(tmp_path, "weird ~ filename here.csv.csv", SIMPLE)
+    res = ingest.upload_csv(spark, path)
+    assert res.error is None
+    # one trailing .csv stripped (reference :94-97)
+    assert res.logical_name == "weird ~ filename here.csv"
+    assert spark.catalog.tableExists(res.table)
+    assert cat.lookup_physical_name(spark, "weird ~ filename here.csv") == res.table
+
+
+def test_name_collision_suffixing(spark, tmp_path):
+    path = write(tmp_path, "already_exists.csv", SIMPLE)
+    r1 = ingest.upload_csv(spark, path)
+    r2 = ingest.upload_csv(spark, path)
+    assert r1.table == "already_exists"
+    assert r2.table == "already_exists_2"
+    assert spark.table("already_exists_2").count() == 2
+
+
+def test_progress_lifecycle(spark, tmp_path):
+    path = write(tmp_path, "progress.csv", SIMPLE)
+    res = ingest.upload_csv(spark, path)
+    prog = ingest.get_progress(spark, res.task_id)
+    assert prog is not None
+    # the invariant the reference tests poll for (:176)
+    assert prog["bytes_done"] == prog["bytes_todo"] == res.bytes_todo
+    assert prog["rows_done"] == 2
+    assert prog["completed"] is not None
+    assert prog["error"] is None
+
+
+def test_error_captured_not_raised(spark, tmp_path):
+    res = ingest.upload_csv(spark, os.path.join(tmp_path, "nope.csv"))
+    assert res.error is not None
+
+
+def test_async_upload(spark, tmp_path):
+    path = write(tmp_path, "async_dogs.csv", SIMPLE)
+    task = ingest.upload_csv_async(spark, path)
+    res = task.result(timeout=120)
+    assert res.error is None
+    assert res.rows == 2
+    prog = ingest.get_progress(spark, task.task_id)
+    assert prog["bytes_done"] == prog["bytes_todo"]
+
+
+@pytest.mark.parametrize(
+    "values,expected",
+    [
+        (["5", "007"], "integer"),
+        (["2.55", "139091"], "float"),
+        (["1e5", "2"], "float"),
+        (["01/01/2009 03:01"], "text"),
+        (["2008/09"], "text"),
+        (["true", "false"], "text"),  # no boolean inference
+        (["", "5"], "integer"),  # empty string = null, ignored
+        ([""], "text"),  # all-null column stays text
+        (["+17", "-3"], "integer"),
+        (["nan?", "5"], "text"),
+    ],
+)
+def test_type_inference_lattice(spark, values, expected):
+    df = spark.createDataFrame([(v,) for v in values], "c string")
+    assert ingest.infer_column_types(df)["c"] == expected
+
+
+def test_ragged_rows_null_pad_and_truncate(spark, tmp_path):
+    data = b"a,b,c\n1,2,3,EXTRA\n4,5\n"
+    path = write(tmp_path, "ragged.csv", data)
+    res = ingest.upload_csv(spark, path)
+    assert res.error is None
+    rows = {tuple(r) for r in spark.table(res.table).collect()}
+    # extra cell dropped; short row null-padded (reference dict(zip))
+    assert rows == {(1, 2, 3), (4, 5, None)}
