@@ -1357,6 +1357,123 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# B20 — LIMIT / OFFSET with deterministic order
+# ====================================================================
+
+
+@q(
+    "limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 10
+    """,
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(10)
+        .limit(20)
+    )
+
+
+# ====================================================================
+# B34 — vectorized (Arrow) pandas UDF
+# ====================================================================
+
+
+@q(
+    "udf_pandas_vowel_count",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[aeiou]')) AS BIGINT) AS n_vowels
+    FROM documents
+    """,
+)
+def udf_pandas_vowel_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas UDF (the engine's sanctioned slow
+    path: vectorized columnar transfer, ~10-100× over row-at-a-time
+    Python UDFs). Logic is trivially SQL-mirrorable on purpose so the
+    UDF *mechanism* is what the oracle checks."""
+    # lambda form: module-level `from __future__ import annotations`
+    # would stringify hints and break pandas_udf's signature sniffing
+    vowels = F.pandas_udf(
+        lambda s: s.str.count("[aeiou]").astype("int64"), "long"
+    )
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", vowels("text").alias("n_vowels"))
+
+
+# ====================================================================
+# B35 — grouped custom aggregation via applyInPandas
+# ====================================================================
+
+
+@q(
+    "grouped_pandas_zscore",
+    """
+    SELECT c_custkey, c_mktsegment,
+           round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
+                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 4)
+             AS acctbal_z
+    FROM customer
+    """,
+)
+def grouped_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normalization with applyInPandas: each market segment
+    arrives as one pandas frame (Arrow), z-scores computed with numpy.
+    At scale this shuffles once on the group key — identical shape to
+    a built-in window agg, but with arbitrary Python math available."""
+    import pandas as pd
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = pdf["c_acctbal"].mean()
+        std = pdf["c_acctbal"].std(ddof=1)
+        out = pdf[["c_custkey", "c_mktsegment"]].copy()
+        out["acctbal_z"] = ((pdf["c_acctbal"] - mean) / std).round(4)
+        return out
+
+    return c.groupBy("c_mktsegment").applyInPandas(
+        zscore, schema="c_custkey long, c_mktsegment string, acctbal_z double"
+    )
+
+
+# ====================================================================
+# B40 — multimodal columns: binary payload + mapInPandas features
+# ====================================================================
+
+
+@q(
+    "multimodal_feature_extract",
+    """
+    SELECT doc_id AS media_id,
+           'application/fake' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS feat_mean
+    FROM documents
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: documents → fake media table (payload =
+    utf-8 bytes standing in for an encoded image) → Arrow-batched
+    mapInPandas feature extraction. The oracle recomputes the digest
+    path in SQL (md5 over the same bytes)."""
+    from datasette_upload_csvs_spark.operators import multimodal
+
+    media = multimodal.fake_documents_media(load(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media).select(
+        "media_id", "mime", "n_bytes", "feat_mean"
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 

@@ -1,0 +1,76 @@
+"""Plan-shape regression tests: the 100 TB contract.
+
+Correctness says the answer is right; these say the *plan* is the one
+that survives a 1000-executor cluster: pushdown at the scan, pruned
+read schemas, broadcast dimensions, codegen on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datasette_upload_csvs_spark import plans
+from datasette_upload_csvs_spark import queries as Q
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    l = Q.load(spark, sf_dir, "lineitem")
+    df = l.filter(F.col("l_orderkey") == 42).select("l_orderkey", "l_quantity")
+    assert plans.has_pushed_filters(df)
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    l = Q.load(spark, sf_dir, "lineitem")
+    df = l.select("l_orderkey", "l_quantity")
+    cols = plans.read_schema_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_q1_prunes_unused_columns(spark, sf_dir):
+    df = Q.q1_pricing_summary(spark, sf_dir)
+    cols = plans.read_schema_columns(df)
+    # 16-column table; Q1 needs exactly these 7
+    assert set(cols) == {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    }, cols
+
+
+def test_q1_shipdate_filter_pushed(spark, sf_dir):
+    assert plans.has_pushed_filters(Q.q1_pricing_summary(spark, sf_dir))
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    assert plans.uses_broadcast_join(Q.q5_local_supplier_volume(spark, sf_dir))
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    assert plans.uses_broadcast_join(Q.q3_shipping_priority(spark, sf_dir))
+
+
+def test_q1_wholestage_codegen(spark, sf_dir):
+    assert plans.wholestage_codegen_spans(Q.q1_pricing_summary(spark, sf_dir)) >= 1
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    # scan → partial agg → ONE exchange on the group keys → final agg
+    # (the orderBy-less Q1 needs exactly one shuffle)
+    assert plans.shuffle_count(Q.q1_pricing_summary(spark, sf_dir)) == 1
+
+
+def test_similarity_topk_no_shuffle_on_corpus(spark, sf_dir):
+    # broadcast of the single query row + TakeOrderedAndProject means
+    # the corpus itself is never exchanged
+    from datasette_upload_csvs_spark.operators import similarity
+
+    df = similarity.brute_force_topk(
+        Q.load(spark, sf_dir, "embeddings"), query_id=0, k=10
+    )
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plans.uses_broadcast_join(df)

@@ -1,0 +1,104 @@
+"""Streaming-surface tests: windowed aggregation parity between the
+streaming and batch plans (memory sink, availableNow), and streaming
+CSV ingest with per-batch progress.
+
+These are the driver's 'weaker rows-only' class — live streaming
+state isn't SQL-expressible — but we pin them against the *batch*
+twins, which ARE oracle-checked, so the chain is closed:
+stream result == batch result == DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from datasette_upload_csvs_spark import queries as Q
+from datasette_upload_csvs_spark import streaming as S
+
+
+def _run_stream_to_memory(spark, sdf, name):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _events_stream(spark, sf_dir, tmp_path):
+    # re-shard the batch events table into files and readStream them —
+    # a real file-source stream with the same rows.
+    src = os.path.join(tmp_path, "events_stream_src")
+    Q.load(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    return spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(src)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, tmp_path):
+    stream = _events_stream(spark, sf_dir, str(tmp_path))
+    out = _run_stream_to_memory(
+        spark, S.tumbling_counts_stream(stream), "tumbling_out"
+    )
+    got = {
+        (r["bucket_start"], r["event_type"], r["n_events"])
+        for r in out.collect()
+    }
+    batch = Q.queries()["events_tumbling_window"](spark, sf_dir)
+    want = {
+        (r["bucket_start"], r["event_type"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_session_stream_matches_batch(spark, sf_dir, tmp_path):
+    stream = _events_stream(spark, sf_dir, str(tmp_path))
+    out = _run_stream_to_memory(
+        spark, S.session_counts_stream(stream), "session_out"
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in out.collect()
+    }
+    batch = Q.queries()["events_session_window"](spark, sf_dir)
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_watermark_is_applied(spark, sf_dir, tmp_path):
+    stream = _events_stream(spark, sf_dir, str(tmp_path))
+    sdf = S.tumbling_counts_stream(stream, watermark="30 minutes")
+    assert sdf.isStreaming
+    # watermark node present in the logical plan
+    assert "EventTimeWatermark" in sdf._jdf.queryExecution().logical().toString()
+
+
+def test_stream_csv_ingest_progress(spark, tmp_path):
+    src = os.path.join(str(tmp_path), "csvs")
+    os.makedirs(src)
+    for i in range(3):
+        with open(os.path.join(src, f"part{i}.csv"), "w") as f:
+            f.write("name,age\n")
+            for j in range(10):
+                f.write(f"row{i}_{j},{i * 10 + j}\n")
+    res = S.stream_csv_to_table(spark, src, table=f"stream_tbl_{os.getpid()}")
+    assert res["rows"] == 30
+    assert res["batches"] >= 2  # maxFilesPerTrigger=1 → one batch per file
+    from datasette_upload_csvs_spark import ingest
+
+    prog = ingest.get_progress(spark, res["task_id"])
+    assert prog["bytes_done"] == prog["bytes_todo"]
+    assert prog["rows_done"] == 30
+    assert spark.table(res["table"]).count() == 30
