@@ -1474,6 +1474,234 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# B36 — UDTF-style row expansion (posexplode)
+# ====================================================================
+
+
+@q(
+    "explode_doc_tokens",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS t
+      FROM documents WHERE doc_id < 10
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS pos, t[i] AS token
+    FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+    """,
+)
+def explode_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datasette_upload_csvs_spark.functions.text import tokens
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+
+
+# ====================================================================
+# exact percentiles / dispersion / correlation aggregates
+# ====================================================================
+
+
+@q(
+    "percentiles_price",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+@q(
+    "stats_dispersion",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 2) AS std_price,
+           round(var_samp(l_extendedprice), 1) AS var_price,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion/association aggregates. These are the one family
+    where bit-exact cross-engine equality is unattainable (one-pass
+    variance accumulation order differs), so both sides round: the
+    agreement bound is |err| ≲ n·ε·Σx² ≪ the rounded digit."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+        F.round(F.var_samp("l_extendedprice"), 1).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "cov_qty_price"
+        ),
+    )
+
+
+# ====================================================================
+# bitwise expressions
+# ====================================================================
+
+
+@q(
+    "bitwise_ops",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_linenumber & 3 AS band,
+           l_linenumber | 8 AS bor,
+           xor(l_linenumber, 5) AS bxor,
+           l_linenumber << 2 AS shifted
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    ln = F.col("l_linenumber")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        ln.bitwiseAND(F.lit(3)).alias("band"),
+        ln.bitwiseOR(F.lit(8)).alias("bor"),
+        ln.bitwiseXOR(F.lit(5)).alias("bxor"),
+        F.shiftleft(ln, 2).alias("shifted"),
+    )
+
+
+# ====================================================================
+# regexp functions
+# ====================================================================
+
+
+@q(
+    "regexp_funcs",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 1) AS first_word,
+           regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_name, '^(red|blue|green)') AS is_color_named
+    FROM part
+    """,
+)
+def regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 1).alias("first_word"),
+        F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("^(red|blue|green)").alias("is_color_named"),
+    )
+
+
+# ====================================================================
+# ordered string aggregation (collect_list, deterministic)
+# ====================================================================
+
+
+@q(
+    "string_agg_suppliers",
+    """
+    SELECT n_name,
+           string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+           COUNT(*) AS n_suppliers
+    FROM nation JOIN supplier ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+)
+def string_agg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        n.join(s, n.n_nationkey == s.s_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "suppliers"
+            ),
+            F.count("*").alias("n_suppliers"),
+        )
+    )
+
+
+# ====================================================================
+# pivot (conditional aggregation)
+# ====================================================================
+
+
+@q(
+    "pivot_returnflag",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_returnflag = 'A'
+                THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS qty_A,
+           CAST(SUM(CASE WHEN l_returnflag = 'N'
+                THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS qty_N,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS qty_R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    piv = (
+        l.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,4)")).cast("double"))
+    )
+    return piv.select(
+        "l_linestatus",
+        F.col("A").alias("qty_A"),
+        F.col("N").alias("qty_N"),
+        F.col("R").alias("qty_R"),
+    )
+
+
+# ====================================================================
+# SQL surface: scalar subquery through spark.sql
+# ====================================================================
+
+
+@q(
+    "sql_scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 2 * (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*)
+      FROM orders)
+    """,
+)
+def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's textual-SQL entry point (the reference's delegated
+    surface is exactly this: SQL text → plan → execute). Decimal-exact
+    avg keeps the comparison boundary identical across engines."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_v
+        WHERE o_totalprice > 2 * (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+                 / COUNT(*)
+          FROM orders_v)
+        """
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 
