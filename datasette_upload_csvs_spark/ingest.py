@@ -298,6 +298,10 @@ def upload_csv(
     try:
         encoding = detect_encoding(path, sniff_bytes)
         raw = read_csv_all_strings(spark, path, encoding)
+        if not raw.columns:
+            raise ValueError(
+                f"CSV file has no header row (empty file?): {path}"
+            )
         types = infer_column_types(raw)
         typed = apply_types(raw, types)
         full = f"{db}.{physical}" if db else physical

@@ -56,16 +56,9 @@ def oracle_sql() -> dict[str, str]:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): Spark reads it as
-        # long (nanosAsLong conf, session.py); truncate to micros with
-        # integer division (exactly what DuckDB does reading nanos).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from datasette_upload_csvs_spark.sources.parquet import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 def _dsum(col, alias: str, scale: int = 4):
