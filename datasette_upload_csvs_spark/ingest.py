@@ -365,6 +365,74 @@ def upload_csv(
         )
 
 
+def append_csv(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    sniff_bytes: int = SNIFF_BYTES_DEFAULT,
+) -> IngestResult:
+    """Append a CSV to an existing table with schema evolution —
+    the reference's ``insert_all(batch, alter=True)`` semantics
+    (reference __init__.py:159,168): columns present only in the new
+    file are added (existing rows read NULL), columns missing from
+    the new file are null-filled.
+
+    Spark shape: unionByName(allowMissingColumns=True) over the
+    existing table + typed new batch, then an atomic table swap.
+    (The reference's ALTER TABLE is metadata-only; a columnar rewrite
+    is the Spark equivalent when the union changes the column set —
+    when the schemas already match we use a plain append, no rewrite.)
+    """
+    task_id = str(uuid.uuid4())
+    if not spark.catalog.tableExists(table):
+        return upload_csv(spark, path, table=table, sniff_bytes=sniff_bytes)
+
+    encoding = detect_encoding(path, sniff_bytes)
+    raw = read_csv_all_strings(spark, path, encoding)
+    types = infer_column_types(raw)
+    typed = apply_types(raw, types)
+    existing = spark.table(table)
+
+    if set(typed.columns) == set(existing.columns):
+        aligned = typed.select(*existing.columns)
+        # widen to the existing column types (e.g. int batch into a
+        # previously-float column)
+        for name, dtype in existing.dtypes:
+            if dict(aligned.dtypes)[name] != dtype:
+                aligned = aligned.withColumn(name, F.col(name).try_cast(dtype))
+        aligned.write.mode("append").insertInto(table)
+        rows = aligned.count()
+        return IngestResult(
+            task_id=task_id,
+            table=table,
+            logical_name=table,
+            database=None,
+            rows=rows,
+            bytes_todo=os.stat(path).st_size,
+            columns=list(existing.columns),
+            types=types,
+        )
+
+    merged = existing.unionByName(typed, allowMissingColumns=True)
+    # atomic-ish swap through a staging table (managed tables cannot
+    # be overwritten while being read)
+    staging = f"{table}__evolving"
+    merged.write.mode("overwrite").saveAsTable(staging)
+    spark.sql(f"DROP TABLE `{table}`")
+    spark.sql(f"ALTER TABLE `{staging}` RENAME TO `{table}`")
+    rows = typed.count()
+    return IngestResult(
+        task_id=task_id,
+        table=table,
+        logical_name=table,
+        database=None,
+        rows=rows,
+        bytes_todo=os.stat(path).st_size,
+        columns=list(merged.columns),
+        types=types,
+    )
+
+
 @dataclass
 class IngestTask:
     """Detached ingest job handle (reference asyncio.create_task,

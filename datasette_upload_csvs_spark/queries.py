@@ -1695,6 +1695,66 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# B5 — null-test predicates
+# ====================================================================
+
+
+@q(
+    "filter_null_tests",
+    """
+    SELECT o_orderkey, maybe_status
+    FROM (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS maybe_status
+          FROM orders)
+    WHERE maybe_status IS NOT NULL
+       OR o_orderkey % 100 = 0
+    """,
+)
+def filter_null_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    with_null = o.select(
+        "o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("maybe_status")
+    )
+    return with_null.filter(
+        F.col("maybe_status").isNotNull() | (F.col("o_orderkey") % 100 == 0)
+    )
+
+
+# ====================================================================
+# B19 — multi-key sort with NULLS FIRST / NULLS LAST
+# ====================================================================
+
+
+@q(
+    "sort_nulls_handling",
+    """
+    SELECT o_orderkey, maybe_status, o_totalprice
+    FROM (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS maybe_status,
+                 o_totalprice
+          FROM orders)
+    ORDER BY maybe_status ASC NULLS FIRST, o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def sort_nulls_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLS FIRST made observable through the LIMIT: the 50 returned
+    rows are exactly the null-status rows with the highest prices."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("maybe_status"),
+            "o_totalprice",
+        )
+        .orderBy(
+            F.col("maybe_status").asc_nulls_first(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey"),
+        )
+        .limit(50)
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 
