@@ -102,3 +102,35 @@ def test_stream_csv_ingest_progress(spark, tmp_path):
     assert prog["bytes_done"] == prog["bytes_todo"]
     assert prog["rows_done"] == 30
     assert spark.table(res["table"]).count() == 30
+
+
+def test_stateful_running_totals(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: final per-user totals must equal the
+    batch groupBy (every user's last update row carries the full
+    running total once the stream drains)."""
+    from datasette_upload_csvs_spark.streaming import stateful
+
+    stream = _events_stream(spark, sf_dir, str(tmp_path))
+    sdf = stateful.running_user_totals(stream)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("stateful_out").toPandas()
+    # last update per user = totals after the final batch
+    last = out.groupby("user_id").last()
+    batch = (
+        Q.load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(last) == len(batch)
+    for uid, row in batch.iterrows():
+        assert last.loc[uid, "n_events"] == row["n"]
+        assert abs(last.loc[uid, "sum_value"] - row["s"]) < 1e-6
