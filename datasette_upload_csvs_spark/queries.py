@@ -1755,6 +1755,95 @@ def sort_nulls_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# approximate quantiles, tolerance-gated (sketch ≠ cross-engine)
+# ====================================================================
+
+
+@q(
+    "approx_quantile_tolerance",
+    """
+    SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+           TRUE AS approx_within_1pct
+    FROM orders
+    """,
+)
+def approx_quantile_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL/GK sketch) can't hash-match another
+    engine; the pinned contract is |approx-exact|/exact ≤ 1%."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("exact"),
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx"
+        ),
+    )
+    return agg.select(
+        F.round("exact", 4).alias("exact_p50"),
+        (F.abs(F.col("approx") - F.col("exact")) / F.col("exact") <= 0.01).alias(
+            "approx_within_1pct"
+        ),
+    )
+
+
+# ====================================================================
+# deterministic hash sampling (engine-portable TABLESAMPLE)
+# ====================================================================
+
+
+@q(
+    "hash_sample",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~12.5% deterministic sample keyed on md5(orderkey) — unlike
+    TABLESAMPLE/df.sample this is reproducible across engines, runs,
+    and partitionings, which is what a training-data pipeline needs
+    for holdout splits."""
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
+    ).select("o_orderkey", "o_totalprice")
+
+
+# ====================================================================
+# table profiling (per-column quality metrics)
+# ====================================================================
+
+
+@q(
+    "table_profile",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custkeys,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+           COUNT(*) - COUNT(o_totalprice) AS null_totalprice,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_total,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_total,
+           MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+    FROM orders
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile (the 'what did I just ingest' check a
+    data pipeline runs after every load)."""
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_custkeys"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        (F.count("*") - F.count("o_totalprice")).alias("null_totalprice"),
+        F.min("o_totalprice").cast("double").alias("min_total"),
+        F.max("o_totalprice").cast("double").alias("max_total"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 
