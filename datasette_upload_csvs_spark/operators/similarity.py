@@ -134,6 +134,75 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: k-means
+    coarse quantizer → per-cluster inverted lists → probe the n_probe
+    centroids nearest the query.
+
+    Scale shape: the quantizer trains on a sample (MLlib KMeans is a
+    few passes over n_clusters×dim floats of state), assignment is a
+    map-side argmin over broadcast centroids, and a query touches
+    n_probe/n_clusters of the corpus. This is the FAISS IVF-Flat
+    layout expressed as DataFrames; repartition by cluster id to make
+    each inverted list one partition range.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    v = emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+    ml = v.withColumn("features", array_to_vector("v"))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(ml)
+    assigned = model.transform(ml).select(
+        id_col, "v", F.col("prediction").alias("cluster")
+    )
+
+    spark = emb.sparkSession
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        f"cluster int, center array<double>",
+    )
+    q = assigned.filter(F.col(id_col) == query_id).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    # rank centroids by distance to the query; keep n_probe lists
+    probed = (
+        centers.join(F.broadcast(q))
+        .withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with("center", "qv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .orderBy("dist")
+        .limit(n_probe)
+        .select("cluster")
+    )
+    candidates = assigned.join(F.broadcast(probed), "cluster").filter(
+        F.col(id_col) != query_id
+    )
+    scored = candidates.join(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col("v"), F.col("qv")).alias("cos_raw"),
+    )
+    return (
+        scored.orderBy(F.col("cos_raw").desc(), F.col("neighbor_id").asc())
+        .limit(k)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
 def recall_vs_brute_force(
     emb: DataFrame,
     query_id: int,

@@ -1191,6 +1191,24 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "similarity_ivf_recall",
+    "SELECT CAST(0 AS BIGINT) AS query_id, TRUE AS recall_ok",
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted lists, FAISS-IVF-Flat shape) vs exact
+    top-10: must recover ≥ 50% probing 8/16 clusters. Clustering is
+    seeded but k-means init isn't bit-stable across environments, so
+    the oracle pins the recall verdict, not the neighbor set."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact = similarity.brute_force_topk(emb, 0, 10).select("neighbor_id")
+    approx = similarity.ivf_topk(emb, 0, 10, n_probe=8).select("neighbor_id")
+    hit = exact.join(approx, "neighbor_id", "left_semi").count()
+    return spark.createDataFrame(
+        [(0, hit >= 5)], "query_id long, recall_ok boolean"
+    )
+
+
+@q(
     "similarity_lsh_recall",
     "SELECT CAST(0 AS BIGINT) AS query_id, TRUE AS recall_ok",
 )
@@ -1330,6 +1348,50 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprints(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "text_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS word FROM toks)
+      GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, word, round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf JOIN df USING (word) CROSS JOIN n
+    WHERE doc_id < 5
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf as a relational composition (explode → tf agg → df agg
+    → join): the classic scale shape — df is a word-keyed aggregate,
+    broadcast back; no per-doc state. Output restricted to 5 docs to
+    keep the oracle comparison small."""
+    from datasette_upload_csvs_spark.functions.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .filter(F.col("doc_id") < 5)
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
 
 
 @q(
