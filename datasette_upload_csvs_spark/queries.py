@@ -56,8 +56,13 @@ def oracle_sql() -> dict[str, str]:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from datasette_upload_csvs_spark.session import configure
     from datasette_upload_csvs_spark.sources.parquet import read_table
 
+    # queries may run on a session we didn't build (the driver
+    # harness); apply runtime-settable engine confs (AQE, UTC
+    # session time, nanos handling) idempotently.
+    configure(spark)
     return read_table(spark, sf_dir, name)
 
 
