@@ -29,9 +29,9 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
             "o_orderpriority"
         ).agg(F.count("*").alias("n"))
         # grouping still shuffles; the JOIN itself must not
-        plain = Q.load(spark, sf_dir, "lineitem").join(
-            od, F.col("l_orderkey") == F.col("o_orderkey")
-        )
+        # (reuse the pre-loaded frames: Q.load applies engine confs,
+        # which would re-enable broadcast under us)
+        plain = li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
         bucketed_join_only = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
         assert plans.shuffle_count(bucketed_join_only) == 0
         assert plans.shuffle_count(plain) >= 2
