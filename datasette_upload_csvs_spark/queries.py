@@ -1911,6 +1911,157 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# B15 — explicit GROUPING SETS (SQL surface)
+# ====================================================================
+
+
+@q(
+    "grouping_sets_mixed",
+    """
+    SELECT n_name, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("gs_nation")
+    return spark.sql(
+        """
+        SELECT n_name, o_orderpriority, COUNT(*) AS n_orders
+        FROM gs_orders JOIN gs_customer ON o_custkey = c_custkey
+                       JOIN gs_nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+        """
+    )
+
+
+# ====================================================================
+# B16/B17 — distribution window functions
+# ====================================================================
+
+
+@q(
+    "window_distribution",
+    """
+    SELECT c_custkey, c_nationkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           nth_value(c_acctbal, 2) OVER
+             (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_highest_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("c_acctbal", 2).over(wfull).alias("second_highest_bal"),
+    )
+
+
+# ====================================================================
+# B25 — date formatting / calendar parts
+# ====================================================================
+
+
+@q(
+    "date_format_funcs",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m') AS year_month,
+           CAST(quarter(o_orderdate) AS INTEGER) AS q,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+    FROM orders
+    """,
+)
+def date_format_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar parts. Note the dow alignment: Spark dayofweek is
+    1=Sunday, DuckDB's is 0=Sunday — oracle shifts by one."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+        F.quarter("o_orderdate").alias("q"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.last_day(F.to_date("o_orderdate")).alias("month_end"),
+    )
+
+
+# ====================================================================
+# B24/B26 — extended string + math functions
+# ====================================================================
+
+
+@q(
+    "string_funcs_extended",
+    """
+    SELECT p_partkey,
+           lpad(p_brand, 10, '*') AS brand_padded,
+           rpad(p_brand, 10, '.') AS brand_rpadded,
+           reverse(p_name) AS name_reversed,
+           repeat(p_brand, 2) AS brand_twice,
+           left(p_name, 3) AS name_left3,
+           right(p_name, 3) AS name_right3,
+           CAST(octet_length(encode(p_name)) AS INTEGER) AS n_bytes
+    FROM part
+    """,
+)
+def string_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 10, "*").alias("brand_padded"),
+        F.rpad("p_brand", 10, ".").alias("brand_rpadded"),
+        F.reverse("p_name").alias("name_reversed"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.left("p_name", F.lit(3)).alias("name_left3"),
+        F.right("p_name", F.lit(3)).alias("name_right3"),
+        F.octet_length("p_name").alias("n_bytes"),
+    )
+
+
+@q(
+    "math_funcs_extended",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(ln(l_extendedprice), 6) AS ln_price,
+           round(log10(l_extendedprice), 6) AS log10_price,
+           round(exp(l_discount), 6) AS exp_disc,
+           CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign,
+           greatest(l_quantity, 25.0) AS qty_floor25,
+           least(l_quantity, 25.0) AS qty_cap25
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def math_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.log("l_extendedprice"), 6).alias("ln_price"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
+        F.round(F.exp("l_discount"), 6).alias("exp_disc"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        F.greatest("l_quantity", F.lit(25.0)).alias("qty_floor25"),
+        F.least("l_quantity", F.lit(25.0)).alias("qty_cap25"),
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 
