@@ -1400,6 +1400,107 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "text_bigram_freq",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS t
+      FROM documents
+    )
+    SELECT bigram, COUNT(*) AS freq
+    FROM (SELECT t[i] || ' ' || t[i+1] AS bigram
+          FROM toks, UNNEST(range(1, len(t))) AS u(i))
+    GROUP BY bigram
+    ORDER BY freq DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (the n-gram LM statistics pass)."""
+    from datasette_upload_csvs_spark.functions.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"
+    )
+    return (
+        d.select(t.alias("t"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@q(
+    "stratified_split_counts",
+    """
+    SELECT lang, split, COUNT(*) AS n_docs
+    FROM (SELECT lang,
+                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                           IN ('0','1','2') THEN 'val' ELSE 'train' END AS split
+          FROM documents)
+    GROUP BY lang, split
+    """,
+)
+def stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val split, stratified per language —
+    hash-keyed on doc_id so the split is stable across runs, engines
+    and repartitioning (what df.sample cannot give you)."""
+    d = load(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            "0", "1", "2"
+        ),
+        "val",
+    ).otherwise("train")
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@q(
+    "contamination_overlap",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split_regex(lower(text), '{SPLIT_RE}'),
+                           x -> x <> ''))), ' ')) AS fingerprint
+      FROM documents
+    ), test_set AS (
+      SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 = 0
+    )
+    SELECT source, COUNT(*) AS n_contaminated
+    FROM fp
+    WHERE doc_id % 10 <> 0
+      AND fingerprint IN (SELECT fingerprint FROM test_set)
+    GROUP BY source
+    """,
+)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination scan: fingerprint both sides, semi-
+    join train against the (broadcastable) test fingerprint set —
+    the decontamination pass every eval pipeline runs. Near-dup
+    variants compose by swapping fingerprints for MinHash buckets."""
+    d = load(spark, sf_dir, "documents")
+    fp = textstats.fingerprints(d).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    test = fp.filter(F.col("doc_id") % 10 == 0).select("fingerprint").distinct()
+    return (
+        fp.filter(F.col("doc_id") % 10 != 0)
+        .join(F.broadcast(test), "fingerprint", "left_semi")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+
+
+@q(
     "token_count_bpe",
     f"""
     SELECT doc_id,

@@ -141,3 +141,13 @@ def test_ragged_rows_null_pad_and_truncate(spark, tmp_path):
     rows = {tuple(r) for r in spark.table(res.table).collect()}
     # extra cell dropped; short row null-padded (reference dict(zip))
     assert rows == {(1, 2, 3), (4, 5, None)}
+
+
+def test_utf16_csv(spark, tmp_path):
+    data = "name,score\nsmörgås,5\nüber,7\n".encode("utf-16")
+    path = write(tmp_path, "utf16.csv", data)
+    res = ingest.upload_csv(spark, path)
+    assert res.error is None
+    assert res.types == {"name": "text", "score": "integer"}
+    rows = {tuple(r) for r in spark.table(res.table).collect()}
+    assert rows == {("smörgås", 5), ("über", 7)}
