@@ -27,9 +27,7 @@ makes the same choice, row-at-a-time).
 from __future__ import annotations
 
 import os
-import re
 import threading
-import time
 import uuid
 from dataclasses import dataclass, field
 

@@ -156,7 +156,7 @@ def ivf_topk(
     each inverted list one partition range.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     v = emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
     ml = v.withColumn("features", array_to_vector("v"))

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from datasette_upload_csvs_spark.operators import dedup, similarity, textstats
 from datasette_upload_csvs_spark.functions.text import SPLIT_RE, STOPWORDS, TOKEN_RE
-from datasette_upload_csvs_spark.functions.vector import as_double_array, cosine
+from datasette_upload_csvs_spark.functions.vector import as_double_array
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}

@@ -19,8 +19,7 @@ import os
 import threading
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
 
 from datasette_upload_csvs_spark import ingest as batch_ingest
 

@@ -151,3 +151,12 @@ def test_utf16_csv(spark, tmp_path):
     assert res.types == {"name": "text", "score": "integer"}
     rows = {tuple(r) for r in spark.table(res.table).collect()}
     assert rows == {("smörgås", 5), ("über", 7)}
+
+
+def test_quoted_newline_in_field(spark, tmp_path):
+    data = b'name,notes\nCleo,"likes\nlong walks"\nPancakes,short\n'
+    path = write(tmp_path, "quoted.csv", data)
+    res = ingest.upload_csv(spark, path)
+    assert res.error is None
+    rows = {tuple(r) for r in spark.table(res.table).collect()}
+    assert rows == {("Cleo", "likes\nlong walks"), ("Pancakes", "short")}

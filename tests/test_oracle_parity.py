@@ -9,7 +9,6 @@ default to sf0.001 for speed (override SPARK_GRAFT_TEST_SF_DIR).
 from __future__ import annotations
 
 import math
-import os
 
 import duckdb
 import pytest
