@@ -458,6 +458,38 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) OVER
+                (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS spend_30d
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame keyed on event time: per-customer trailing-30-day
+    spend. Range frames include order-value peers, so no tiebreak is
+    needed for determinism (peers aggregate identically)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+    )
+
+
 # ====================================================================
 # B20 — per-group top-k
 # ====================================================================
