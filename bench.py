@@ -20,13 +20,16 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_revenue_change",
     "left_join_order_counts",
     "window_running_total",
     "rollup_nation_priority",
     "events_session_window",
+    "events_funnel",
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
     "text_word_freq",
+    "multimodal_feature_extract",
 ]
 
 
