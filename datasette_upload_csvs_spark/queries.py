@@ -350,6 +350,58 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "having_filter",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS sum_total
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice"), "sum_total"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@q(
+    "correlated_avg_filter",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey, l.l_orderkey, l.l_quantity
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < 0.5 * pa.avg_qty
+    """,
+)
+def correlated_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (rows below half their part's average) as an
+    agg+self-join — the decorrelated plan Catalyst produces for the
+    correlated subquery, written explicitly so the per-part average
+    is decimal-exact on both engines."""
+    l = load(spark, sf_dir, "lineitem")
+    pa = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        _davg(F.col("l_quantity"), "avg_qty")
+    )
+    return (
+        l.join(pa, l.l_partkey == pa.pk)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .select("l_partkey", "l_orderkey", "l_quantity")
+    )
+
+
 # ====================================================================
 # B12 — global aggregate
 # ====================================================================
@@ -2004,15 +2056,18 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's textual-SQL entry point (the reference's delegated
     surface is exactly this: SQL text → plan → execute). Decimal-exact
     avg keeps the comparison boundary identical across engines."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
+    load(spark, sf_dir, "orders").createOrReplaceTempView(f"orders_v_{sfx}")
     return spark.sql(
-        """
+        f"""
         SELECT o_orderkey, o_totalprice
-        FROM orders_v
+        FROM orders_v_{sfx}
         WHERE o_totalprice > 2 * (
           SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
                  / COUNT(*)
-          FROM orders_v)
+          FROM orders_v_{sfx})
         """
     )
 
@@ -2181,14 +2236,18 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
-    load(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
-    load(spark, sf_dir, "nation").createOrReplaceTempView("gs_nation")
+    import uuid
+
+    # unique view names: safe if the harness runs queries concurrently
+    sfx = uuid.uuid4().hex[:8]
+    load(spark, sf_dir, "orders").createOrReplaceTempView(f"gs_orders_{sfx}")
+    load(spark, sf_dir, "customer").createOrReplaceTempView(f"gs_customer_{sfx}")
+    load(spark, sf_dir, "nation").createOrReplaceTempView(f"gs_nation_{sfx}")
     return spark.sql(
-        """
+        f"""
         SELECT n_name, o_orderpriority, COUNT(*) AS n_orders
-        FROM gs_orders JOIN gs_customer ON o_custkey = c_custkey
-                       JOIN gs_nation ON c_nationkey = n_nationkey
+        FROM gs_orders_{sfx} JOIN gs_customer_{sfx} ON o_custkey = c_custkey
+                       JOIN gs_nation_{sfx} ON c_nationkey = n_nationkey
         GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
         """
     )
