@@ -2128,6 +2128,86 @@ def sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# as-of join (custom operator: most-recent-prior event)
+# ====================================================================
+
+
+@q(
+    "asof_join_last_click",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT max(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click'
+              AND c.ts <= p.ts) AS ts_asof
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the user's most recent click at-or-before
+    it. The oracle is the O(n·m) correlated subquery; the engine runs
+    the union+window as-of join (operators/asof.py) — one shuffle on
+    user_id, identical results."""
+    from datasette_upload_csvs_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(purchases, clicks, on="user_id")
+
+
+# ====================================================================
+# time-series resample with gap filling
+# ====================================================================
+
+
+@q(
+    "events_resample_gapfill",
+    """
+    WITH bounds AS (
+      SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS t0,
+             CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS t1
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(t0, t1, INTERVAL '1 hour')) AS bucket
+      FROM bounds
+    ), agg AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+             COUNT(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT g.bucket, coalesce(a.n, 0) AS n_events
+    FROM grid g LEFT JOIN agg a ON g.bucket = a.bucket
+    """,
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with zero-filled gaps: dense time grid from
+    sequence() + explode, left-joined to the hourly counts — the
+    hypertable 'time_bucket_gapfill' shape. The grid is tiny (hours
+    in range) and broadcast; event volume only affects the count agg."""
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count("*").alias("n")
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    return (
+        F.broadcast(grid)
+        .join(agg, "bucket", "left")
+        .select("bucket", F.coalesce("n", F.lit(0)).alias("n_events"))
+    )
+
+
+# ====================================================================
 # B5 — null-test predicates
 # ====================================================================
 
