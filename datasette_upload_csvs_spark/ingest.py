@@ -78,6 +78,16 @@ def detect_encoding(path: str, sniff_bytes: int = SNIFF_BYTES_DEFAULT) -> str:
     ascii is always upgraded. Driver-side on head bytes only — O(1)
     memory regardless of file size.
     """
+    # Directory input (multi-file CSV dataset — beyond the reference,
+    # which only sees single uploads): sniff the first part file;
+    # Spark applies one encoding to the whole scan.
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if not f.startswith(("_", "."))
+        )
+        if not parts:
+            return "utf-8"
+        path = os.path.join(path, parts[0])
     with open(path, "rb") as f:
         head = f.read(sniff_bytes)
     encoding = None
@@ -260,7 +270,14 @@ def upload_csv(
     db = database
     started = _utcnow_str()
     try:
-        bytes_todo = os.stat(path).st_size  # reference :131,:255-261
+        if os.path.isdir(path):
+            bytes_todo = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith(("_", "."))
+            )
+        else:
+            bytes_todo = os.stat(path).st_size  # reference :131,:255-261
     except OSError as ex:
         return IngestResult(
             task_id=task_id,

@@ -1392,6 +1392,49 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "dedup_containment",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+    FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+               JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.6
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (overlap coefficient): shared/min(|A|,|B|) — the
+    measure that catches a short document wholly embedded in a longer
+    one, which Jaccard dilutes. Same shingle inverted index, different
+    normalizer."""
+    pairs = dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.0
+    )
+    return (
+        pairs.withColumn(
+            "containment",
+            F.col("shared").cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+        )
+        .filter(F.col("containment") >= 0.6)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 @q("dedup_simhash")  # no SQL oracle: engine-specific 64-bit hashing
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(
