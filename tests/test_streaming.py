@@ -134,3 +134,35 @@ def test_stateful_running_totals(spark, sf_dir, tmp_path):
     for uid, row in batch.iterrows():
         assert last.loc[uid, "n_events"] == row["n"]
         assert abs(last.loc[uid, "sum_value"] - row["s"]) < 1e-6
+
+
+def test_streaming_dedup_exactly_once(spark, sf_dir, tmp_path):
+    """Feed every event twice; the deduped stream must emit each
+    event_id exactly once (matching the batch distinct count)."""
+    import os
+
+    from datasette_upload_csvs_spark.streaming.dedup_stream import (
+        dedup_events_stream,
+    )
+
+    src = os.path.join(str(tmp_path), "dup_events_src")
+    ev = Q.load(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(src)
+    ev.write.mode("append").parquet(src)  # duplicate delivery
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 2
+    ).parquet(src)
+    sdf = dedup_events_stream(stream)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("dedup_out")
+    n_distinct_in = ev.select("event_id").distinct().count()
+    assert out.count() == n_distinct_in
+    assert out.select("event_id").distinct().count() == n_distinct_in
