@@ -406,6 +406,60 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "price_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS bucket_min,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS bucket_max
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via arithmetic bucketing — partial-agg
+    friendly (each executor builds its local histogram; merge is a
+    sum per bucket)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("bucket_min"),
+            F.max("o_totalprice").cast("double").alias("bucket_max"),
+        )
+    )
+
+
+@q(
+    "unpivot_lineitem_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           l_quantity AS value
+    FROM lineitem WHERE l_orderkey < 50
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey < 50
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey < 50
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape with the built-in unpivot (melt); the oracle
+    is the portable UNION ALL equivalent."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
+@q(
     "having_filter",
     """
     SELECT o_custkey, COUNT(*) AS n_orders,
