@@ -166,3 +166,47 @@ def test_streaming_dedup_exactly_once(spark, sf_dir, tmp_path):
     n_distinct_in = ev.select("event_id").distinct().count()
     assert out.count() == n_distinct_in
     assert out.select("event_id").distinct().count() == n_distinct_in
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming click→purchase attribution must equal the identical
+    batch join over the same rows."""
+    from datasette_upload_csvs_spark.streaming.joins import clicks_to_purchases
+
+    stream = _events_stream(spark, sf_dir, str(tmp_path))
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    purch_s = stream.filter(F.col("event_type") == "purchase")
+    sdf = clicks_to_purchases(clicks_s, purch_s)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.table("attr_out").collect()
+    }
+
+    ev = Q.load(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+    )
+    want = {
+        (r["cid"], r["pid"])
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
