@@ -2609,6 +2609,111 @@ def math_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# advanced SQL surface: recursive CTE, LATERAL, null-safe equality
+# ====================================================================
+
+
+@q(
+    "recursive_cte_series",
+    """
+    WITH RECURSIVE s(n) AS (
+      SELECT 1
+      UNION ALL
+      SELECT n + 1 FROM s WHERE n < 100
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n) AS BIGINT) AS total,
+           CAST(SUM(CASE WHEN n % 2 = 0 THEN n ELSE 0 END) AS BIGINT)
+             AS even_total
+    FROM s
+    """,
+)
+def recursive_cte_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 native): iterative series generation
+    inside the SQL engine — the building block for graph reachability
+    and bill-of-materials walks."""
+    return spark.sql(
+        """
+        WITH RECURSIVE s(n) AS (
+          SELECT 1
+          UNION ALL
+          SELECT n + 1 FROM s WHERE n < 100
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(n) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN n % 2 = 0 THEN n ELSE 0 END) AS BIGINT)
+                 AS even_total
+        FROM s
+        """
+    )
+
+
+@q(
+    "lateral_topk_per_nation",
+    """
+    SELECT n_name, x.c_custkey, x.c_acctbal
+    FROM nation, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) x
+    """,
+)
+def lateral_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER/LIMIT — the SQL
+    spelling of per-group top-k (Catalyst decorrelates it to the same
+    window plan topk_per_group uses)."""
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
+    load(spark, sf_dir, "nation").createOrReplaceTempView(f"lat_nation_{sfx}")
+    load(spark, sf_dir, "customer").createOrReplaceTempView(
+        f"lat_customer_{sfx}"
+    )
+    return spark.sql(
+        f"""
+        SELECT n_name, x.c_custkey, x.c_acctbal
+        FROM lat_nation_{sfx}, LATERAL (
+          SELECT c_custkey, c_acctbal FROM lat_customer_{sfx}
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) x
+        """
+    )
+
+
+@q(
+    "null_safe_join_groups",
+    """
+    SELECT coalesce(a.s, '<null>') AS status_group, COUNT(*) AS n_pairs
+    FROM (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS s
+          FROM orders WHERE o_orderkey < 100) a
+    JOIN (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS s
+          FROM orders WHERE o_orderkey < 100) b
+      ON a.s IS NOT DISTINCT FROM b.s AND a.o_orderkey < b.o_orderkey
+    GROUP BY 1
+    """,
+)
+def null_safe_join_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+    matches NULL — the semantics dedup-on-nullable-keys needs."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    a = o.select(
+        F.col("o_orderkey").alias("ka"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("sa"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("kb"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("sb"),
+    )
+    return (
+        a.join(b, a.sa.eqNullSafe(b.sb) & (a.ka < b.kb))
+        .groupBy(F.coalesce("sa", F.lit("<null>")).alias("status_group"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 
