@@ -2714,6 +2714,45 @@ def null_safe_join_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# SQLite-compat scalar functions (the reference's users' vocabulary)
+# ====================================================================
+
+
+@q(
+    "sqlite_compat_funcs",
+    """
+    SELECT o_orderkey,
+           ifnull(nullif(o_orderstatus, 'O'), 'open') AS status_ifnull,
+           if(o_totalprice > 200000, 'high', 'low') AS price_iif,
+           to_hex(o_orderkey) AS key_hex,
+           printf('%08d', o_orderkey) AS key_padded,
+           round(epoch(o_orderdate) / 86400.0 + 2440587.5, 6) AS julianday
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def sqlite_compat_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar vocabulary a reference user's SQLite queries use —
+    ifnull, iif, hex, printf, julianday — re-expressed so their
+    queries port verbatim (julianday = unix epoch days + JD offset,
+    identical IEEE arithmetic both engines)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_ifnull"
+        ),
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .otherwise("low")
+        .alias("price_iif"),
+        F.hex(F.col("o_orderkey")).alias("key_hex"),
+        F.format_string("%08d", F.col("o_orderkey")).alias("key_padded"),
+        F.round(
+            F.unix_timestamp("o_orderdate") / 86400.0 + 2440587.5, 6
+        ).alias("julianday"),
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 
