@@ -129,21 +129,28 @@ def _spark_charset(encoding: str) -> str:
 
 
 def read_csv_all_strings(
-    spark: SparkSession, path: str, encoding: str | None = None
+    spark: SparkSession,
+    path: str,
+    encoding: str | None = None,
+    delimiter: str = ",",
+    quote: str = '"',
 ) -> DataFrame:
     """Header-ed CSV scan with every column as string.
 
     PERMISSIVE mode gives the reference's ragged-row semantics
     (dict(zip(headers, row)), __init__.py:180): short rows null-pad,
     extra cells drop. multiLine handles quoted newlines like Python's
-    csv module does.
+    csv module does. Dialect defaults = csv.excel (the reference's
+    parser); delimiter/quote are overridable for TSV-style files.
     """
     reader = (
         spark.read.option("header", True)
         .option("inferSchema", False)
         .option("mode", "PERMISSIVE")
         .option("multiLine", True)
-        .option("escape", '"')  # csv.excel dialect: doublequote escaping
+        .option("sep", delimiter)
+        .option("quote", quote)
+        .option("escape", quote)  # csv.excel dialect: doublequote escaping
     )
     if encoding:
         reader = reader.option("encoding", encoding)
@@ -259,6 +266,7 @@ def upload_csv(
     database: str | None = None,
     sniff_bytes: int = SNIFF_BYTES_DEFAULT,
     task_id: str | None = None,
+    delimiter: str = ",",
 ) -> IngestResult:
     """Ingest a CSV file into a typed managed table.
 
@@ -312,7 +320,7 @@ def upload_csv(
 
     try:
         encoding = detect_encoding(path, sniff_bytes)
-        raw = read_csv_all_strings(spark, path, encoding)
+        raw = read_csv_all_strings(spark, path, encoding, delimiter=delimiter)
         if not raw.columns:
             raise ValueError(
                 f"CSV file has no header row (empty file?): {path}"
@@ -320,10 +328,17 @@ def upload_csv(
         types = infer_column_types(raw)
         typed = apply_types(raw, types)
         full = f"{db}.{physical}" if db else physical
+        # observe() rides the write job: row count comes out of the
+        # same scan that materializes the table — no extra pass over
+        # the written data (the reference counts as it inserts, :186).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        typed = typed.observe(obs, F.count(F.lit(1)).alias("n"))
         typed.write.mode("errorifexists").saveAsTable(full)
         if physical != logical:
             cat.register_logical_name(spark, logical, physical, db)
-        rows = spark.table(full).count()
+        rows = int(obs.get["n"])
         _append_progress(
             spark,
             db,

@@ -2753,6 +2753,87 @@ def sqlite_compat_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# fuzzy string matching (edit distance)
+# ====================================================================
+
+
+@q(
+    "fuzzy_name_pairs",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND a.p_partkey < 300 AND b.p_partkey < 300
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+      AND a.p_name <> b.p_name
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical name pairs by Levenshtein distance — the fuzzy
+    entity-matching primitive. (At corpus scale you'd block first —
+    the shingle index or a sorted-neighborhood key — exactly like the
+    dedup operators; the exhaustive window here is capped.)"""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .filter(
+            (F.levenshtein("name_a", "name_b") <= 3)
+            & (F.col("name_a") != F.col("name_b"))
+        )
+        .select(
+            "key_a",
+            "key_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+    )
+
+
+# ====================================================================
+# B29 — extended array functions over token arrays
+# ====================================================================
+
+
+@q(
+    "array_funcs_extended",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS t
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           list_contains(t, 'the') AS has_the,
+           CAST(list_position(t, 'data') AS INTEGER) AS data_pos,
+           array_to_string(t[1:3], ' ') AS first3,
+           CAST(len(list_distinct(t)) AS INTEGER) AS n_unique,
+           t[1] AS first_token,
+           t[len(t)] AS last_token
+    FROM toks
+    """,
+)
+def array_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array navigation/search functions over token arrays. Note
+    list_position/array_position agree (1-based, 0 when absent —
+    Spark returns 0, DuckDB NULL→coalesced)."""
+    from datasette_upload_csvs_spark.functions.text import tokens
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    t = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.array_contains(t, "the").alias("has_the"),
+        F.array_position(t, "data").cast("int").alias("data_pos"),
+        F.array_join(F.slice(t, 1, 3), " ").alias("first3"),
+        F.size(F.array_distinct(t)).alias("n_unique"),
+        F.element_at(t, 1).alias("first_token"),
+        F.element_at(t, -1).alias("last_token"),
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 

@@ -179,3 +179,12 @@ def test_ingest_meets_reference_latency_budget(spark, tmp_path):
     assert res.error is None
     assert res.rows == 1049
     assert elapsed < 4.0, f"ingest took {elapsed:.2f}s (reference budget 4s)"
+
+
+def test_tsv_delimiter_override(spark, tmp_path):
+    data = b"name\tage\nCleo\t5\nPancakes\t4\n"
+    path = write(tmp_path, "dogs_tsv.csv", data)
+    res = ingest.upload_csv(spark, path, table="dogs_tsv", delimiter="\t")
+    assert res.error is None
+    assert res.types == {"name": "text", "age": "integer"}
+    assert spark.table("dogs_tsv").count() == 2
