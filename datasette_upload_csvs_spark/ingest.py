@@ -157,6 +157,48 @@ def read_csv_all_strings(
     return reader.csv(path)
 
 
+def _read_header_row(path: str, encoding: str, delimiter: str = ",") -> list[str]:
+    """First CSV row parsed with the reference's dialect, driver-side
+    (csv.excel, like reference __init__.py:177-179)."""
+    import csv as csv_std
+    import io
+
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if not f.startswith(("_", "."))
+        )
+        if not parts:
+            return []
+        path = os.path.join(path, parts[0])
+    with open(path, "rb") as f:
+        head = f.read(1 << 20)
+    codec = {"utf-16": "utf-16", "utf-32": "utf-32"}.get(encoding, encoding)
+    text = head.decode(codec, errors="replace")
+    reader = csv_std.reader(io.StringIO(text), delimiter=delimiter)
+    for row in reader:
+        return row
+    return []
+
+
+def dedup_header_columns(df: DataFrame, original_headers: list[str]) -> DataFrame:
+    """Reference parity for duplicate header names: dict(zip(headers,
+    row)) keeps the LAST occurrence (__init__.py:180). Spark's CSV
+    reader renames duplicates positionally (a, b, a → a0, b, a2);
+    undo that by selecting the last position per original name."""
+    if len(original_headers) != len(df.columns) or len(
+        set(original_headers)
+    ) == len(original_headers):
+        return df
+    # dict(zip(...)): column ORDER is first occurrence, VALUE is the
+    # last occurrence (python dict insertion + overwrite semantics)
+    last_index: dict[str, int] = {}
+    for i, h in enumerate(original_headers):
+        last_index[h] = i
+    return df.select(
+        *[F.col(df.columns[i]).alias(name) for name, i in last_index.items()]
+    )
+
+
 def infer_column_types(df: DataFrame) -> dict[str, str]:
     """TypeTracker-parity type per column: 'integer' | 'float' | 'text'.
 
@@ -321,6 +363,9 @@ def upload_csv(
     try:
         encoding = detect_encoding(path, sniff_bytes)
         raw = read_csv_all_strings(spark, path, encoding, delimiter=delimiter)
+        raw = dedup_header_columns(
+            raw, _read_header_row(path, encoding, delimiter)
+        )
         if not raw.columns:
             raise ValueError(
                 f"CSV file has no header row (empty file?): {path}"

@@ -188,3 +188,15 @@ def test_tsv_delimiter_override(spark, tmp_path):
     assert res.error is None
     assert res.types == {"name": "text", "age": "integer"}
     assert spark.table("dogs_tsv").count() == 2
+
+
+def test_duplicate_header_last_wins(spark, tmp_path):
+    """Reference dict(zip(headers, row)) semantics: for duplicate
+    column names the LAST occurrence's value survives."""
+    data = b"a,b,a\n1,2,3\n4,5,6\n"
+    path = write(tmp_path, "dup_header.csv", data)
+    res = ingest.upload_csv(spark, path)
+    assert res.error is None
+    df = spark.table(res.table)
+    assert df.columns == ["a", "b"]
+    assert {tuple(r) for r in df.collect()} == {(3, 2), (6, 5)}
