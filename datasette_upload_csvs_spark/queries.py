@@ -2834,6 +2834,116 @@ def array_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# disjunctive join predicates (TPC-H Q19 shape)
+# ====================================================================
+
+
+@q(
+    "disjunctive_filter_join",
+    """
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#2' AND p_size <= 10 AND l_quantity < 20)
+       OR (p_brand = 'Brand#4' AND p_size > 10 AND l_quantity >= 30)
+    """,
+)
+def disjunctive_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunctions across both join sides —
+    the optimizer stress test (Catalyst extracts the common join key
+    and pushes the per-side residuals)."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size") <= 10)
+        & (F.col("l_quantity") < 20)
+    ) | (
+        (F.col("p_brand") == "Brand#4")
+        & (F.col("p_size") > 10)
+        & (F.col("l_quantity") >= 30)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count("*").alias("n_items"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+                6,
+            ),
+        )
+    )
+
+
+# ====================================================================
+# B22 — bag semantics: EXCEPT ALL / INTERSECT ALL
+# ====================================================================
+
+
+@q(
+    "bag_set_ops",
+    """
+    SELECT nationkey, COUNT(*) AS n
+    FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT ALL
+      SELECT s_nationkey FROM supplier
+    )
+    GROUP BY nationkey
+    """,
+)
+def bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference — each right row cancels ONE left
+    row) — the multiplicity-aware set op dedup accounting needs."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.exceptAll(s).groupBy("nationkey").agg(F.count("*").alias("n"))
+
+
+# ====================================================================
+# B17 — IGNORE NULLS window navigation
+# ====================================================================
+
+
+@q(
+    "window_ignore_nulls",
+    """
+    SELECT o_orderkey, o_custkey,
+           last_value(nullif(o_orderstatus, 'O') IGNORE NULLS) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS UNBOUNDED PRECEDING) AS last_known_status
+    FROM orders
+    """,
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last observation carried forward): last_value
+    IGNORE NULLS over an ordered window — the gap-filling primitive
+    for sparse attributes."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.last(
+            F.nullif(F.col("o_orderstatus"), F.lit("O")), ignorenulls=True
+        )
+        .over(w)
+        .alias("last_known_status"),
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 
