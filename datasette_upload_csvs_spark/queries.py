@@ -2944,6 +2944,124 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# data quality: IQR outlier detection per group
+# ====================================================================
+
+
+@q(
+    "outlier_orders_iqr",
+    """
+    WITH seg AS (
+      SELECT c_mktsegment, o_orderkey, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), bounds AS (
+      SELECT c_mktsegment,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM seg GROUP BY c_mktsegment
+    )
+    SELECT seg.c_mktsegment,
+           COUNT(*) AS n_outliers,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+             AS outlier_total
+    FROM seg JOIN bounds ON seg.c_mktsegment = bounds.c_mktsegment
+    WHERE o_totalprice > q3 + 1.5 * (q3 - q1)
+    GROUP BY seg.c_mktsegment
+    """,
+)
+def outlier_orders_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment IQR outlier scan (Tukey fences) — the standard
+    data-quality screen; thresholds computed per group with exact
+    percentiles, broadcast back to the scan."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    seg = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    bounds = seg.groupBy("c_mktsegment").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    return (
+        seg.join(F.broadcast(bounds), "c_mktsegment")
+        .filter(
+            F.col("o_totalprice")
+            > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_outliers"),
+            _dsum(F.col("o_totalprice"), "outlier_total"),
+        )
+    )
+
+
+# ====================================================================
+# embedding analytics: distance to per-label centroid
+# ====================================================================
+
+
+@q(
+    "embedding_centroid_distance",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), pos AS (
+      SELECT vec_id, label, i AS pos, v[i] AS x
+      FROM v, UNNEST(range(1, len(v) + 1)) AS u(i)
+    ), cent AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS c
+      FROM pos GROUP BY label, pos
+    )
+    SELECT p.vec_id, p.label,
+           round(sqrt(CAST(SUM(CAST((p.x - c.c) * (p.x - c.c)
+                 AS DECIMAL(28,14))) AS DOUBLE)), 6) AS dist_to_centroid
+    FROM pos p JOIN cent c ON p.label = c.label AND p.pos = c.pos
+    GROUP BY p.vec_id, p.label
+    """,
+)
+def embedding_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster cohesion: each vector's L2 distance to its label's
+    centroid. Centroid = decimal-exact per-position mean (order-
+    independent across engines); the per-vector reduction is a
+    decimal-exact sum of squared deviations. The position explode is
+    the portable formulation; at corpus scale the same math runs as a
+    single aggregate of array columns."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
+    )
+    pos = v.select(
+        "vec_id", "label", F.posexplode("v").alias("pos0", "x")
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "x")
+    cent = pos.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,14)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    return (
+        pos.join(cent, ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        ((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).cast(
+                            "decimal(28,14)"
+                        )
+                    ).cast("double")
+                ),
+                6,
+            ).alias("dist_to_centroid")
+        )
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 
