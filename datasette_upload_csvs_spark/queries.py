@@ -3062,6 +3062,35 @@ def embedding_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# boolean / conditional aggregates
+# ====================================================================
+
+
+@q(
+    "bool_aggs",
+    """
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_qty_positive,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           CAST(count_if(l_tax = 0) AS BIGINT) AS n_tax_free,
+           CAST(count_if(l_quantity >= 25) AS BIGINT) AS n_bulk
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean quantifier aggregates (every/any) + conditional counts
+    — the assertion layer of data-quality checks."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_qty_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
+        F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 
