@@ -3091,6 +3091,36 @@ def bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# hashing / binary encoding functions
+# ====================================================================
+
+
+@q(
+    "hash_funcs",
+    """
+    SELECT p_partkey,
+           md5(p_name) AS name_md5,
+           sha256(p_name) AS name_sha256,
+           base64(encode(p_name)) AS name_b64,
+           CAST(octet_length(encode(p_name)) AS INTEGER) AS n_bytes
+    FROM part WHERE p_partkey < 100
+    """,
+)
+def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content digests + transport encoding — the primitives under
+    content-addressed dedup and cache keys. Byte-identical across
+    engines by construction (both hash the utf-8 bytes)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.sha2("p_name", 256).alias("name_sha256"),
+        F.base64(F.encode("p_name", "utf-8")).alias("name_b64"),
+        F.octet_length("p_name").alias("n_bytes"),
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 
