@@ -45,16 +45,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = entry_mod.queries()
 
-    # Warm-up: run every headline query once at the smallest SF so
-    # JVM/codegen/Arrow compilation is paid before timing. Reported
-    # numbers are steady-state execution at the target SF — the
-    # regime that matters for a long-lived cluster.
-    warm_dir = "/root/testdata/sf0.001"
-    if not os.path.isdir(warm_dir):
-        warm_dir = sf_dir
+    # Warm-up: one untimed pass of every headline query at the target
+    # SF so JVM/codegen/Arrow compilation and file-footer caches are
+    # paid before timing. Reported numbers are steady-state execution
+    # — the regime that matters for a long-lived cluster.
     for name in HEADLINE:
         try:
-            registry[name](spark, warm_dir).count()
+            registry[name](spark, sf_dir).count()
         except Exception as ex:  # warm-up must never fail the bench
             print(f"# warmup {name} failed: {ex}", file=sys.stderr)
 
