@@ -3121,6 +3121,53 @@ def hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# feature hashing (the hashing trick), md5-keyed for portability
+# ====================================================================
+
+
+@q(
+    "feature_hashing_buckets",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                        x -> x <> '')) AS tok
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id,
+           CAST(md5_number_lower(tok) % 32 AS INTEGER) AS bucket,
+           COUNT(*) AS n_tokens
+    FROM toks
+    GROUP BY doc_id, bucket
+    """,
+)
+def feature_hashing_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick features: token → md5-low-64-bits → bucket id.
+    The hash is content-defined (not engine-defined), so features are
+    reproducible anywhere — the property that makes hashed features
+    safe to recompute across systems. Spark side reconstructs
+    DuckDB's md5_number_lower (little-endian low 8 bytes) from the
+    hex digest with conv()."""
+    from datasette_upload_csvs_spark.functions.text import tokens
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    tok = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    # little-endian uint64 of md5 bytes 9..16 == md5_number_lower
+    le_hex = F.concat(
+        *[F.substring("h", 17 + 2 * i, 2) for i in reversed(range(8))]
+    )
+    bucket = F.pmod(
+        F.conv(le_hex, 16, 10).cast("decimal(20,0)"), F.lit(32)
+    ).cast("int")
+    return (
+        tok.withColumn("bucket", bucket)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n_tokens"))
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 
