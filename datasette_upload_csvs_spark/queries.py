@@ -3705,6 +3705,174 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# PIVOT: wide conditional aggregation (relational pivot surface)
+# ====================================================================
+
+
+@q(
+    "pivot_status_by_flag",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS qty_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(l_quantity AS DECIMAL(28,4)) END) AS DOUBLE) AS qty_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational PIVOT: one column per pivot value, one row per
+    group. Values are enumerated explicitly — an unenumerated pivot
+    needs a distinct-scan planning pass first, which at 100 TB is a
+    full extra job; never rely on it implicitly."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,4)")).cast("double"))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    )
+
+
+# ====================================================================
+# sessionization: gap-based session ids via lag + running sum
+# (the classic event-stream windowing chain, batch form)
+# ====================================================================
+
+
+@q(
+    "sessionize_events_lag",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    ), per_session AS (
+      SELECT user_id, sess_id, COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+           CAST(SUM(n_events) AS BIGINT) AS total_events
+    FROM per_session
+    GROUP BY user_id
+    """,
+)
+def sessionize_events_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session
+    flag → running-sum session id → per-session, per-user rollup. All
+    three windows share PARTITION BY user_id ORDER BY ts, so Spark
+    plans ONE shuffle + one sort for the whole chain — the shape that
+    survives 100 TB of events. Gap compare in integer micros on both
+    engines (no interval-type drift)."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    sess_id = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        e.withColumn("sess_id", sess_id)
+        .groupBy("user_id", "sess_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("n_events").alias("total_events"),
+        )
+    )
+
+
+# ====================================================================
+# map-typed columns: create_map / element_at / map_keys surface
+# ====================================================================
+
+
+@q(
+    "map_funcs_price_stats",
+    """
+    SELECT l_returnflag,
+           CAST(MIN(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS max_price,
+           CAST(2 AS INTEGER) AS n_keys,
+           'max,min' AS key_csv
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def map_funcs_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a map of named stats per group, then
+    read it back with element_at / map_keys. The oracle pins the
+    *relational content*; the map construction is the Spark-side
+    surface under test (maps stay JVM-side — no Python round-trip)."""
+    l = load(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_returnflag").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(28,4)"))
+        .cast("double")
+        .alias("mn"),
+        F.max(F.col("l_extendedprice").cast("decimal(28,4)"))
+        .cast("double")
+        .alias("mx"),
+    )
+    m = F.create_map(F.lit("min"), F.col("mn"), F.lit("max"), F.col("mx"))
+    return agg.select(
+        "l_returnflag",
+        F.element_at(m, "min").alias("min_price"),
+        F.element_at(m, "max").alias("max_price"),
+        F.size(m).alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("key_csv"),
+    )
+
+
+# ====================================================================
+# GROUP BY ALL (shared SQL text runs verbatim on both engines)
+# ====================================================================
+
+
+@q(
+    "group_by_all_sql",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def group_by_all_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — identical SQL text executes on Spark and the
+    oracle (modern-SQL ergonomics parity)."""
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
+    load(spark, sf_dir, "orders").createOrReplaceTempView(f"gba_orders_{sfx}")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS total
+        FROM gba_orders_{sfx}
+        GROUP BY ALL
+        """
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 
