@@ -88,8 +88,7 @@ def detect_encoding(path: str, sniff_bytes: int = SNIFF_BYTES_DEFAULT) -> str:
         if not parts:
             return "utf-8"
         path = os.path.join(path, parts[0])
-    with open(path, "rb") as f:
-        head = f.read(sniff_bytes)
+    head = _head_bytes(path, sniff_bytes)
     encoding = None
     try:
         from charset_normalizer import detect
@@ -157,6 +156,20 @@ def read_csv_all_strings(
     return reader.csv(path)
 
 
+def _head_bytes(path: str, n: int) -> bytes:
+    """First n bytes of the (logical) file. `.gz` inputs are
+    transparently decompressed: Spark's CSV scan picks its
+    decompression codec by extension, so the driver-side sniff must
+    look at the same decoded byte stream the scan will parse."""
+    if path.endswith(".gz"):
+        import gzip
+
+        with gzip.open(path, "rb") as gz:
+            return gz.read(n)
+    with open(path, "rb") as f:
+        return f.read(n)
+
+
 def _read_header_row(path: str, encoding: str, delimiter: str = ",") -> list[str]:
     """First CSV row parsed with the reference's dialect, driver-side
     (csv.excel, like reference __init__.py:177-179)."""
@@ -170,8 +183,7 @@ def _read_header_row(path: str, encoding: str, delimiter: str = ",") -> list[str
         if not parts:
             return []
         path = os.path.join(path, parts[0])
-    with open(path, "rb") as f:
-        head = f.read(1 << 20)
+    head = _head_bytes(path, 1 << 20)
     codec = {"utf-16": "utf-16", "utf-32": "utf-32"}.get(encoding, encoding)
     text = head.decode(codec, errors="replace")
     reader = csv_std.reader(io.StringIO(text), delimiter=delimiter)

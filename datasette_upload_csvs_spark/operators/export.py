@@ -1,0 +1,61 @@
+"""Training-shard export: deterministic, content-defined sharding.
+
+The last stage of a curation pipeline (pipeline.py) is writing the
+corpus as N fixed shards that trainers stream independently. Two
+properties matter at 100 TB:
+
+- **Content-defined assignment.** shard(doc) must be a pure function
+  of the document id — not of partitioning, executor count, or
+  engine — so a re-run, a different cluster, or a different engine
+  produces byte-identical shard membership (resumable exports,
+  cross-system verification). We use md5's low 64 bits, the same
+  portable-hash construction as feature hashing (queries.py
+  feature_hashing_buckets): every engine has md5; nobody agrees on
+  xxhash/murmur seeds.
+- **One file per shard.** `repartition(shard_id)` before a
+  partitioned write gives each shard directory exactly one file of
+  ~corpus/N rows — the layout trainers want, produced with a single
+  shuffle.
+
+Reference parity note: the reference's terminal stage is
+`insert_all` into one SQLite file (reference `__init__.py:168`);
+sharded export is the Spark-scale analogue of "hand the data to the
+consumer".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_low64(col: Column) -> Column:
+    """Little-endian uint64 of md5 bytes 9..16 — equals DuckDB's
+    md5_number_lower, so assignments verify cross-engine. Returned as
+    DECIMAL(20,0) (the value exceeds int64 range)."""
+    h = F.md5(col.cast("string"))
+    le_hex = F.concat(*[F.substring(h, 17 + 2 * i, 2) for i in reversed(range(8))])
+    return F.conv(le_hex, 16, 10).cast("decimal(20,0)")
+
+
+def assign_shards(
+    df: DataFrame, id_col: str = "doc_id", num_shards: int = 16
+) -> DataFrame:
+    """Add a content-defined `shard_id` in [0, num_shards)."""
+    return df.withColumn(
+        "shard_id", F.pmod(md5_low64(F.col(id_col)), F.lit(num_shards)).cast("int")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    num_shards: int = 16,
+    split_col: str | None = None,
+) -> None:
+    """Write df as hive directories shard_id=K (nested under
+    split=… when split_col is given), one parquet file per shard."""
+    sharded = assign_shards(df, id_col, num_shards)
+    cols = ([split_col] if split_col else []) + ["shard_id"]
+    sharded.repartition(*cols).write.mode("overwrite").partitionBy(*cols).parquet(path)

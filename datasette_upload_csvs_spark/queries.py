@@ -3873,6 +3873,40 @@ def group_by_all_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# training-shard export: content-defined shard assignment
+# ====================================================================
+
+
+@q(
+    "export_shard_assignment",
+    """
+    SELECT CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 16 AS INTEGER) AS shard_id,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM documents
+    GROUP BY shard_id
+    """,
+)
+def export_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard membership for training export (operators/export.py):
+    md5-low-64 of the doc id mod N — a pure content function, so the
+    oracle reproduces the exact same assignment from SQL."""
+    from datasette_upload_csvs_spark.operators.export import assign_shards
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        assign_shards(d, "doc_id", 16)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 

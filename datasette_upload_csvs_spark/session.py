@@ -74,4 +74,39 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on a running session — keep its value
+    _ship_package(spark)
     return spark
+
+
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable by Spark's Python workers
+    regardless of the driver's cwd.
+
+    Pickled (pandas-)UDFs reference functions by module path; workers
+    then import the module. When the driver process was launched from
+    outside the repo (the driver harness, bench from /tmp), the repo
+    root is on the driver's sys.path but NOT in the env the workers
+    inherit — every UDF dies with ModuleNotFoundError. The
+    Spark-native fix is to ship the code: zip the package once per
+    process and sc.addPyFile it (exactly how --py-files deploys
+    Python code to a real cluster's executors)."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = Path(tempfile.gettempdir()) / f"ducs_spark_pkg_{os.getpid()}.zip"
+    if not zip_path.exists():
+        tmp = zip_path.with_suffix(".tmp")
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, arcname=str(Path(pkg_dir.name) / py.relative_to(pkg_dir)))
+        tmp.rename(zip_path)
+    spark.sparkContext.addPyFile(str(zip_path))
+    _SHIPPED.add(app_id)

@@ -200,3 +200,21 @@ def test_duplicate_header_last_wins(spark, tmp_path):
     df = spark.table(res.table)
     assert df.columns == ["a", "b"]
     assert {tuple(r) for r in df.collect()} == {(3, 2), (6, 5)}
+
+
+def test_gzip_csv_transparent_ingest(spark, tmp_path):
+    """Spark's CSV scan gunzips .gz by extension; the driver-side
+    encoding sniff and header parse must see the same decompressed
+    bytes. Fixture is latin-1 INSIDE gzip to prove the sniff runs on
+    decoded content, not the compressed stream."""
+    import gzip
+
+    p = os.path.join(tmp_path, "zipped.csv.gz")
+    with gzip.open(p, "wb") as f:
+        f.write(NOT_UTF8)
+    res = ingest.upload_csv(spark, p, table="gz_encodings")
+    assert res.error is None
+    df = spark.table(res.table)
+    assert "Notional Cost (£)" in df.columns
+    assert res.types["Lat"] == "float"
+    assert df.count() == 3
