@@ -3907,6 +3907,60 @@ def export_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# embedding int8 quantization (ANN memory-scale path)
+# ====================================================================
+
+
+@q(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, label, vec,
+             list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    )
+    SELECT vec_id,
+           CAST(len(vec) AS INTEGER) AS n_dims,
+           ROUND(scale, 6) AS scale_r,
+           CAST(list_sum(list_transform(vec, x -> CAST(floor(x / scale + 0.5) AS BIGINT)))
+                AS BIGINT) AS q_sum,
+           ROUND(list_max(list_transform(vec,
+                 x -> abs(x - floor(x / scale + 0.5) * scale))), 6) AS max_abs_err
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization audit (operators/quantize.py):
+    per-vector scale, quantized checksum, and max reconstruction
+    error. Float32 inputs widen to double before any arithmetic so
+    both engines compute on identical values; floor(x/s + 0.5)
+    rounding is engine-independent (round() is not)."""
+    from datasette_upload_csvs_spark.operators.quantize import quantize_int8
+
+    e = load(spark, sf_dir, "embeddings")
+    qd = quantize_int8(e, "embedding", keep_cols=["vec_id", "embedding"])
+    vec = as_double_array(F.col("embedding"))
+    err = F.array_max(
+        F.transform(
+            vec, lambda x: F.abs(x - F.floor(x / F.col("scale") + 0.5) * F.col("scale"))
+        )
+    )
+    return qd.select(
+        "vec_id",
+        F.size("q").alias("n_dims"),
+        F.round("scale", 6).alias("scale_r"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.round(err, 6).alias("max_abs_err"),
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 
