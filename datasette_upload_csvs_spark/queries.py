@@ -3961,6 +3961,66 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# correlation / linear regression from exact component sums
+# ====================================================================
+
+
+@q(
+    "corr_regression_qty_price",
+    """
+    WITH sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_qp,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+             AS intercept
+    FROM sums
+    """,
+)
+def corr_regression_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + OLS slope/intercept per group. Native
+    corr()/regr_slope() accumulate doubles in partition order —
+    nondeterministic across engines AND across runs at scale. Instead:
+    five exact decimal component sums (order-independent), then the
+    closed-form arithmetic in double with identical expression shape
+    on both engines. This is the distributed-stats pattern that
+    scales: one partial-agg pass, O(groups) final math."""
+    l = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    sums = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        _dsum(x, "sx"),
+        _dsum(y, "sy"),
+        _dsum(x * x, "sxx"),
+        _dsum(y * y, "syy"),
+        _dsum(x * y, "sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_qp"),
+        F.round(cov_n / var_x, 6).alias("slope"),
+        F.round((sy - cov_n / var_x * sx) / n, 6).alias("intercept"),
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 
