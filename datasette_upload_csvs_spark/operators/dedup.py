@@ -289,6 +289,51 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return fp
 
 
+def simhash_portable(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash with a CONTENT-DEFINED bit source: md5's low 8 bytes
+    little-endian (the md5_number_lower convention), parsed byte-wise
+    from the hex digest. Fingerprints reproduce bit-for-bit on any
+    engine — the property that lets two systems agree on near-dup
+    verdicts without sharing code. Costs ~8 hex-parses per token vs
+    xxhash64's single JVM hash: use `simhash()` on the hot path,
+    this when fingerprints cross a system boundary."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("hhex", F.md5("tok"))
+    hbytes = [
+        F.conv(F.substring("hhex", 17 + 2 * j, 2), 16, 10).cast("int")
+        for j in range(8)
+    ]
+    contrib = tok.withColumn(
+        "bits",
+        F.array(
+            *[
+                F.when(
+                    F.shiftright(hbytes[i // 8], i % 8).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+                for i in range(64)
+            ]
+        ),
+    )
+    summed = contrib.groupBy(id_col).agg(
+        *[F.sum(F.col("bits")[i]).alias(f"s{i}") for i in range(64)]
+    )
+    return summed.select(
+        id_col,
+        sum(
+            [
+                F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for i in range(63)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash64"),
+    )
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -1496,6 +1496,42 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_SUMS = ",\n           ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(64)
+)
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(63)
+)
+
+
+@q(
+    "simhash_fingerprints_portable",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                        x -> x <> '')) AS tok
+      FROM documents WHERE doc_id < 200
+    ), h AS (
+      SELECT doc_id, md5_number_lower(tok) AS h FROM tok
+    ), s AS (
+      SELECT doc_id, {_SIMHASH_SUMS}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash64 FROM s
+    """,
+)
+def simhash_fingerprints_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined SimHash fingerprints (dedup.simhash_portable):
+    the md5-low-64 bit source makes the 64-bit fingerprint itself —
+    not just pair verdicts — reproducible cross-engine, so the oracle
+    recomputes it from SQL and hash-matches. (dedup_simhash keeps the
+    xxhash64 fast path for pair generation; this is the verifiable
+    twin.)"""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.simhash_portable(d)
+
+
 @q(
     "dedup_embedding_cosine",
     """
