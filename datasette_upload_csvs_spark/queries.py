@@ -4057,6 +4057,38 @@ def corr_regression_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# list/array aggregation (sorted collect — deterministic array_agg)
+# ====================================================================
+
+
+@q(
+    "array_agg_region_nations",
+    """
+    SELECT r_name,
+           list_sort(list(n_name)) AS nations,
+           COUNT(*) AS n_nations
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    """,
+)
+def array_agg_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_agg into a sorted list — collect_list's order is
+    partition-arrival order (nondeterministic under parallelism), so
+    a deterministic array aggregate MUST sort; both engines agree
+    once sorted."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 
