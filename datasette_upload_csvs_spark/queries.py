@@ -4089,6 +4089,84 @@ def array_agg_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# bigram PMI collocations (corpus-level association mining)
+# ====================================================================
+
+
+@q(
+    "bigram_pmi_collocations",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), uni AS (
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ), big AS (
+      SELECT w1, w2, COUNT(*) AS n_ab
+      FROM (SELECT t[i] AS w1, t[i+1] AS w2
+            FROM toks, UNNEST(range(1, len(t))) AS u(i))
+      GROUP BY w1, w2
+    ), tot AS (
+      SELECT (SELECT CAST(SUM(n) AS DOUBLE) FROM uni) AS n_uni,
+             (SELECT CAST(SUM(n_ab) AS DOUBLE) FROM big) AS n_big
+    )
+    SELECT w1, w2, n_ab,
+           ROUND(ln((n_ab / n_big) / ((a.n / n_uni) * (b.n / n_uni))), 6) AS pmi
+    FROM big JOIN uni a ON w1 = a.tok JOIN uni b ON w2 = b.tok, tot
+    WHERE n_ab >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over adjacent token pairs — the
+    collocation detector a corpus-curation pipeline runs to find
+    multiword units. Counts are exact integers; the single ln() at
+    the end is rounded at 6 (libm ulp drift is the only cross-engine
+    float hazard). Spark builds bigrams with slice+arrays_zip (no
+    positional self-join) and broadcasts the two O(vocabulary)
+    unigram tables into the bigram aggregate."""
+    from datasette_upload_csvs_spark.functions.text import tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(tokens(F.col("text")).alias("t")).filter(F.size("t") >= 2)
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 1)"),
+                F.expr("slice(t, 2, size(t) - 1)"),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+    tot = uni.agg(F.sum("n").cast("double").alias("n_uni")).crossJoin(
+        big.agg(F.sum("n_ab").cast("double").alias("n_big"))
+    )
+    a = uni.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a"))
+    b = uni.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b"))
+    pmi = F.log(
+        (F.col("n_ab") / F.col("n_big"))
+        / ((F.col("n_a") / F.col("n_uni")) * (F.col("n_b") / F.col("n_uni")))
+    )
+    return (
+        big.filter(F.col("n_ab") >= 5)
+        .join(F.broadcast(a), F.col("w1") == F.col("tok_a"))
+        .join(F.broadcast(b), F.col("w2") == F.col("tok_b"))
+        .join(F.broadcast(tot))
+        .select("w1", "w2", "n_ab", F.round(pmi, 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 
