@@ -4167,6 +4167,55 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# percent-of-total via unbounded window (ratio_to_report)
+# ====================================================================
+
+
+@q(
+    "revenue_share_by_nation",
+    """
+    WITH rev AS (
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE)
+               AS revenue
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, revenue,
+           ROUND(revenue / SUM(revenue) OVER (), 6) AS share
+    FROM rev
+    """,
+)
+def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ratio_to_report: per-group value over the grand total via an
+    unbounded window AFTER aggregation — the window runs over
+    O(groups) rows, not the fact table, so the 'global' window is
+    free at any scale. The total is a sum of exact-decimal-derived
+    doubles over a deterministic row set: order-independent enough
+    only because we round at 6 (the window sum itself is tiny-N)."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue", 6
+            )
+        )
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 

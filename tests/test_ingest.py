@@ -218,3 +218,13 @@ def test_gzip_csv_transparent_ingest(spark, tmp_path):
     assert "Notional Cost (£)" in df.columns
     assert res.types["Lat"] == "float"
     assert df.count() == 3
+
+
+def test_utf8_bom_stripped_from_header(spark, tmp_path):
+    """A UTF-8 BOM must not leak into the first column name (the
+    reference's codecs decode strips it; pin our parity)."""
+    path = write(tmp_path, "bom.csv", b"\xef\xbb\xbfname,age\nCleo,5\n")
+    res = ingest.upload_csv(spark, path, table="bom_pets")
+    assert res.error is None
+    assert spark.table(res.table).columns == ["name", "age"]
+    assert res.types == {"name": "text", "age": "integer"}
