@@ -4216,6 +4216,58 @@ def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# weekly cohort retention over the events stream
+# ====================================================================
+
+
+@q(
+    "events_weekly_retention",
+    """
+    WITH firstw AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cw
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT e.user_id, f.cw,
+             CAST(date_diff('day', f.cw,
+                            date_trunc('week', e.ts)) / 7 AS INTEGER) AS week_offset
+      FROM events e JOIN firstw f ON e.user_id = f.user_id
+    )
+    -- DuckDB's week-trunc yields DATE; Spark's yields TIMESTAMP — align
+    SELECT CAST(cw AS TIMESTAMP) AS cohort_week, week_offset, COUNT(*) AS n_users
+    FROM act GROUP BY cw, week_offset
+    """,
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted in
+    each later week they return. Both sides week-truncate to Monday
+    and measure the offset in exact days/7 (integer — no engine week-
+    boundary semantics involved). The first-seen aggregate is tiny
+    (O(users)) and broadcasts into the events scan: one shuffle for
+    firstw, one for the distinct, none for the join."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    firstw = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = (
+        e.join(F.broadcast(firstw), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 
