@@ -4268,6 +4268,55 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# running-peak drawdown (cumulative-extreme window over a series)
+# ====================================================================
+
+
+@q(
+    "daily_revenue_drawdown",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS rev
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY day
+    )
+    SELECT day, rev,
+           MAX(rev) OVER (ORDER BY day
+                          ROWS UNBOUNDED PRECEDING) AS peak,
+           ROUND((MAX(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) - rev)
+                 / MAX(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING),
+                 6) AS drawdown
+    FROM daily
+    """,
+)
+def daily_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-extreme window: running peak of the daily series and
+    relative drawdown from it. The series key (day) is unique, so the
+    ordered window is fully deterministic; rev is an exact decimal
+    sum, and MAX is order-independent — only the final ratio needs
+    the round-6 guard. One shuffle for the daily rollup; the window
+    sorts O(days) rows."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    daily = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(_dsum(F.col("o_totalprice"), "rev"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    peak = F.max("rev").over(w)
+    return daily.select(
+        "day",
+        "rev",
+        peak.alias("peak"),
+        F.round((peak - F.col("rev")) / peak, 6).alias("drawdown"),
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 
