@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datasette_upload_csvs_spark.operators import dedup, similarity, textstats
-from datasette_upload_csvs_spark.functions.text import SPLIT_RE, STOPWORDS, TOKEN_RE
+from datasette_upload_csvs_spark.functions.text import (
+    SPLIT_RE,
+    STOPWORDS,
+    TOKEN_RE,
+    tokens as _text_tokens,
+)
 from datasette_upload_csvs_spark.functions.vector import as_double_array
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -4313,6 +4318,139 @@ def daily_revenue_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev",
         peak.alias("peak"),
         F.round((peak - F.col("rev")) / peak, 6).alias("drawdown"),
+    )
+
+
+@q(
+    "argmax_priority_extreme_orders",
+    """
+    SELECT o_orderpriority,
+           max(struct_pack(p := o_totalprice, k := o_orderkey)).k AS top_orderkey,
+           max(struct_pack(p := o_totalprice, k := o_orderkey)).p AS top_totalprice,
+           min(struct_pack(p := o_totalprice, k := o_orderkey)).k AS bottom_orderkey,
+           min(struct_pack(p := o_totalprice, k := o_orderkey)).p AS bottom_totalprice
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def argmax_priority_extreme_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin via struct-ordered MAX/MIN (the max_by/arg_max
+    family, reference delegates to SQLite's bare MAX tiebreak).
+    Neither engine's arg_max accepts a composite ordering key, but
+    both order structs lexicographically by field position, so
+    MAX(struct(price, key)) is a deterministic argmax with the unique
+    key as tiebreak — and unlike a row_number window it keeps the
+    map-side partial aggregation (one shuffle of 5 groups, no sort)."""
+    o = load(spark, sf_dir, "orders")
+    s = F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.max(s).alias("mx"), F.min(s).alias("mn"))
+        .select(
+            "o_orderpriority",
+            F.col("mx.k").alias("top_orderkey"),
+            F.col("mx.p").alias("top_totalprice"),
+            F.col("mn.k").alias("bottom_orderkey"),
+            F.col("mn.p").alias("bottom_totalprice"),
+        )
+    )
+
+
+@q(
+    "token_entropy_by_lang",
+    f"""
+    WITH toks AS (
+      SELECT lang,
+             unnest(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ), c AS (
+      SELECT lang, word, COUNT(*) AS cnt FROM toks GROUP BY lang, word
+    ), t AS (
+      SELECT lang, cnt, SUM(cnt) OVER (PARTITION BY lang) AS tot FROM c
+    )
+    SELECT lang,
+           CAST(MAX(tot) AS BIGINT) AS n_tokens,
+           COUNT(*) AS vocab_size,
+           ROUND(CAST(-SUM(CAST(ROUND((cnt / tot) * ln(cnt / tot), 10)
+                                AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy
+    FROM t
+    GROUP BY lang
+    """,
+)
+def token_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the unigram distribution per language — a
+    corpus-diversity / quality signal for training-data curation.
+    Determinism: p = cnt/tot is exact-integer division to double
+    (identical IEEE op both engines), each p·ln p term is rounded to
+    10 digits BEFORE the sum, and the sum runs in decimal so
+    accumulation order can't matter; final round(6).
+    Scale: token explode is codegen'd; the (lang, word) pre-aggregate
+    does the heavy reduction map-side before the per-lang window."""
+    d = load(spark, sf_dir, "documents")
+    c = (
+        d.select("lang", F.explode(_text_tokens("text")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = F.sum("cnt").over(Window.partitionBy("lang"))
+    p = F.col("cnt") / F.col("tot")
+    term = F.round(p * F.log(p), 10).cast("decimal(28,12)")
+    return (
+        c.select("lang", "cnt", tot.alias("tot"))
+        .groupBy("lang")
+        .agg(
+            F.max("tot").alias("n_tokens"),
+            F.count("*").alias("vocab_size"),
+            F.round((-F.sum(term)).cast("double"), 6).alias("entropy"),
+        )
+    )
+
+
+@q(
+    "chisq_contingency_flag_status",
+    """
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS observed
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ), e AS (
+      SELECT l_returnflag, l_linestatus, observed,
+             CAST(SUM(observed) OVER (PARTITION BY l_returnflag) AS DOUBLE)
+             * CAST(SUM(observed) OVER (PARTITION BY l_linestatus) AS DOUBLE)
+             / CAST(SUM(observed) OVER () AS DOUBLE) AS expected
+      FROM c
+    )
+    SELECT l_returnflag, l_linestatus, observed,
+           ROUND(expected, 6) AS expected,
+           ROUND((observed - expected) * (observed - expected) / expected, 6)
+             AS chi2_contrib
+    FROM e
+    """,
+)
+def chisq_contingency_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency table of returnflag × linestatus:
+    observed count, independence-expected count, and per-cell χ²
+    contribution. Emitted per-cell (no cross-engine float total), and
+    every float op is the identical IEEE double sequence on both
+    sides: counts are exact, sums cast to double before the
+    multiply/divide. The window sums run over the ~6-row aggregate,
+    not the fact table — one shuffle, then driver-trivial windows."""
+    l = load(spark, sf_dir, "lineitem")
+    c = l.groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("observed"))
+    expected = (
+        F.sum("observed").over(Window.partitionBy("l_returnflag")).cast("double")
+        * F.sum("observed").over(Window.partitionBy("l_linestatus")).cast("double")
+        / F.sum("observed").over(Window.partitionBy()).cast("double")
+    )
+    return c.select(
+        "l_returnflag",
+        "l_linestatus",
+        "observed",
+        F.round(expected, 6).alias("expected"),
+        F.round(
+            (F.col("observed") - expected) * (F.col("observed") - expected) / expected,
+            6,
+        ).alias("chi2_contrib"),
     )
 
 
