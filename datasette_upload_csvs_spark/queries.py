@@ -4454,6 +4454,101 @@ def chisq_contingency_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@q(
+    "means_family_price",
+    """
+    SELECT l_returnflag,
+           ROUND(EXP(CAST(SUM(CAST(ROUND(LN(l_extendedprice), 10)
+                                   AS DECIMAL(28,12))) AS DOUBLE)
+                     / COUNT(*)), 4) AS geo_mean,
+           ROUND(COUNT(*) / CAST(SUM(CAST(ROUND(CAST(1.0 AS DOUBLE) / l_extendedprice, 18)
+                                          AS DECIMAL(38,20))) AS DOUBLE), 6) AS harm_mean,
+           ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(28,4))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE), 6) AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def means_family_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pythagorean-means family the engines lack as builtins, from
+    their algebraic decompositions: geometric = exp(mean(ln x)),
+    harmonic = n / sum(1/x), weighted = sum(x·w)/sum(w). Each per-row
+    float op (ln, reciprocal, product) is an identical IEEE double op
+    on both engines; rounding each term before an exact decimal sum
+    makes accumulation order irrelevant, so the whole thing stays a
+    single map-side-combining hash aggregate — one 4-group shuffle,
+    no sort, scales linearly with the fact table."""
+    l = load(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    ln_term = F.round(F.log(x), 10).cast("decimal(28,12)")
+    inv_term = F.round(F.lit(1.0) / x, 18).cast("decimal(38,20)")
+    n = F.count(F.lit(1))
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.exp(F.sum(ln_term).cast("double") / n), 4).alias("geo_mean"),
+        F.round(n / F.sum(inv_term).cast("double"), 6).alias("harm_mean"),
+        F.round(
+            F.sum((x * F.col("l_quantity")).cast("decimal(28,4)")).cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(28,4)")).cast("double"),
+            6,
+        ).alias("wavg_price"),
+    )
+
+
+@q(
+    "interval_overlap_concurrency",
+    """
+    WITH ep AS (
+      SELECT event_type, ts AS t, 1 AS delta, event_id FROM events
+      UNION ALL
+      SELECT event_type,
+             ts + to_seconds(CAST(floor(value * 60) AS BIGINT)) AS t,
+             -1 AS delta, event_id
+      FROM events
+    ), r AS (
+      SELECT event_type, delta,
+             SUM(delta) OVER (PARTITION BY event_type
+                              ORDER BY t, delta, event_id
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM ep
+    )
+    SELECT event_type,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+           CAST(COUNT(*) FILTER (WHERE delta = 1) AS BIGINT) AS n_intervals
+    FROM r
+    GROUP BY event_type
+    """,
+)
+def interval_overlap_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval-overlap: treat each event as a session of
+    `value` minutes and compute the peak number of simultaneously
+    open sessions per event type (+1 at start, -1 at end, running
+    sum). Duration is floor(value*60) whole seconds — floor because
+    double→int CASTs round in DuckDB but truncate in Spark; the
+    running sum is over a UNIQUE order (t, delta, end-before-start at
+    ties, event_id) so tied endpoints resolve identically. The sort
+    is per-event-type and parallel across types; at 100 TB you'd
+    pre-partition by a (type, day) composite and merge day-boundary
+    carryover, but the shape stays one shuffle + one sort."""
+    e = load(spark, sf_dir, "events")
+    end_t = F.expr("timestampadd(SECOND, CAST(floor(value * 60) AS BIGINT), ts)")
+    starts = e.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = e.select("event_type", end_t.alias("t"), F.lit(-1).alias("delta"), "event_id")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = starts.unionAll(ends).select(
+        "event_type", "delta", F.sum("delta").over(w).alias("conc")
+    )
+    return r.groupBy("event_type").agg(
+        F.max("conc").alias("max_concurrent"),
+        F.count(F.when(F.col("delta") == 1, 1)).alias("n_intervals"),
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
