@@ -4549,6 +4549,111 @@ def interval_overlap_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "order_streak_islands",
+    """
+    WITH m AS (
+      SELECT DISTINCT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS mo
+      FROM orders
+    ), g AS (
+      SELECT o_custkey,
+             mo - DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY mo) AS grp
+      FROM m
+    ), islands AS (
+      SELECT o_custkey, grp, COUNT(*) AS streak FROM g GROUP BY o_custkey, grp
+    ), best AS (
+      SELECT o_custkey, MAX(streak) AS best_streak FROM islands GROUP BY o_custkey
+    )
+    SELECT CAST(best_streak AS BIGINT) AS streak_months,
+           COUNT(*) AS n_customers
+    FROM best
+    GROUP BY best_streak
+    """,
+)
+def order_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of consecutive active months per
+    customer (month_index − dense_rank is constant within an island),
+    then the distribution of best streaks. Pure integer arithmetic —
+    no float determinism concerns. All four stages key on o_custkey
+    (the DISTINCT, the rank window, and both island aggs), so
+    Catalyst reuses ONE hash partitioning for them; only the final
+    tiny distribution agg re-shuffles."""
+    o = load(spark, sf_dir, "orders")
+    m = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("mo"),
+    ).distinct()
+    grp = F.col("mo") - F.dense_rank().over(
+        Window.partitionBy("o_custkey").orderBy("mo")
+    )
+    islands = (
+        m.select("o_custkey", grp.alias("grp"))
+        .groupBy("o_custkey", "grp")
+        .agg(F.count("*").alias("streak"))
+    )
+    best = islands.groupBy("o_custkey").agg(F.max("streak").alias("best_streak"))
+    return best.groupBy(F.col("best_streak").alias("streak_months")).agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+@q(
+    "rfm_customer_segments",
+    """
+    WITH agg AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS monetary
+      FROM orders
+      GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey,
+             NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+             NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+             NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM agg
+    )
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_customers
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quartiles via
+    NTILE, then segment sizes. Each NTILE orders by a unique
+    (metric, custkey) pair so bucket boundaries are identical across
+    engines; monetary goes through the exact-decimal sum. The three
+    global NTILEs are the scale hazard (single-partition sort) — at
+    100 TB you'd swap them for percentile-bound lookups
+    (approx quantiles broadcast back, as operators/skew.py does);
+    here they run over the already-aggregated per-customer frame,
+    1/40th of the fact rows."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        _dsum(F.col("o_totalprice"), "monetary"),
+    )
+    scored = agg.select(
+        F.ntile(4)
+        .over(Window.orderBy(F.col("last_order").desc(), F.col("o_custkey")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("freq").desc(), F.col("o_custkey")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), F.col("o_custkey")))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
