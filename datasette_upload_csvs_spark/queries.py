@@ -4654,6 +4654,83 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "basket_brand_lift",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), bc AS (
+      SELECT p_brand, COUNT(*) AS cnt FROM ob GROUP BY p_brand
+    ), n AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob
+    ), pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             COUNT(*) AS pair_orders
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT brand_a, brand_b, pair_orders,
+           ROUND(CAST(pair_orders AS DOUBLE) * CAST(n_orders AS DOUBLE)
+                 / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)), 6) AS lift
+    FROM pairs CROSS JOIN n
+    JOIN bc ca ON ca.p_brand = brand_a
+    JOIN bc cb ON cb.p_brand = brand_b
+    """,
+)
+def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: for every brand pair, how
+    many orders contain both, and the lift P(a,b)/(P(a)·P(b)) over
+    independence. Lift is computed from exact integer counts through
+    one identical double expression (round 6), so no float-sum
+    drift. Scale shape: the (order, brand) distinct and the
+    self-join share the same l_orderkey hash partitioning — the pair
+    explosion happens within co-located partitions and only the
+    ≤brand² pair aggregate crosses the wire; brand marginals and the
+    1-row total broadcast back onto it."""
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    bc = ob.groupBy("p_brand").agg(F.count("*").alias("cnt"))
+    n = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("pair_orders"))
+    )
+    ca = bc.select(F.col("p_brand").alias("ba"), F.col("cnt").alias("cnt_a"))
+    cb = bc.select(F.col("p_brand").alias("bb"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .join(F.broadcast(ca), F.col("brand_a") == F.col("ba"))
+        .join(F.broadcast(cb), F.col("brand_b") == F.col("bb"))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_orders",
+            F.round(
+                F.col("pair_orders").cast("double")
+                * F.col("n_orders").cast("double")
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
