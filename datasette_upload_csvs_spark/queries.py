@@ -4731,6 +4731,73 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "pareto_abc_customers",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS rev
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT o_custkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(rev) OVER () AS total
+      FROM rev
+    ), classed AS (
+      SELECT CASE WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8
+                  THEN 'A'
+                  WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95
+                  THEN 'B' ELSE 'C' END AS abc_class,
+             rev, total
+      FROM ranked
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(total) AS DOUBLE), 6)
+             AS revenue_share
+    FROM classed
+    GROUP BY abc_class
+    """,
+)
+def pareto_abc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification: rank customers by revenue, running
+    decimal cumsum over a UNIQUE (rev desc, custkey) order, class A/B/C
+    at 80%/95% of total. The cumsum stays in exact decimal so the
+    classification boundary is order-stable; only the final share
+    ratio goes through (identical) double division. The global
+    ordered window is the scale hazard — it runs over the per-customer
+    aggregate (40× smaller than orders); at 100 TB you'd range-
+    partition by rev and seed each partition with the preceding
+    partitions' decimal subtotals."""
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)")).alias("rev")
+    )
+    wcum = Window.orderBy(F.col("rev").desc(), F.col("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = rev.select(
+        "rev",
+        F.sum("rev").over(wcum).alias("cum"),
+        F.sum("rev").over(Window.partitionBy()).alias("total"),
+    )
+    ratio = F.col("cum").cast("double") / F.col("total").cast("double")
+    classed = ranked.select(
+        F.when(ratio <= 0.8, "A").when(ratio <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+        "rev",
+        "total",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").alias("n_customers"),
+        F.round(
+            F.sum("rev").cast("double") / F.max("total").cast("double"), 6
+        ).alias("revenue_share"),
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
