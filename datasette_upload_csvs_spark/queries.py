@@ -4798,6 +4798,58 @@ def pareto_abc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "event_type_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), c AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS transitions
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, transitions,
+           ROUND(CAST(transitions AS DOUBLE)
+                 / CAST(SUM(transitions) OVER (PARTITION BY prev_type)
+                        AS DOUBLE), 6) AS prob
+    FROM c
+    """,
+)
+def event_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event streams:
+    count and row-normalized probability of each type→type step.
+    The LAG order is unique per user ((ts, event_id) tiebreak), counts
+    are exact integers, and the normalizing window runs over the
+    ~|types|² aggregate, not the event stream. One shuffle on user_id
+    for the sequence window, one for the tiny pair aggregate — the
+    per-user ordering is exactly the partitioning a sessionized event
+    store would already have."""
+    e = load(spark, sf_dir, "events")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    c = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("transitions"))
+    )
+    row_tot = F.sum("transitions").over(Window.partitionBy("prev_type"))
+    return c.select(
+        "prev_type",
+        "next_type",
+        "transitions",
+        F.round(
+            F.col("transitions").cast("double") / row_tot.cast("double"), 6
+        ).alias("prob"),
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
