@@ -4850,6 +4850,66 @@ def event_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "moments_skew_kurtosis",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+                           AS DECIMAL(28,4))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                           AS DECIMAL(28,4))) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / POWER(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skew_pop,
+           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n))
+                    * (s2 / n - (s1 / n) * (s1 / n))) - 3, 6) AS kurt_excess
+    FROM s
+    """,
+)
+def moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis from exact raw-moment
+    sums — the same exact-component-sum trick corr_regression uses,
+    closing the gap stats_dispersion documents (built-in one-pass
+    skewness/kurtosis can't hash-match across engines). l_quantity is
+    integer-valued ≤50, so x…x⁴ are exact in DECIMAL(28,4); the
+    moment combination is one identical double expression both sides.
+    Still a single map-side-combining hash aggregate: four sums ride
+    the same one-exchange plan as any groupBy."""
+    l = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    agg = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(28,4)")).cast("double").alias("s1"),
+        F.sum((x * x).cast("decimal(28,4)")).cast("double").alias("s2"),
+        F.sum((x * x * x).cast("decimal(28,4)")).cast("double").alias("s3"),
+        F.sum((x * x * x * x).cast("decimal(28,4)")).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1") / n
+    m2 = F.col("s2") / n
+    m3 = F.col("s3") / n
+    m4 = F.col("s4") / n
+    var_pop = m2 - m1 * m1
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var_pop, 1.5)
+    kurt = (
+        m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1
+    ) / (var_pop * var_pop) - 3
+    return agg.select(
+        "l_returnflag",
+        F.round(skew, 6).alias("skew_pop"),
+        F.round(kurt, 6).alias("kurt_excess"),
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
