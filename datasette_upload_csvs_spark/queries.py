@@ -4910,6 +4910,66 @@ def moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "supplier_concentration_hhi",
+    """
+    WITH sup AS (
+      SELECT s_nationkey, s_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS rev
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey, s_suppkey
+    ), sh AS (
+      SELECT s_nationkey,
+             CAST(rev AS DOUBLE)
+             / CAST(SUM(rev) OVER (PARTITION BY s_nationkey) AS DOUBLE) AS share
+      FROM sup
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(CAST(SUM(CAST(ROUND(share * share, 10) AS DECIMAL(28,12)))
+                      AS DOUBLE), 6) AS hhi
+    FROM sh JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue within
+    each nation — a skew diagnostic (HHI near 1/n = even load, near 1
+    = one hot supplier; the same signal that decides when a join key
+    needs salting). Revenue shares come from exact decimal sums, each
+    share² is rounded to 10 digits before an exact decimal sum, so
+    accumulation order is irrelevant. Supplier and nation dims
+    broadcast; the only real exchange is the (nation, supplier)
+    revenue rollup."""
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sup = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(28,6)"
+                )
+            ).alias("rev")
+        )
+    )
+    share = F.col("rev").cast("double") / F.sum("rev").over(
+        Window.partitionBy("s_nationkey")
+    ).cast("double")
+    term = F.round(share * share, 10).cast("decimal(28,12)")
+    return (
+        sup.select("s_nationkey", term.alias("term"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("term").cast("double"), 6).alias("hhi"),
+        )
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
