@@ -4970,6 +4970,46 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "attribution_first_last_touch",
+    """
+    WITH u AS (
+      SELECT user_id,
+             min(struct_pack(t := ts, e := event_id, y := event_type)).y
+               AS first_touch,
+             max(struct_pack(t := ts, e := event_id, y := event_type)).y
+               AS last_touch
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT first_touch, last_touch, COUNT(*) AS n_users
+    FROM u
+    GROUP BY first_touch, last_touch
+    """,
+)
+def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch/last-touch attribution: the event type that opened
+    and closed each user's journey, then the user count per
+    (first, last) combination. Struct-ordered MIN/MAX on the unique
+    (ts, event_id) prefix replaces a per-user sort window — it keeps
+    map-side partial aggregation, so the user rollup is one exchange
+    of partial states rather than a full event-stream sort, exactly
+    what you want when one user's history spans many input splits."""
+    e = load(spark, sf_dir, "events")
+    s = F.struct(
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("e"),
+        F.col("event_type").alias("y"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.min(s).getField("y").alias("first_touch"),
+        F.max(s).getField("y").alias("last_touch"),
+    )
+    return u.groupBy("first_touch", "last_touch").agg(
+        F.count("*").alias("n_users")
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
