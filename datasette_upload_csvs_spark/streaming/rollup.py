@@ -33,17 +33,26 @@ def merge_rollup(
     spark: SparkSession, state: DataFrame, table: str, keys: list[str]
 ) -> None:
     """Combine a batch's partial state into the stored rollup: union
-    with the existing states and re-aggregate (additive merge)."""
+    with the existing states and re-aggregate (additive merge).
+
+    The merge stays entirely executor-side: the merged frame is
+    written to a staging table (reading the current rollup while
+    writing a *different* table breaks the read-then-overwrite
+    cycle without materializing on the driver), then swapped in via
+    DROP + RENAME. This keeps high-cardinality rollup keys (e.g.
+    per-user, 100M groups at corpus scale) distributed — no
+    O(groups) driver allocation ever happens.
+    """
     if spark.catalog.tableExists(table):
         state = spark.table(table).unionByName(state)
     merged = state.groupBy(*keys).agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("sum_state").alias("sum_state"),
     )
-    # rollups are O(groups): materialize driver-side once to break the
-    # read-then-overwrite cycle on the same table, then rewrite.
-    out = spark.createDataFrame(merged.collect(), merged.schema)
-    out.write.mode("overwrite").saveAsTable(table)
+    stage = f"{table}__stage"
+    merged.write.mode("overwrite").saveAsTable(stage)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
 
 
 def maintain_rollup_stream(

@@ -14,6 +14,48 @@ from datasette_upload_csvs_spark.streaming.rollup import (
 )
 
 
+def _split_arrivals(full, tmp_path, src, n=3):
+    for i in range(n):
+        part = full.filter(F.pmod("o_orderkey", F.lit(n)) == i)
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"p{i}"))
+        name = [
+            f for f in os.listdir(tmp_path / f"p{i}") if f.endswith(".parquet")
+        ][0]
+        shutil.copy(tmp_path / f"p{i}" / name, os.path.join(src, f"arrival_{i}.parquet"))
+
+
+def test_incremental_rollup_high_cardinality(spark, sf_dir, tmp_path):
+    """Rollup keyed per-orderkey (one group per input row): the merge
+    must stay executor-side — no driver collect of O(groups) rows —
+    and still equal the batch aggregate."""
+    src = str(tmp_path / "orders_hc")
+    os.makedirs(src)
+    full = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    _split_arrivals(full, tmp_path, src)
+
+    table = "rollup_orders_hc"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    n_batches = maintain_rollup_stream(
+        spark,
+        src,
+        "o_orderkey bigint, o_totalprice double",
+        table,
+        keys=["o_orderkey"],
+        sum_col="o_totalprice",
+    )
+    assert n_batches == 3
+    rolled = read_rollup(spark, table)
+    assert rolled.count() == full.count()  # one group per order, all kept
+    got = {
+        (r["o_orderkey"], r["n_rows"], round(r["sum_value"], 4))
+        for r in rolled.collect()
+    }
+    want = {
+        (r["o_orderkey"], 1, round(r["o_totalprice"], 4)) for r in full.collect()
+    }
+    assert got == want
+
+
 def test_incremental_rollup_equals_batch(spark, sf_dir, tmp_path):
     src = str(tmp_path / "orders_stream")
     os.makedirs(src)
