@@ -77,18 +77,68 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
     Plan shape (scale rationale): explode to (doc, shingle), shuffle
     once on shingle, join within shingle buckets, then aggregate pair
-    counts. Cost is Σ bucket² over shingle buckets — near-linear for
-    natural text where few shingles are extremely common. A frequency
-    cap on pathological shingles (stop-shingles) can be added with one
-    filter on a count; omitted here because the join key distribution
-    is the data's own shingle frequency.
+    counts. Cost is Σ bucket² over shingle buckets.
+
+    `max_df` is the scale guard: a stop-shingle (boilerplate phrase
+    present in df documents) creates an O(df²) bucket in the
+    self-join — at corpus scale a single hot shingle can dominate
+    the whole job. With `max_df` set, candidate generation drops
+    shingles with document frequency > max_df (the classic
+    frequent-item cut), then every surviving candidate pair is
+    verified with EXACT Jaccard over the FULL shingle sets
+    (array_intersect) — so emitted similarities are never
+    approximate; only pairs whose entire overlap is stop-shingles
+    can be missed, and those are the pairs whose similarity is
+    boilerplate, not content. max_df=None keeps the exact
+    single-pass count (small/trusted corpora, oracle baseline).
     """
     sh = doc_shingles(docs, text_col, id_col, n)
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        rare = sh.join(
+            dfreq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+        )
+        a = rare.alias("a")
+        b = rare.alias("b")
+        cand = (
+            a.join(b, on="shingle")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        sets = docs.select(
+            F.col(id_col), shingles(F.col(text_col), n).alias("sh")
+        )
+        sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        shared = F.size(F.array_intersect("sh_a", "sh_b"))
+        return (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                shared.cast("long").alias("shared"),
+                F.size("sh_a").cast("long").alias("n_a"),
+                F.size("sh_b").cast("long").alias("n_b"),
+            )
+            .withColumn(
+                "jaccard",
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+        )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -1494,6 +1494,52 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CAPPED_JACCARD_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)
+    ), dfreq AS (
+      SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+    ), rare AS (
+      SELECT s.doc_id, s.shingle
+      FROM sh s JOIN dfreq d ON s.shingle = d.shingle
+      WHERE d.df <= {max_df}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS shared
+      FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                  JOIN sh b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared, sa.n AS n_a, sb.n AS n_b,
+           CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) AS jaccard
+    FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+               JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= {thr}
+"""
+
+
+@q("dedup_ngram_jaccard_capped", _CAPPED_JACCARD_ORACLE.format(max_df=20, thr="0.3"))
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-shaped variant of dedup_ngram_jaccard: shingles with
+    document frequency > 20 are dropped from CANDIDATE GENERATION
+    (frequent-item cut, kills the O(df²) hot-shingle bucket), then
+    candidates are verified with exact Jaccard over the full shingle
+    sets. The oracle SQL implements the identical cap, so this path
+    is hash-checked end-to-end, not approximated."""
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.3, max_df=20
+    )
+
+
 @q("dedup_simhash")  # no SQL oracle: engine-specific 64-bit hashing
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(

@@ -84,3 +84,35 @@ def test_salted_join_equals_plain(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_shingle_df_cap_kills_hot_shingle(spark):
+    """A boilerplate shingle in 50% of docs must not produce O(df²)
+    candidate pairs when max_df is set; pairs that DO survive keep
+    exact Jaccard values (verification runs over full shingle sets)."""
+    from datasette_upload_csvs_spark.operators import dedup
+
+    rows = []
+    # 30 docs share one boilerplate 3-gram, otherwise pairwise-unique
+    for i in range(30):
+        rows.append((i, f"u{i}a u{i}b lorem ipsum dolor u{i}c u{i}d"))
+    # 3 planted near-dup pairs with no boilerplate, 10 shared tokens
+    for j in range(3):
+        base = " ".join(f"p{j}w{k}" for k in range(10))
+        rows.append((100 + 2 * j, base + " extraone"))
+        rows.append((101 + 2 * j, base + " extratwo"))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.0, max_df=10).collect()
+
+    # without the cap the hot shingle makes 30*29/2 = 435 boilerplate pairs
+    assert len(uncapped) >= 435
+    # with the cap only content-similar pairs survive (linear, not df²)
+    assert len(capped) < 20
+    planted = {(r["id_a"], r["id_b"]) for r in capped if r["id_a"] >= 100}
+    assert planted == {(100, 101), (102, 103), (104, 105)}
+    # exactness: surviving pairs carry identical jaccard to the uncapped run
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in uncapped}
+    for r in capped:
+        assert abs(exact[(r["id_a"], r["id_b"])] - r["jaccard"]) < 1e-12
