@@ -324,19 +324,24 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     summed = contrib.groupBy(id_col).agg(
         *[F.sum(F.col("bits")[i]).alias(f"s{i}") for i in range(64)]
     )
-    fp = summed.select(
-        id_col,
-        sum(
-            [
-                F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-                for i in range(63)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash64"),
+    return summed.select(id_col, _fingerprint_from_sums().alias("simhash64"))
+
+
+def _fingerprint_from_sums():
+    """64-bit fingerprint from the per-bit sign sums s0..s63. Bit 63
+    can't be expressed as a positive literal (1<<63 overflows signed
+    long); in two's complement, setting it means adding -(2^63)."""
+    return sum(
+        [
+            F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for i in range(63)
+        ],
+        F.when(F.col("s63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
     )
-    return fp
 
 
 def simhash_portable(
@@ -370,18 +375,7 @@ def simhash_portable(
     summed = contrib.groupBy(id_col).agg(
         *[F.sum(F.col("bits")[i]).alias(f"s{i}") for i in range(64)]
     )
-    return summed.select(
-        id_col,
-        sum(
-            [
-                F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-                for i in range(63)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash64"),
-    )
+    return summed.select(id_col, _fingerprint_from_sums().alias("simhash64"))
 
 
 def simhash_near_dup_pairs(
@@ -389,14 +383,23 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Pairs within Hamming distance k, bucketed by 16-bit chunks.
 
     Pigeonhole: distance ≤ 3 ⇒ at least one of the 4 16-bit chunks is
     identical — join on (chunk_idx, chunk_value), then verify exact
     Hamming distance with bit_count(xor). Same shuffle shape as LSH.
+    For max_hamming > 3 the 4-chunk bucketing is deliberately
+    recall-lossy (a pair can differ in all 4 chunks); the oracle for
+    the portable path replicates the bucketing, so the semantics are
+    pinned, not approximated.
+
+    portable=True derives bits from md5 (cross-engine reproducible,
+    oracle-checkable); False keeps the xxhash64 fast path for
+    engine-internal dedup passes.
     """
-    fp = simhash(docs, text_col, id_col)
+    fp = (simhash_portable if portable else simhash)(docs, text_col, id_col)
     chunks = fp.select(
         F.col(id_col),
         F.col("simhash64"),

@@ -1540,20 +1540,13 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("dedup_simhash")  # no SQL oracle: engine-specific 64-bit hashing
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_dup_pairs(
-        load(spark, sf_dir, "documents"), max_hamming=8
-    )
-
-
 _SIMHASH_SUMS = ",\n           ".join(
     f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
     for i in range(64)
 )
 _SIMHASH_FP = " + ".join(
     f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(63)
-)
+) + f" + (CASE WHEN s63 > 0 THEN {-(1 << 63)} ELSE 0 END)"
 
 
 @q(
@@ -1581,6 +1574,45 @@ def simhash_fingerprints_portable(spark: SparkSession, sf_dir: str) -> DataFrame
     twin.)"""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return dedup.simhash_portable(d)
+
+
+@q(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                        x -> x <> '')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id, md5_number_lower(tok) AS h FROM tok
+    ), s AS (
+      SELECT doc_id, {_SIMHASH_SUMS}
+      FROM h GROUP BY doc_id
+    ), fp AS (
+      SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash64 FROM s
+    ), chunks AS (
+      SELECT doc_id, simhash64, i AS chunk,
+             (simhash64 >> (16 * i)) & 65535 AS val
+      FROM fp, UNNEST(range(0, 4)) AS u(i)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash64, b.simhash64)) AS INTEGER) AS hamming
+    FROM chunks a
+    JOIN chunks b ON a.chunk = b.chunk AND a.val = b.val
+                 AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 8
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on the PORTABLE (md5 bit-source)
+    fingerprint so the DuckDB oracle reproduces fingerprints — and
+    therefore pair verdicts — bit-for-bit. The xxhash64 fast path
+    stays available as dedup.simhash_near_dup_pairs(portable=False)
+    for engine-internal passes where cross-system reproducibility
+    isn't needed (bench-only; not oracle-checkable by design)."""
+    return dedup.simhash_near_dup_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=8, portable=True
+    )
 
 
 @q(
