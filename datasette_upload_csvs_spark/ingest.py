@@ -133,20 +133,27 @@ def read_csv_all_strings(
     encoding: str | None = None,
     delimiter: str = ",",
     quote: str = '"',
+    multiline: bool = False,
 ) -> DataFrame:
     """Header-ed CSV scan with every column as string.
 
     PERMISSIVE mode gives the reference's ragged-row semantics
     (dict(zip(headers, row)), __init__.py:180): short rows null-pad,
-    extra cells drop. multiLine handles quoted newlines like Python's
-    csv module does. Dialect defaults = csv.excel (the reference's
+    extra cells drop. Dialect defaults = csv.excel (the reference's
     parser); delimiter/quote are overridable for TSV-style files.
+
+    multiline=False is the scale default: a multiLine CSV scan is
+    NOT splittable in Spark (one partition per file), so a single
+    large upload would ingest on one core. upload_csv sniffs the
+    file head and opts in automatically when quoted newlines are
+    actually present — only those files pay the per-file
+    parallelism cap.
     """
     reader = (
         spark.read.option("header", True)
         .option("inferSchema", False)
         .option("mode", "PERMISSIVE")
-        .option("multiLine", True)
+        .option("multiLine", multiline)
         .option("sep", delimiter)
         .option("quote", quote)
         .option("escape", quote)  # csv.excel dialect: doublequote escaping
@@ -154,6 +161,52 @@ def read_csv_all_strings(
     if encoding:
         reader = reader.option("encoding", encoding)
     return reader.csv(path)
+
+
+def sniff_multiline(
+    path: str,
+    encoding: str,
+    sniff_bytes: int = SNIFF_BYTES_DEFAULT,
+    delimiter: str = ",",
+    quote: str = '"',
+) -> bool:
+    """True if the file head contains a quoted embedded newline —
+    the one CSV feature that forces Spark's non-splittable multiLine
+    scan. Driver-side over the same head bytes as the encoding
+    sniff; a quoted newline appearing only after the sniff window
+    degrades like the reference's post-2MB encoding drift
+    (documented approximation, tests pin the 2MB behavior).
+    """
+    import csv as _csv
+    import io
+
+    # utf-16/32: Hadoop's byte-oriented line splitter can't split
+    # multi-byte-unit charsets safely — whole-file decode required.
+    if encoding.startswith(("utf-16", "utf-32")):
+        return True
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if not f.startswith(("_", "."))
+        )
+        if not parts:
+            return False
+        path = os.path.join(path, parts[0])
+    head = _head_bytes(path, sniff_bytes)
+    text = head.decode("iso-8859-1" if encoding == "latin-1" else encoding,
+                       errors="replace")
+    # drop the possibly mid-record tail of the sniff window
+    cut = text.rfind("\n")
+    if cut > 0:
+        text = text[: cut + 1]
+    try:
+        for row in _csv.reader(
+            io.StringIO(text), delimiter=delimiter, quotechar=quote
+        ):
+            if any("\n" in f or "\r" in f for f in row):
+                return True
+    except _csv.Error:
+        return True  # unparseable head: take the semantically-safe path
+    return False
 
 
 def _head_bytes(path: str, n: int) -> bytes:
@@ -217,16 +270,23 @@ def infer_column_types(df: DataFrame) -> dict[str, str]:
     One exact full-scan aggregation (not a sample): per column two
     booleans — "saw a value that is not integer-shaped" and "saw a
     value that does not cast to double". Empty strings count as null
-    (TypeTracker skips None/'' — sqlite-utils public behavior).
-    All-null columns stay text. No date/bool inference, matching the
-    reference's test contract ('01/01/2009 03:01' stays text,
-    reference tests :54-82).
+    (TypeTracker skips None/'' — sqlite-utils public behavior), but
+    whitespace-only cells count as PRESENT and type the column text
+    (int(' ')/float(' ') both raise in the reference's tracker).
+    Integer-shaped values outside int64 range demote to float/text
+    instead of silently nulling under a bigint cast (the reference
+    surfaces sqlite3's OverflowError; silent data loss is worse than
+    either). All-null columns stay text. No date/bool inference,
+    matching the reference's test contract ('01/01/2009 03:01' stays
+    text, reference tests :54-82).
     """
     aggs = []
     for c in df.columns:
         v = F.trim(F.col(c))
-        present = F.col(c).isNotNull() & (v != "")
-        not_int = present & ~v.rlike(_INT_RE)
+        present = F.col(c).isNotNull() & (F.col(c) != "")
+        not_int = present & (
+            ~v.rlike(_INT_RE) | v.try_cast("bigint").isNull()
+        )
         not_float = present & v.try_cast("double").isNull()
         any_present = F.max(present.cast("int"))
         aggs.append(F.max(not_int.cast("int")).alias(f"{c}ni"))
@@ -321,11 +381,15 @@ def upload_csv(
     sniff_bytes: int = SNIFF_BYTES_DEFAULT,
     task_id: str | None = None,
     delimiter: str = ",",
+    multiline: bool | None = None,
 ) -> IngestResult:
     """Ingest a CSV file into a typed managed table.
 
     The reference's full EP1 pipeline (SURVEY.md §3) as a synchronous
     call; `upload_csv_async` gives the detached-task shape.
+    multiline=None sniffs the file head and enables Spark's
+    (non-splittable) multiLine scan only when quoted newlines are
+    actually present; pass True/False to force.
     """
     task_id = task_id or str(uuid.uuid4())
     logical = table if table is not None else cat.derive_table_name(os.path.basename(path))
@@ -374,7 +438,13 @@ def upload_csv(
 
     try:
         encoding = detect_encoding(path, sniff_bytes)
-        raw = read_csv_all_strings(spark, path, encoding, delimiter=delimiter)
+        if multiline is None:
+            multiline = sniff_multiline(
+                path, encoding, sniff_bytes, delimiter
+            )
+        raw = read_csv_all_strings(
+            spark, path, encoding, delimiter=delimiter, multiline=multiline
+        )
         raw = dedup_header_columns(
             raw, _read_header_row(path, encoding, delimiter)
         )
@@ -436,7 +506,10 @@ def upload_csv(
                 bytes_done=0,
                 rows_done=0,
                 started=started,
-                completed=_utcnow_str(),
+                # reference leaves completed NULL on failure: error is
+                # the sole failure marker, completed-is-set the sole
+                # success signal for pollers (__init__.py:224-228)
+                completed=None,
                 error=str(ex),
                 seq=1,
             ),
@@ -475,7 +548,12 @@ def append_csv(
         return upload_csv(spark, path, table=table, sniff_bytes=sniff_bytes)
 
     encoding = detect_encoding(path, sniff_bytes)
-    raw = read_csv_all_strings(spark, path, encoding)
+    raw = read_csv_all_strings(
+        spark,
+        path,
+        encoding,
+        multiline=sniff_multiline(path, encoding, sniff_bytes),
+    )
     types = infer_column_types(raw)
     typed = apply_types(raw, types)
     existing = spark.table(table)

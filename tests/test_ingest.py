@@ -228,3 +228,64 @@ def test_utf8_bom_stripped_from_header(spark, tmp_path):
     assert res.error is None
     assert spark.table(res.table).columns == ["name", "age"]
     assert res.types == {"name": "text", "age": "integer"}
+
+
+def test_int64_overflow_demotes_to_float(spark, tmp_path):
+    # integer-shaped but beyond int64: must NOT silently null under a
+    # bigint cast — demote the column (reference surfaces OverflowError)
+    data = b"n,big\n1,99999999999999999999999\n2,5\n"
+    path = write(tmp_path, "overflow.csv", data)
+    res = ingest.upload_csv(spark, path)
+    assert res.error is None
+    assert res.types == {"n": "integer", "big": "float"}
+    vals = {r["big"] for r in spark.table(res.table).collect()}
+    assert None not in vals and 1e23 in vals
+
+
+def test_whitespace_only_cell_forces_text(spark, tmp_path):
+    # TypeTracker evaluates ' ' (int/float both raise) -> column text;
+    # the whitespace cell is preserved, not nulled
+    path = write(tmp_path, "ws.csv", b'n,v\n1,"5"\n2," "\n')
+    res = ingest.upload_csv(spark, path)
+    assert res.error is None
+    assert res.types["v"] == "text"
+    vals = {r["v"] for r in spark.table(res.table).collect()}
+    assert vals == {"5", " "}
+
+
+def test_error_path_leaves_completed_null(spark, tmp_path):
+    path = write(tmp_path, "empty.csv", b"")  # no header -> captured error
+    res = ingest.upload_csv(spark, path)
+    assert res.error is not None
+    prog = ingest.get_progress(spark, res.task_id)
+    assert prog["error"] is not None
+    assert prog["completed"] is None  # error is the sole failure marker
+
+
+def test_multiline_sniff(tmp_path):
+    plain = write(tmp_path, "plain.csv", b"a,b\n1,x\n2,y\n")
+    quoted = write(tmp_path, "quoted.csv", b'a,b\n1,"x\ny"\n')
+    assert ingest.sniff_multiline(plain, "utf-8") is False
+    assert ingest.sniff_multiline(quoted, "utf-8") is True
+
+
+def test_plain_csv_scan_is_splittable(spark, tmp_path):
+    # multiline sniff says False -> the scan must not collapse to the
+    # non-splittable multiLine reader (one partition per file forever)
+    rows = b"a,b\n" + b"".join(b"%d,x%d\n" % (i, i) for i in range(20000))
+    path = write(tmp_path, "big_plain.csv", rows)
+    enc = ingest.detect_encoding(path)
+    df = ingest.read_csv_all_strings(
+        spark, path, enc, multiline=ingest.sniff_multiline(path, enc)
+    )
+    # maxPartitionBytes tiny -> a splittable scan yields >1 partition
+    with_conf = df.sparkSession.conf
+    old = with_conf.get("spark.sql.files.maxPartitionBytes")
+    with_conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try:
+        n = ingest.read_csv_all_strings(
+            spark, path, enc, multiline=False
+        ).rdd.getNumPartitions()
+        assert n > 1
+    finally:
+        with_conf.set("spark.sql.files.maxPartitionBytes", old)

@@ -1,7 +1,8 @@
 """Property-based check: the distributed type probe agrees with a
 direct reimplementation of sqlite-utils TypeTracker's public
 behavior (int() → INTEGER, float() → FLOAT, else TEXT; ''/None
-skipped; no values → TEXT) on arbitrary value lists.
+skipped — whitespace-only cells are PRESENT and fail both casts,
+typing the column text; no values → TEXT) on arbitrary value lists.
 
 Strategy excludes Python numeric-literal exotica the CSV world never
 produces (underscore separators, unicode digits, inf/nan spellings) —
@@ -23,7 +24,7 @@ def _tracker_type(values) -> str:
     could_int = True
     could_float = True
     for v in values:
-        if v is None or v.strip() == "":
+        if v is None or v == "":
             continue
         saw_any = True
         s = v.strip()
