@@ -350,6 +350,82 @@ def _append_progress(spark: SparkSession, database: str | None, row: dict) -> No
         df.write.mode("append").saveAsTable(full)
 
 
+class _ProgressTicker:
+    """Mid-ingest progress for the batch path (reference parity:
+    __init__.py:186-190 updates rows_done/bytes_done every 10 rows
+    and the client polls at 1 Hz).
+
+    Spark shape: the ingest's scan+write jobs are tagged with a job
+    group (the task id); a driver-side thread polls
+    SparkContext.statusTracker() for that group's task counts and
+    appends a progress row whenever the completed fraction advances.
+    bytes_done = bytes_todo × completed/total tasks — byte-accurate
+    per task wave for a splittable scan. rows_done stays NULL on
+    intermediate ticks (exact count arrives with the final row's
+    observe() result); pollers get monotone bytes_done either way.
+    The ticker's own tiny append jobs run outside the job group
+    (PySpark pins thread-local properties), so they never count
+    toward their own progress.
+    """
+
+    def __init__(self, spark, database, base_row, bytes_todo, group, interval):
+        self._spark = spark
+        self._db = database
+        self._base = base_row
+        self._todo = bytes_todo
+        self._group = group
+        self._interval = interval
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self.next_seq = 1
+
+    def _fraction(self) -> float:
+        tracker = self._spark.sparkContext.statusTracker()
+        total = done = 0
+        for jid in tracker.getJobIdsForGroup(self._group):
+            job = tracker.getJobInfo(jid)
+            if job is None:
+                continue
+            for sid in job.stageIds:
+                st = tracker.getStageInfo(sid)
+                if st is None or st.numTasks == 0:
+                    continue
+                total += st.numTasks
+                done += st.numCompletedTasks
+        return (done / total) if total else 0.0
+
+    def _run(self) -> None:
+        last_bytes = 0
+        while not self._stop.wait(self._interval):
+            frac = self._fraction()
+            bytes_done = min(int(self._todo * frac), self._todo)
+            if bytes_done <= last_bytes or bytes_done >= self._todo:
+                continue  # only monotone, strictly-intermediate ticks
+            last_bytes = bytes_done
+            row = dict(self._base)
+            row.update(
+                bytes_done=bytes_done,
+                rows_done=None,
+                completed=None,
+                error=None,
+                seq=self.next_seq,
+            )
+            try:
+                _append_progress(self._spark, self._db, row)
+                self.next_seq += 1
+            except Exception:
+                return  # progress is best-effort; never fail the ingest
+
+    def start(self) -> None:
+        if self._interval > 0:
+            self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread.is_alive():
+            self._thread.join(timeout=30)
+
+
 def get_progress(spark: SparkSession, task_id: str, database: str | None = None):
     """Latest progress row for a task (the reference's poll endpoint
     reads `_csv_progress_` by id, templates/upload_csv.html:188-204)."""
@@ -382,6 +458,7 @@ def upload_csv(
     task_id: str | None = None,
     delimiter: str = ",",
     multiline: bool | None = None,
+    progress_interval: float = 1.0,
 ) -> IngestResult:
     """Ingest a CSV file into a typed managed table.
 
@@ -390,6 +467,8 @@ def upload_csv(
     multiline=None sniffs the file head and enables Spark's
     (non-splittable) multiLine scan only when quoted newlines are
     actually present; pass True/False to force.
+    progress_interval is the mid-flight progress tick period in
+    seconds (reference clients poll at 1 Hz); <= 0 disables ticks.
     """
     task_id = task_id or str(uuid.uuid4())
     logical = table if table is not None else cat.derive_table_name(os.path.basename(path))
@@ -436,6 +515,23 @@ def upload_csv(
         ),
     )
 
+    ticker = _ProgressTicker(
+        spark,
+        db,
+        dict(
+            id=task_id,
+            filename=os.path.basename(path),
+            database_name=db or spark.catalog.currentDatabase(),
+            table_name=physical,
+            bytes_todo=bytes_todo,
+            started=started,
+        ),
+        bytes_todo,
+        group=task_id,
+        interval=progress_interval,
+    )
+    spark.sparkContext.setJobGroup(task_id, f"ingest {path}")
+    ticker.start()
     try:
         encoding = detect_encoding(path, sniff_bytes)
         if multiline is None:
@@ -466,6 +562,8 @@ def upload_csv(
         if physical != logical:
             cat.register_logical_name(spark, logical, physical, db)
         rows = int(obs.get["n"])
+        ticker.stop()
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
         _append_progress(
             spark,
             db,
@@ -480,7 +578,7 @@ def upload_csv(
                 started=started,
                 completed=_utcnow_str(),
                 error=None,
-                seq=1,
+                seq=ticker.next_seq,
             ),
         )
         return IngestResult(
@@ -494,6 +592,8 @@ def upload_csv(
             types=types,
         )
     except Exception as ex:  # reference error capture :224-228
+        ticker.stop()
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
         _append_progress(
             spark,
             db,
@@ -511,7 +611,7 @@ def upload_csv(
                 # success signal for pollers (__init__.py:224-228)
                 completed=None,
                 error=str(ex),
-                seq=1,
+                seq=ticker.next_seq,
             ),
         )
         return IngestResult(

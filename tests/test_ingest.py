@@ -9,6 +9,8 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from datasette_upload_csvs_spark import ingest
 from datasette_upload_csvs_spark import catalog as cat
 
@@ -289,3 +291,36 @@ def test_plain_csv_scan_is_splittable(spark, tmp_path):
         assert n > 1
     finally:
         with_conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_mid_ingest_progress_ticks(spark, tmp_path):
+    """A poller during a long ingest must see 0 < bytes_done <
+    bytes_todo at least once (reference __init__.py:186-190 ticks
+    every 10 rows); the completion invariant is unchanged."""
+    rows = b"a,b\n" + b"".join(b"%d,v%d\n" % (i, i) for i in range(60000))
+    path = write(tmp_path, "slow_ingest.csv", rows)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    # many small tasks -> several task waves -> observable mid states
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try:
+        res = ingest.upload_csv(spark, path, progress_interval=0.05)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert res.error is None
+    hist = (
+        spark.table(ingest.PROGRESS_TABLE)
+        .filter(F.col("id") == res.task_id)
+        .orderBy("seq")
+        .collect()
+    )
+    # init row, >=1 intermediate tick, completion row
+    assert len(hist) >= 3
+    mids = [r for r in hist if 0 < r["bytes_done"] < r["bytes_todo"]]
+    assert mids, "no intermediate progress tick recorded"
+    assert all(r["completed"] is None for r in mids)
+    done = hist[-1]
+    assert done["bytes_done"] == done["bytes_todo"] == res.bytes_todo
+    assert done["rows_done"] == 60000 and done["completed"] is not None
+    # bytes_done is monotone across the whole history
+    bd = [r["bytes_done"] for r in hist]
+    assert bd == sorted(bd)
