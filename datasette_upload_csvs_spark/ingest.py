@@ -57,6 +57,31 @@ _PROGRESS_SCHEMA = (
 _progress_lock = threading.Lock()
 
 
+class Forbidden(Exception):
+    """Raised before any work when the allow hook denies the actor
+    (reference __init__.py:73-74 raises starlette Forbidden)."""
+
+
+# Permission gate (reference A18, __init__.py:18-25 registers the
+# 'upload-csvs' action; :73-74 enforces it per request). Analytics
+# engines don't carry an auth stack, so the gate is a pluggable
+# hook: install a callable (actor, action) -> bool and every ingest
+# entry point checks it BEFORE touching the filesystem or catalog.
+UPLOAD_ACTION = "upload-csvs"
+_allow_hook = None
+
+
+def set_allow_hook(fn) -> None:
+    """Install (or clear, with None) the permission hook."""
+    global _allow_hook
+    _allow_hook = fn
+
+
+def _check_allowed(actor) -> None:
+    if _allow_hook is not None and not _allow_hook(actor, UPLOAD_ACTION):
+        raise Forbidden(f"Permission denied for {UPLOAD_ACTION}")
+
+
 @dataclass
 class IngestResult:
     task_id: str
@@ -68,6 +93,23 @@ class IngestResult:
     columns: list[str] = field(default_factory=list)
     types: dict[str, str] = field(default_factory=dict)
     error: str | None = None
+
+    def response(self) -> dict:
+        """The reference's xhr JSON contract (__init__.py:233-241):
+        {url, database_path, task_id, bytes_todo}. url is the
+        table's path under its database, database_path the
+        quote_plus'd database name ('default' = Spark's default
+        catalog database, standing in for the reference's db.name).
+        """
+        from urllib.parse import quote_plus
+
+        db = self.database or "default"
+        return {
+            "url": f"/{quote_plus(db)}/{quote_plus(self.table)}",
+            "database_path": quote_plus(db),
+            "task_id": self.task_id,
+            "bytes_todo": self.bytes_todo,
+        }
 
 
 def detect_encoding(path: str, sniff_bytes: int = SNIFF_BYTES_DEFAULT) -> str:
@@ -459,6 +501,7 @@ def upload_csv(
     delimiter: str = ",",
     multiline: bool | None = None,
     progress_interval: float = 1.0,
+    actor=None,
 ) -> IngestResult:
     """Ingest a CSV file into a typed managed table.
 
@@ -469,7 +512,11 @@ def upload_csv(
     actually present; pass True/False to force.
     progress_interval is the mid-flight progress tick period in
     seconds (reference clients poll at 1 Hz); <= 0 disables ticks.
+    Raises Forbidden (not captured in the result) when the installed
+    allow hook denies `actor` — permission failures happen before
+    any work, like the reference's route guard (__init__.py:73-74).
     """
+    _check_allowed(actor)
     task_id = task_id or str(uuid.uuid4())
     logical = table if table is not None else cat.derive_table_name(os.path.basename(path))
     db = database
@@ -630,6 +677,7 @@ def append_csv(
     path: str,
     table: str,
     sniff_bytes: int = SNIFF_BYTES_DEFAULT,
+    actor=None,
 ) -> IngestResult:
     """Append a CSV to an existing table with schema evolution —
     the reference's ``insert_all(batch, alter=True)`` semantics
@@ -643,6 +691,7 @@ def append_csv(
     is the Spark equivalent when the union changes the column set —
     when the schemas already match we use a plain append, no rewrite.)
     """
+    _check_allowed(actor)
     task_id = str(uuid.uuid4())
     if not spark.catalog.tableExists(table):
         return upload_csv(spark, path, table=table, sniff_bytes=sniff_bytes)
@@ -721,7 +770,9 @@ def upload_csv_async(
     table: str | None = None,
     database: str | None = None,
     sniff_bytes: int = SNIFF_BYTES_DEFAULT,
+    actor=None,
 ) -> IngestTask:
+    _check_allowed(actor)  # deny BEFORE the detached task exists
     task_id = str(uuid.uuid4())
     holder: dict = {}
 

@@ -324,3 +324,36 @@ def test_mid_ingest_progress_ticks(spark, tmp_path):
     # bytes_done is monotone across the whole history
     bd = [r["bytes_done"] for r in hist]
     assert bd == sorted(bd)
+
+
+def test_xhr_response_contract(spark, tmp_path):
+    """Reference __init__.py:233-241: the upload response carries
+    {url, database_path, task_id, bytes_todo}."""
+    path = write(tmp_path, "resp.csv", SIMPLE)
+    res = ingest.upload_csv(spark, path)
+    r = res.response()
+    assert set(r) == {"url", "database_path", "task_id", "bytes_todo"}
+    assert r["task_id"] == res.task_id
+    assert r["bytes_todo"] == res.bytes_todo == len(SIMPLE)
+    assert r["url"] == f"/default/{res.table}"
+    assert r["database_path"] == "default"
+
+
+def test_permission_gate(spark, tmp_path):
+    """A18 parity: denied actors raise Forbidden BEFORE any work;
+    allowed actors proceed; no hook = open (library default)."""
+    path = write(tmp_path, "gated.csv", SIMPLE)
+    ingest.set_allow_hook(
+        lambda actor, action: bool(actor) and actor.get("id") == "root"
+    )
+    try:
+        with pytest.raises(ingest.Forbidden):
+            ingest.upload_csv(spark, path, actor=None)
+        with pytest.raises(ingest.Forbidden):
+            ingest.upload_csv_async(spark, path, actor={"id": "eve"})
+        res = ingest.upload_csv(spark, path, table="gated_ok", actor={"id": "root"})
+        assert res.error is None and res.rows == 2
+    finally:
+        ingest.set_allow_hook(None)
+    # gate cleared: open again
+    assert ingest.upload_csv(spark, path, table="gated_open").error is None
