@@ -56,6 +56,128 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_batch(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for a SET of queries in ONE corpus scan.
+
+    N separate brute_force_topk calls scan the corpus N times; this
+    broadcasts all Q query vectors, scores corpus×Q map-side in a
+    single pass, then takes per-query top-k in two levels:
+
+      1. local prune — row_number over (query_id, scan partition id):
+         the shuffle key has Q×P distinct values, so no reducer sees
+         more than one partition's scores for one query (the naive
+         window over query_id alone funnels the whole corpus×Q
+         relation through Q reducers — a skew cliff at scale);
+      2. global merge — window over query_id on the ≤ Q×P×k pruned
+         survivors, which is tiny by construction.
+
+    Output: (query_id, neighbor_id, rank, cos_sim), deterministic via
+    the (cos desc, neighbor_id asc) tiebreak.
+    """
+    from pyspark.sql import Window
+
+    v = emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+    q = v.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("v"), F.col("qv")).alias("cos_raw"),
+        )
+        .withColumn("part", F.spark_partition_id())
+    )
+    order = [F.col("cos_raw").desc(), F.col("neighbor_id").asc()]
+    w_local = Window.partitionBy("query_id", "part").orderBy(*order)
+    pruned = (
+        scored.withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "part")
+    )
+    w_global = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cos_raw", 6).alias("cos_sim"),
+        )
+    )
+
+
+def lsh_topk_batch(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 6,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate batch top-k: the bucketed-join scale path.
+
+    Corpus and queries are both LSH-coded; candidates come from a
+    join on bucket proximity (Hamming ≤ probe_hamming), so each
+    query scores ~(probed buckets)/2^p of the corpus instead of all
+    of it. Same two-level top-k as the exact batch. At 100 TB:
+    repartition the corpus by bucket once, and query batches become
+    co-located bucket joins — no full scans per batch.
+    """
+    from pyspark.sql import Window
+
+    bucketed = lsh_bucket_ids(emb, n_planes, dim, vec_col, id_col)
+    q = bucketed.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(q),
+            (
+                F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket")))
+                <= probe_hamming
+            )
+            & (F.col(id_col) != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col("v"), F.col("qv")).alias("cos_raw"),
+        )
+        .withColumn("part", F.spark_partition_id())
+    )
+    order = [F.col("cos_raw").desc(), F.col("neighbor_id").asc()]
+    w_local = Window.partitionBy("query_id", "part").orderBy(*order)
+    pruned = (
+        scored.withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "part")
+    )
+    w_global = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cos_raw", 6).alias("cos_sim"),
+        )
+    )
+
+
 # Deterministic pseudo-random hyperplanes: component h[p][d] derived
 # from xxhash64-free integer mixing so plans contain only literals.
 def _hyperplane(p: int, dim: int) -> list[float]:
