@@ -52,8 +52,39 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
+# Names the round-1 driver already hash-verified at sf0.01
+# (CORRECTNESS_r01.json). The driver samples a prefix of the
+# registry, so listing these LAST rotates the not-yet-driver-checked
+# queries into the sample while keeping every name stable.
+_DRIVER_CHECKED_R1 = frozenset({
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_revenue_change", "q10_returned_items", "events_funnel",
+    "q4_order_priority", "q13_customer_distribution", "price_histogram",
+    "unpivot_lineitem_metrics", "having_filter", "correlated_avg_filter",
+    "global_agg", "count_distinct", "approx_count_distinct",
+    "rollup_nation_priority", "cube_flag_status", "window_rank_customers",
+    "window_lag_lead_orders", "window_running_total", "window_range_frame",
+    "topk_per_group", "semi_join_big_spenders", "anti_join_no_orders",
+    "left_join_order_counts", "full_outer_nation_supplier",
+    "cross_join_region_pairs", "theta_join_richer_suppliers",
+    "range_join_ship_lag", "union_all_nation_keys", "intersect_nations",
+    "except_nations", "distinct_status_priority", "string_funcs",
+    "date_funcs", "math_funcs", "conditional_case", "json_extract_events",
+    "array_ops_embeddings", "events_tumbling_window",
+    "events_sliding_window", "events_session_window", "dedup_exact_ranks",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_containment",
+    "simhash_fingerprints_portable",
+    "dedup_embedding_cosine", "similarity_topk_bruteforce",
+    # dedup_simhash deliberately NOT listed: its r1 row was rows-only
+    # (no_oracle); the new md5-portable implementation has a full
+    # oracle and should be driver-checked this round.
+})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    fresh = {n: f for n, f in _QUERIES.items() if n not in _DRIVER_CHECKED_R1}
+    checked = {n: f for n, f in _QUERIES.items() if n in _DRIVER_CHECKED_R1}
+    return {**fresh, **checked}
 
 
 def oracle_sql() -> dict[str, str]:
