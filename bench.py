@@ -28,6 +28,7 @@ HEADLINE = [
     "events_funnel",
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
+    "similarity_topk_batch",
     "text_word_freq",
     "multimodal_feature_extract",
 ]
