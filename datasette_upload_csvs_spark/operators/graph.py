@@ -1,0 +1,76 @@
+"""Iterative graph operators on edge DataFrames.
+
+Connected components is the missing last step of every near-dup
+pipeline: pair emitters (MinHash/SimHash/Jaccard — dedup.py) produce
+EDGES, but dedup needs GROUPS — if A~B and B~C, then {A,B,C} is one
+duplicate cluster even though (A,C) was never emitted. At corpus
+scale the pair graph has billions of edges, so the grouping must be
+a fixed small number of distributed passes, not a driver-side
+union-find.
+
+Algorithm: hash-min label propagation (the standard Pregel-style
+formulation, cf. "CC-MR" / GraphX's connectedComponents shape):
+every vertex starts labeled with its own id; each round, every
+vertex adopts the minimum label in its closed neighborhood;
+converged when no label changes. Rounds needed = graph diameter —
+for near-dup clusters (tiny, dense clumps) that is 2-3; the loop
+is capped and checked, not assumed.
+
+Each round is one join + one aggregation (both on vertex id), all
+JVM-side. Labels localCheckpoint per round to cut the exponentially
+growing lineage — the classic iterative-DataFrame trap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(vertex, component) — component = min vertex id reachable.
+
+    `edges` is an undirected pair relation (src, dst). Vertices with
+    no edges are absent (join the result back to the full vertex set
+    with coalesce(component, id) for singleton semantics — see
+    dedup_groups in queries.py).
+    """
+    sym = edges.select(
+        F.col(src).alias("v"), F.col(dst).alias("n")
+    ).unionByName(edges.select(F.col(dst).alias("v"), F.col(src).alias("n")))
+    # adjacency is reused every round: materialize once
+    adj = sym.distinct().persist()
+    labels = (
+        adj.select("v").distinct().withColumn("c", F.col("v"))
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        # candidate label per vertex: min over its own label and all
+        # neighbor labels (closed neighborhood)
+        neigh = (
+            adj.join(labels.withColumnRenamed("v", "n"), "n")
+            .groupBy("v")
+            .agg(F.min("c").alias("nc"))
+        )
+        new_labels = (
+            labels.join(neigh, "v", "left")
+            .select("v", F.least("c", F.coalesce("nc", "c")).alias("c"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "v")
+            .filter(F.col("a.c") != F.col("b.c"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    adj.unpersist()
+    return labels.select(F.col("v").alias("vertex"), F.col("c").alias("component"))

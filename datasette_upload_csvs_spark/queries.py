@@ -1705,6 +1705,72 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dedup_groups",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), good AS (
+      SELECT id_a, id_b
+      FROM pr JOIN sizes sa ON id_a = sa.doc_id
+              JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
+    ), edges AS (
+      SELECT id_a AS v, id_b AS n FROM good
+      UNION
+      SELECT id_b AS v, id_a AS n FROM good
+    ), walk(v, c) AS (
+      SELECT v, v FROM (SELECT DISTINCT v FROM edges) t
+      UNION
+      SELECT e.v, w.c FROM edges e JOIN walk w ON w.v = e.n
+    ), comp AS (
+      SELECT v, MIN(c) AS component FROM walk GROUP BY v
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS group_id,
+           COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+    """,
+)
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate GROUPS via distributed connected
+    components (operators/graph.py, hash-min label propagation): if
+    A~B and B~C then {A,B,C} is one cluster even though (A,C) was
+    never emitted. group_id = min doc_id of the cluster (the keeper
+    convention), singletons are their own group. Oracle = recursive
+    CTE transitive closure over the same exact-Jaccard ≥ 0.7 edge
+    set."""
+    from datasette_upload_csvs_spark.operators import graph
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.7).select(
+        "id_a", "id_b"
+    )
+    cc = graph.connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(cc, F.col("doc_id") == F.col("vertex"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("group_id"),
+            (F.coalesce("component", "doc_id") == F.col("doc_id")).alias(
+                "is_canonical"
+            ),
+        )
+    )
+
+
+@q(
     "similarity_topk_batch",
     """
     WITH v AS (

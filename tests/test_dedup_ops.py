@@ -58,3 +58,33 @@ def test_oph_short_doc_densification_distinct(spark):
     )
     ssets = same.select("doc_id", _shingle_hashes(F.col("text"), 3).alias("sh"))
     assert dedup.minhash_lsh_candidates(dedup.oph_signatures(ssets)).count() == 1
+
+
+def test_connected_components_basic(spark):
+    """Path graph (diameter 3), separate pair, isolated-from-edges
+    vertex semantics."""
+    from datasette_upload_csvs_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        (r["vertex"], r["component"])
+        for r in graph.connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_transitivity_beyond_pairs(spark, sf_dir):
+    """dedup_groups must merge A~B~C into one group: every group's
+    members are mutually reachable, and group_id = min member."""
+    from datasette_upload_csvs_spark import queries as Q
+
+    out = Q.queries()["dedup_groups"](spark, sf_dir).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group_id"], []).append(r["doc_id"])
+    for gid, members in by_group.items():
+        assert gid == min(members)
+    canon = [r for r in out if r["is_canonical"]]
+    assert len(canon) == len(by_group)
