@@ -5248,6 +5248,66 @@ def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# deterministic content-defined sampling (operators/sampling.py)
+# ====================================================================
+
+
+@q(
+    "sample_deterministic",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE CAST(md5_number_lower(CAST(o_orderkey AS VARCHAR)) AS DOUBLE)
+          / 18446744073709551616.0 < 0.1
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% sample of orders chosen by content hash of the key —
+    reproducible across runs, engines, partitionings, and
+    incremental reprocessing, unlike RNG-seeded sample(). Map-side
+    filter, no shuffle; the oracle recomputes the identical
+    md5-low-64 verdict."""
+    from datasette_upload_csvs_spark.operators import sampling
+
+    return sampling.deterministic_sample(
+        load(spark, sf_dir, "orders"), "o_orderkey", 0.1
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@q(
+    "sample_stratified",
+    """
+    WITH keyed AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(md5_number_lower(CAST(l_orderkey AS VARCHAR) || '-' ||
+                                   CAST(l_linenumber AS VARCHAR)) AS DOUBLE)
+               / 18446744073709551616.0 AS sk
+      FROM lineitem
+    )
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM keyed
+    WHERE sk < (CASE l_returnflag WHEN 'A' THEN 0.05
+                                  WHEN 'N' THEN 0.2
+                                  WHEN 'R' THEN 0.5 ELSE 0.0 END)
+    GROUP BY l_returnflag
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (sampleBy's contract made
+    reproducible): different keep-rates per l_returnflag, one
+    map-side filter, verified by per-stratum sampled counts."""
+    from datasette_upload_csvs_spark.operators import sampling
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "rk", F.concat_ws("-", "l_orderkey", "l_linenumber")
+    )
+    out = sampling.stratified_sample(
+        li, "rk", "l_returnflag", {"A": 0.05, "N": 0.2, "R": 0.5}
+    )
+    return out.groupBy("l_returnflag").agg(F.count("*").alias("n_sampled"))
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 
