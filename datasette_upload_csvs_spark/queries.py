@@ -5307,6 +5307,52 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("l_returnflag").agg(F.count("*").alias("n_sampled"))
 
 
+@q(
+    "merge_upsert_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), updates AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             o_totalprice + 10.0 AS o_totalprice
+      FROM base WHERE o_orderkey % 97 = 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'I', 100.0
+      FROM base WHERE o_orderkey % 101 = 0
+    )
+    SELECT * FROM base
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+    UNION ALL
+    SELECT * FROM updates
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics as a pure relation (operators/merge.py):
+    an update batch (modified rows + brand-new keys) applied over
+    the orders snapshot — anti-join keeps unsuperseded rows, union
+    appends the batch. One shuffle, no per-column coalesce. The
+    in-place table variant (merge_upsert, staging swap) is pinned
+    by tests/test_merge.py."""
+    from datasette_upload_csvs_spark.operators import merge
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = base.filter(F.pmod("o_orderkey", F.lit(97)) == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+    )
+    new = base.filter(F.pmod("o_orderkey", F.lit(101)) == 0).select(
+        (F.col("o_orderkey") + F.lit(10000000)).alias("o_orderkey"),
+        F.lit("I").alias("o_orderstatus"),
+        F.lit(100.0).alias("o_totalprice"),
+    )
+    return merge.merge_upsert_frames(
+        base, upd.unionByName(new), ["o_orderkey"]
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
