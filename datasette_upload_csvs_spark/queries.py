@@ -5247,6 +5247,114 @@ def attribution_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q17_small_quantity_revenue",
+    """
+    WITH thr AS (
+      SELECT l_partkey,
+             0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    / COUNT(*)) AS lim
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN thr t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12' AND p.p_size < 15 AND l.l_quantity < t.lim
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (container swapped for p_size — testdata has
+    no p_container): revenue of small-quantity orders, where "small"
+    is a correlated per-part threshold (0.2 × that part's average
+    quantity). Plan: the threshold is a pre-aggregation joined back
+    on partkey — Catalyst decorrelates to exactly this — and the
+    part dimension broadcasts. avg via exact decimal sum / count so
+    the float threshold is bit-identical cross-engine."""
+    li = load(spark, sf_dir, "lineitem")
+    thr = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            )
+        ).alias("lim")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#12") & (F.col("p_size") < 15)
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("lim"))
+    )
+    return j.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(28,6)")).cast("double")
+            / F.lit(7.0)
+        )
+        .cast("double")
+        .alias("avg_yearly"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@q(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of predicate triples spanning
+    both join sides. The part side broadcasts; Catalyst extracts the
+    common join key so the OR does not force a nested-loop join, and
+    per-side conjuncts (p_size ranges, l_quantity ranges) still push
+    toward the scans."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                "decimal(28,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 # ====================================================================
 # deterministic content-defined sampling (operators/sampling.py)
 # ====================================================================
