@@ -19,8 +19,8 @@ cardinality.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F  # noqa: F401  (callers' convenience)
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def merge_upsert_frames(
@@ -43,3 +43,42 @@ def merge_upsert(
     merged.write.mode("overwrite").saveAsTable(stage)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    batch_ts,
+    ts_from: str = "valid_from",
+    ts_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: versioned history instead of
+    overwrite. `current` carries (attrs, valid_from, valid_to) with
+    valid_to NULL marking the live version; `updates` carries the new
+    attribute rows (no validity columns). One batch application:
+
+      - live rows whose key is in the batch are CLOSED
+        (valid_to = batch_ts);
+      - every batch row OPENS a new live version
+        (valid_from = batch_ts, valid_to = NULL);
+      - history rows (valid_to already set) pass through untouched.
+
+    Change data capture reduced to one left-semi/anti pair plus a
+    union — the same single-shuffle shape as merge_upsert_frames.
+    Rows whose attributes did not change still version (simple, and
+    deterministic for the oracle); pre-filter the batch against
+    `current` to suppress no-op versions if storage matters.
+    """
+    ts = batch_ts if isinstance(batch_ts, Column) else F.lit(batch_ts)
+    batch_keys = updates.select(*keys).distinct()
+    history = current.filter(F.col(ts_to).isNotNull())
+    live = current.filter(F.col(ts_to).isNull())
+    closed = live.join(batch_keys, keys, "left_semi").withColumn(ts_to, ts)
+    kept_live = live.join(batch_keys, keys, "left_anti")
+    opened = updates.withColumn(ts_from, ts).withColumn(
+        ts_to, F.lit(None).cast(current.schema[ts_to].dataType)
+    )
+    return (
+        history.unionByName(kept_live).unionByName(closed).unionByName(opened)
+    )

@@ -5355,6 +5355,57 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "scd2_customer_versions",
+    """
+    WITH cur AS (
+      SELECT c_custkey, c_acctbal,
+             TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer
+    ), upd AS (
+      SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 13 = 0
+    )
+    SELECT c_custkey, c_acctbal, valid_from, valid_to FROM cur
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+    UNION ALL
+    SELECT c_custkey, c_acctbal, valid_from,
+           TIMESTAMP '2024-06-01 00:00:00' AS valid_to
+    FROM cur WHERE c_custkey IN (SELECT c_custkey FROM upd)
+    UNION ALL
+    SELECT c_custkey, c_acctbal,
+           TIMESTAMP '2024-06-01 00:00:00' AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM upd
+    """,
+)
+def scd2_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension (operators/merge.scd2_apply):
+    an account-balance update batch applied to a versioned customer
+    dimension — live rows with a batch key are CLOSED (valid_to =
+    batch ts), batch rows OPEN new live versions, history passes
+    through. One left-semi/anti pair + unions: single-shuffle CDC."""
+    from datasette_upload_csvs_spark.operators import merge
+
+    c = load(spark, sf_dir, "customer")
+    cur = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = c.filter(F.pmod("c_custkey", F.lit(13)) == 0).select(
+        "c_custkey", (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal")
+    )
+    return merge.scd2_apply(
+        cur,
+        upd,
+        keys=["c_custkey"],
+        batch_ts=F.lit("2024-06-01 00:00:00").cast("timestamp"),
+    )
+
+
 # ====================================================================
 # deterministic content-defined sampling (operators/sampling.py)
 # ====================================================================

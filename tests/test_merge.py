@@ -34,3 +34,43 @@ def test_merge_upsert_table_in_place(spark, sf_dir):
     merge.merge_upsert(spark, table, updates, ["o_orderkey"])
     assert spark.table(table).count() == n0 + 1
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_scd2_two_batches(spark, sf_dir):
+    """Two successive SCD2 batches: exactly one live version per key,
+    closed versions chain correctly."""
+    from datasette_upload_csvs_spark.operators import merge as M
+
+    c = read_table(spark, sf_dir, "customer").limit(50).select(
+        "c_custkey", "c_acctbal"
+    )
+    cur = c.select(
+        "c_custkey", "c_acctbal",
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    b1 = c.filter(F.pmod("c_custkey", F.lit(2)) == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 1).alias("c_acctbal"))
+    v1 = M.scd2_apply(cur, b1, ["c_custkey"],
+                      F.lit("2021-01-01").cast("timestamp"))
+    b2 = c.filter(F.pmod("c_custkey", F.lit(4)) == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 2).alias("c_acctbal"))
+    v2 = M.scd2_apply(v1, b2, ["c_custkey"],
+                      F.lit("2022-01-01").cast("timestamp")).persist()
+
+    live = v2.filter(F.col("valid_to").isNull())
+    assert live.count() == 50  # one live row per key
+    assert live.select("c_custkey").distinct().count() == 50
+    # a key updated in both batches has 3 versions with chained bounds
+    k3 = v2.filter(F.pmod("c_custkey", F.lit(4)) == 0)
+    per_key = k3.groupBy("c_custkey").count().collect()
+    assert all(r["count"] == 3 for r in per_key)
+    # closed intervals don't overlap: max(valid_to of closed) == live valid_from
+    chained = (
+        v2.filter(F.col("valid_to").isNotNull())
+        .groupBy("c_custkey").agg(F.max("valid_to").alias("last_close"))
+        .join(live.select("c_custkey", "valid_from"), "c_custkey")
+        .filter(F.col("last_close") != F.col("valid_from"))
+    )
+    assert chained.count() == 0
+    v2.unpersist()
