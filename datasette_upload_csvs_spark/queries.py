@@ -2037,6 +2037,63 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "doc_keywords",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS word FROM toks)
+      GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, word, tf * ln(CAST(n_docs AS DOUBLE) / df) AS s
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, word, s,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, word ASC) AS rk
+      FROM scored
+    )
+    SELECT doc_id, word, CAST(rk AS INTEGER) AS rank, round(s, 6) AS tfidf
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 tf-idf terms PER DOCUMENT across the
+    whole corpus — the labeling pass of a curation pipeline. Same
+    relational tf-idf as text_tfidf_top_terms, plus a per-doc
+    ranking window; the window key is doc_id (millions of small
+    groups — distributes evenly, unlike a global sort), with the
+    deterministic (score desc, word asc) tiebreak."""
+    from datasette_upload_csvs_spark.functions.text import tokens as _toks
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks(F.col("text"))).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(dfreq), "word").select(
+        "doc_id",
+        "word",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("s"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("s").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "word", "rank", F.round("s", 6).alias("tfidf"))
+    )
+
+
+@q(
     "text_bigram_freq",
     f"""
     WITH toks AS (
