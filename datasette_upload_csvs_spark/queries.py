@@ -5463,6 +5463,68 @@ def scd2_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "hll_mergeable_distinct",
+    """
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           TRUE AS sketch_ok
+    FROM orders
+    """,
+)
+def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches — the pattern that makes
+    100 TB distinct counts incremental: build one Datasketches HLL
+    per o_orderstatus partition slice (hll_sketch_agg, a few KB
+    each), union the sketches (hll_union_agg), estimate once. At
+    scale the per-slice sketches are precomputed per day/partition
+    and the union costs KB, not a rescan. Gate: the merged estimate
+    lands within 5% of the exact distinct (sketch internals aren't
+    cross-engine comparable, so the oracle pins exact + verdict)."""
+    o = load(spark, sf_dir, "orders")
+    exact = o.agg(F.countDistinct("o_custkey").alias("n")).collect()[0]["n"]
+    part = o.groupBy("o_orderstatus").agg(
+        F.expr("hll_sketch_agg(o_custkey)").alias("sk")
+    )
+    est = part.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    ).collect()[0]["est"]
+    ok = exact > 0 and abs(est / exact - 1.0) <= 0.05
+    return spark.createDataFrame(
+        [(exact, ok)], "n_exact bigint, sketch_ok boolean"
+    )
+
+
+@q(
+    "approx_percentile_gate",
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, TRUE AS p50_ok, TRUE AS p95_ok "
+    "FROM lineitem",
+)
+def approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (approx_percentile, accuracy 10000) validated
+    by RANK, not value: the approximate p50/p95 of l_extendedprice
+    must sit within ±1% of the true CDF position. Sketch outputs
+    aren't bit-comparable across engines, so the oracle pins the
+    row count and the verdicts."""
+    li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
+    r = li.agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)"
+        ).alias("ap"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    p50, p95 = r["ap"][0], r["ap"][1]
+    n = r["n"]
+    ranks = li.agg(
+        F.sum((F.col("l_extendedprice") <= p50).cast("long")).alias("r50"),
+        F.sum((F.col("l_extendedprice") <= p95).cast("long")).alias("r95"),
+    ).collect()[0]
+    p50_ok = abs(ranks["r50"] / n - 0.5) <= 0.01
+    p95_ok = abs(ranks["r95"] / n - 0.95) <= 0.01
+    return spark.createDataFrame(
+        [(n, p50_ok, p95_ok)], "n_rows bigint, p50_ok boolean, p95_ok boolean"
+    )
+
+
 # ====================================================================
 # deterministic content-defined sampling (operators/sampling.py)
 # ====================================================================
