@@ -74,3 +74,34 @@ def test_similarity_topk_no_shuffle_on_corpus(spark, sf_dir):
     plan = plans.formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert plans.uses_broadcast_join(df)
+
+
+def test_q17_broadcasts_part_and_pushes_brand(spark, sf_dir):
+    df = Q.q17_small_quantity_revenue(spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+    assert plans.has_pushed_filters(df)
+
+
+def test_q19_or_predicates_push_to_both_scans(spark, sf_dir):
+    df = Q.q19_disjunctive_revenue(spark, sf_dir)
+    assert plans.uses_broadcast_join(df)
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    # per-side OR conjuncts extracted and pushed (not a nested loop)
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert plans.shuffle_count(df) <= 1
+
+
+def test_similarity_batch_broadcasts_queries(spark, sf_dir):
+    df = Q.similarity_topk_batch(spark, sf_dir)
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in txt  # 8-row query side, never the corpus
+
+
+def test_sample_is_map_side_only(spark, sf_dir):
+    from datasette_upload_csvs_spark.operators import sampling
+    from datasette_upload_csvs_spark.sources.parquet import read_table
+
+    df = sampling.deterministic_sample(
+        read_table(spark, sf_dir, "orders"), "o_orderkey", 0.1
+    )
+    assert plans.shuffle_count(df) == 0
