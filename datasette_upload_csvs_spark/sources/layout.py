@@ -67,3 +67,67 @@ def file_ranges(path: str, column: str) -> list[tuple]:
 
 def read_clustered(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Z-order (Morton) key column: bit-interleave of min-max-scaled
+    numeric columns.
+
+    Lexicographic clustering (cluster_by) skips perfectly on the
+    leading column and not at all on the others; interleaving the
+    columns' bits makes every file's footer range narrow in EVERY
+    dimension — the multi-column skipping trick warehouse engines
+    ship as Z-ordering. Scaling constants come from one min/max
+    aggregation (write-time cost, amortized over every later read).
+    Returns (key Column, stats row) — the caller attaches the key,
+    range-partitions by it, and drops it before writing.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max")]
+    st = df.agg(*aggs).collect()[0]
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        lo, hi = float(st[f"{c}_min"]), float(st[f"{c}_max"])
+        span = (hi - lo) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.floor((F.col(c).cast("double") - F.lit(lo))
+                        / F.lit(span) * F.lit(top + 1)).cast("long"),
+            )
+        )
+    n = len(cols)
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            key = key + F.shiftleft(
+                F.shiftright(s, i).bitwiseAND(F.lit(1)), i * n + j
+            ).cast("long")
+    return key, st
+
+
+def zorder_cluster(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Write df z-order-clustered on `cols`: range-partition and sort
+    by the Morton key so every file covers a small hyper-rectangle of
+    the key space — row-group skipping works on all of `cols`, not
+    just the first."""
+    key, _ = zorder_key(df, cols, bits)
+    (
+        df.withColumn("_z", key)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -47,3 +47,38 @@ def test_filter_still_correct_on_clustered_data(spark, sf_dir, tmp_path):
     assert (
         read_clustered(spark, path).filter(pred).count() == li.filter(pred).count()
     )
+
+
+def test_zorder_narrows_ranges_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-order clustering on (o_custkey, o_totalprice): per-file
+    footer ranges must be materially narrower than the global domain
+    in BOTH dimensions (lexicographic clustering only narrows the
+    leading one)."""
+    from datasette_upload_csvs_spark.sources.layout import (
+        file_ranges,
+        zorder_cluster,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dst = str(tmp_path / "orders_z")
+    zorder_cluster(orders, dst, ["o_custkey", "o_totalprice"], num_files=16)
+
+    back = spark.read.parquet(dst)
+    assert back.count() == orders.count()
+
+    stats = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).collect()[0]
+    for col, lo, hi in [
+        ("o_custkey", stats[0], stats[1]),
+        ("o_totalprice", stats[2], stats[3]),
+    ]:
+        spans = [
+            (mx - mn) / (hi - lo) for mn, mx in file_ranges(dst, col)
+        ]
+        avg_span = sum(spans) / len(spans)
+        # random layout would put ~1.0 here; z-order must cut it
+        assert avg_span < 0.55, (col, avg_span)
