@@ -131,3 +131,48 @@ def zorder_cluster(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Rewrite a parquet directory into ~target_mb files.
+
+    Streaming sinks and incremental appends accumulate small files;
+    at scale the file count, not the byte count, becomes the
+    bottleneck (driver listing, task scheduling, footer reads — a
+    million 1 MB files is an outage, the same data in 8 GB files is
+    routine). One pass: size the directory, coalesce (narrow — no
+    shuffle) unless a sort order is requested, rewrite atomically
+    via a staging directory rename. Returns (files_before,
+    files_after).
+    """
+    import math
+    import os
+    import shutil
+
+    def parquet_parts(p):
+        return [
+            f for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+
+    before = parquet_parts(path)
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in before)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    stage = path.rstrip("/") + "__compact"
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.coalesce(n_out)
+    out.write.mode("overwrite").parquet(stage)
+    shutil.rmtree(path)
+    os.rename(stage, path)
+    return len(before), len(parquet_parts(path))

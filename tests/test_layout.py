@@ -82,3 +82,20 @@ def test_zorder_narrows_ranges_on_both_columns(spark, sf_dir, tmp_path):
         avg_span = sum(spans) / len(spans)
         # random layout would put ~1.0 here; z-order must cut it
         assert avg_span < 0.55, (col, avg_span)
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    from datasette_upload_csvs_spark.sources.layout import compact_files
+
+    orders = read_table(spark, sf_dir, "orders")
+    dst = str(tmp_path / "frag")
+    orders.repartition(64).write.parquet(dst)  # fragment: 64 tiny files
+    n = orders.count()
+    before, after = compact_files(spark, dst, target_mb=128)
+    assert before == 64 and after < 8
+    assert spark.read.parquet(dst).count() == n
+    # clustered compaction: sorted + disjoint output
+    before2, after2 = compact_files(
+        spark, dst, target_mb=1, sort_cols=["o_orderkey"]
+    )
+    assert spark.read.parquet(dst).count() == n
