@@ -55,6 +55,7 @@ def main() -> None:
             registry[name](spark, sf_dir).count()
         except Exception as ex:  # warm-up must never fail the bench
             print(f"# warmup {name} failed: {ex}", file=sys.stderr)
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -69,6 +70,10 @@ def main() -> None:
             n = df.count()  # full pipeline materialization
             el = time.perf_counter() - t0
             best = el if best is None else min(best, el)
+        # drop persisted frames a query left behind (e.g. minhash's
+        # signature cache): accumulated blocks inflate GC for every
+        # later query and make run N slower than run 1.
+        spark.catalog.clearCache()
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
 
