@@ -53,3 +53,43 @@ def stratified_sample(
         frac = F.when(cond, F.lit(f)) if frac is None else frac.when(cond, F.lit(f))
     frac = frac.otherwise(F.lit(0.0))
     return df.filter(sample_key(F.col(key_col)) < frac)
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement, deterministic.
+
+    Efraimidis–Spirakis A-Res: each row draws u ~ U(0,1) and scores
+    u^(1/w); the k largest scores are the sample — inclusion
+    probability proportional to weight, exactly one pass. Our u is
+    the content hash (sample_key), so the "draw" is reproducible
+    cross-engine and stable under repartition. Plan: map-side score
+    + global top-k (TakeOrderedAndProject — no full sort).
+    """
+    score = F.pow(sample_key(F.col(key_col)), 1.0 / F.col(weight_col))
+    return (
+        df.withColumn("_ws", score)
+        .orderBy(F.col("_ws").desc(), F.col(key_col).asc())
+        .limit(k)
+        .drop("_ws")
+    )
+
+
+def sample_n_per_group(
+    df: DataFrame, key_col: str, group_col: str, n: int
+) -> DataFrame:
+    """Exactly min(n, |group|) rows per group, chosen by content-hash
+    order (deterministic sampleBy-with-exact-counts). One shuffle on
+    the group key; WindowGroupLimit prunes to n per group map-side
+    before the exchange."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        sample_key(F.col(key_col)).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -5631,6 +5631,66 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "sample_weighted_orders",
+    """
+    WITH scored AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             pow(CAST(md5_number_lower(CAST(o_orderkey AS VARCHAR)) AS DOUBLE)
+                 / 18446744073709551616.0,
+                 1.0 / o_totalprice) AS ws
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM scored ORDER BY ws DESC, o_orderkey ASC LIMIT 100
+    """,
+)
+def sample_weighted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis–Spirakis
+    A-Res): 100 orders with inclusion probability ∝ o_totalprice,
+    the 'draw' being the content hash — reproducible cross-engine.
+    Map-side score + TakeOrderedAndProject top-k; no full sort."""
+    from datasette_upload_csvs_spark.operators import sampling
+
+    return sampling.weighted_sample(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        "o_orderkey",
+        "o_totalprice",
+        100,
+    )
+
+
+@q(
+    "sample_n_per_group_orders",
+    """
+    WITH ranked AS (
+      SELECT o_orderkey, o_orderstatus,
+             row_number() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY CAST(md5_number_lower(CAST(o_orderkey AS VARCHAR))
+                             AS DOUBLE) / 18446744073709551616.0 ASC,
+                        o_orderkey ASC) AS rn
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus FROM ranked WHERE rn <= 5
+    """,
+)
+def sample_n_per_group_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 rows per order status, chosen by content-hash order:
+    sampleBy with exact per-group counts, deterministic. One shuffle
+    on the group key with WindowGroupLimit pruning to n map-side."""
+    from datasette_upload_csvs_spark.operators import sampling
+
+    return sampling.sample_n_per_group(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        "o_orderkey",
+        "o_orderstatus",
+        5,
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================

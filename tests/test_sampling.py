@@ -45,3 +45,30 @@ def test_stratified_rates(spark, sf_dir):
     assert "N" not in got  # unlisted stratum dropped (sampleBy contract)
     assert abs(got["A"] / base["A"] - 0.1) < 0.05
     assert abs(got["R"] / base["R"] - 0.4) < 0.06
+
+
+def test_weighted_sample_favors_heavy_rows(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    k = 200
+    got = sampling.weighted_sample(orders, "o_orderkey", "o_totalprice", k)
+    assert got.count() == k
+    # mean totalprice of an A-Res weighted sample must exceed the
+    # population mean (inclusion probability grows with weight)
+    pop = orders.agg(F.avg("o_totalprice")).collect()[0][0]
+    smp = got.agg(F.avg("o_totalprice")).collect()[0][0]
+    assert smp > pop * 1.1
+    # deterministic: same draw every time
+    again = sampling.weighted_sample(orders, "o_orderkey", "o_totalprice", k)
+    assert {r[0] for r in got.collect()} == {r[0] for r in again.collect()}
+
+
+def test_n_per_group_exact_counts(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    out = sampling.sample_n_per_group(orders, "o_orderkey", "o_orderstatus", 7)
+    counts = {r["o_orderstatus"]: r["n"] for r in
+              out.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 7 for v in counts.values()) and len(counts) == 3
