@@ -48,3 +48,51 @@ def clicks_to_purchases(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def clicks_to_purchases_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every click eventually emits —
+    matched rows as they join, unmatched clicks with NULL purchase
+    columns once the watermark proves no future purchase can pair
+    with them. The null emission is the semantic difference from the
+    inner join: it requires the state store to hold the click until
+    eviction time and the engine to emit on eviction, which is why
+    the interval condition + watermark are mandatory here, not just
+    an optimization. (Operationally: unmatched results trail live
+    matches by the watermark delay — at AvailableNow the final
+    watermark only advances as far as the data's max event time, so
+    a drained stream can leave the newest unmatched clicks in state;
+    tests flush with a later event.)"""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )

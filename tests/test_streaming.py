@@ -210,3 +210,52 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: matched clicks join live;
+    unmatched clicks emit with NULL purchase columns once the
+    watermark proves no purchase can still arrive."""
+    import os
+
+    from datasette_upload_csvs_spark.streaming.joins import (
+        clicks_to_purchases_outer,
+    )
+
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    os.makedirs(cdir); os.makedirs(pdir)
+    schema = "user_id long, ts timestamp, event_id long, value double"
+
+    def w(d, name, rows):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts string, event_id long, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "tmpw"))
+        part = [f for f in os.listdir(tmp_path / "tmpw") if f.endswith(".parquet")][0]
+        os.rename(str(tmp_path / "tmpw" / part), os.path.join(d, name))
+
+    # batch 0: one matchable click (u1), one unmatchable (u2)
+    w(cdir, "c0.parquet", [(1, "2024-01-01 10:00:00", 101, 0.0),
+                           (2, "2024-01-01 10:00:00", 102, 0.0)])
+    w(pdir, "p0.parquet", [(1, "2024-01-01 10:10:00", 201, 9.0)])
+    # batch 1: far-future pair advances the watermark past
+    # 10:00 + window + delay, evicting u2's click as unmatched
+    w(cdir, "c1.parquet", [(9, "2024-01-01 20:00:00", 109, 0.0)])
+    w(pdir, "p1.parquet", [(9, "2024-01-01 20:01:00", 209, 1.0)])
+
+    clicks = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(cdir)
+    purch = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(pdir)
+    out = clicks_to_purchases_outer(clicks, purch)
+    q = (
+        out.writeStream.format("memory").queryName("outer_attr")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.table("outer_attr").collect()
+    }
+    assert (101, 201) in got and (109, 209) in got
+    assert (102, None) in got  # the null emission is the point
