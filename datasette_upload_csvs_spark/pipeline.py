@@ -20,7 +20,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datasette_upload_csvs_spark.operators import dedup, textstats
+from datasette_upload_csvs_spark.operators import dedup, graph, textstats
 
 
 @dataclass
@@ -49,11 +49,17 @@ def curate_corpus(
     exact = dedup.dedup_exact(docs, text_col, id_col)
     n_exact = exact.count()
 
-    # 2. near-dup removal: drop the higher id of each verified pair
+    # 2. near-dup removal, cluster-aware: pair lists under-dedup
+    # transitive clusters (edges (A,C),(B,C) alone would keep both A
+    # and B though A~B~C is one group), so resolve pairs to connected
+    # components and keep exactly the canonical (min-id) doc of each.
     pairs = dedup.minhash_near_dup_pairs(
         exact, text_col, id_col, threshold=near_dup_threshold
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    cc = graph.connected_components(pairs.select("id_a", "id_b"))
+    losers = cc.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias(id_col)
+    )
     deduped = exact.join(losers, id_col, "left_anti")
     n_near = deduped.count()
 
