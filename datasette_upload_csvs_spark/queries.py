@@ -5691,6 +5691,41 @@ def sample_n_per_group_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "equidepth_histogram_price",
+    """
+    WITH binned AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM binned GROUP BY bin
+    """,
+)
+def equidepth_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (equal row counts per bin, data-dependent
+    edges) — the summary that stays informative under skew, where
+    equi-width bins collapse into one hot bucket. NTILE over a
+    unique total order is deterministic; at scale the single-sort
+    ntile would be replaced by approx_percentile edges + a bin join,
+    but the exact form is the oracle-checkable contract."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
