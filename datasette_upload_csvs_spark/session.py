@@ -29,6 +29,16 @@ ENGINE_CONFS: dict[str, str] = {
     # explicitly because correctness of the bench depends on them).
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Runtime row-level join pruning: when one join side is filtered
+    # selective, inject a bloom filter on the other side so the big
+    # scan drops non-joining rows before the shuffle. Gated by
+    # Spark's own size thresholds (application side >= 10 GB), so
+    # it is a no-op at test scale and kicks in exactly where it
+    # pays — at 100 TB it is the difference between shuffling a
+    # full fact table and shuffling the ~1% that joins. (The
+    # companion semiJoinReduction conf is deliberately NOT set: it
+    # hangs the 4.1.2 planner on shuffle joins — verified locally.)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # The driver's events.parquet stores TIMESTAMP(NANOS); Spark has
     # no nanos timestamp type, so scan them as long and convert
     # (queries.load re-derives micros with exact integer division).
