@@ -127,3 +127,46 @@ def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("width"), F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def resize_media(
+    media: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    use_fake_decoder: bool = True,
+) -> DataFrame:
+    """Arrow-batched resize over binary payloads (the preprocessing
+    step in front of any vision encoder). The Spark plumbing —
+    mapInPandas batch shape, MEDIA_SCHEMA in/out, metadata update —
+    is real; the pixel work is the stubbed codec. The fake path is
+    deterministic: payload re-hashed to a fixed-size pseudo-bitmap
+    (target_w*target_h//8 bytes from an md5 HEX-string chain — hex,
+    not raw digests, so an SQL oracle with a VARCHAR-only md5 can
+    reproduce any prefix of the chain), letting tests assert exact
+    output sizes and stable bytes without PIL.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        n_out = max(1, target_w * target_h // 8)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = []
+            for p in pdf["payload"]:
+                if not use_fake_decoder:
+                    _decode_image(bytes(p or b""), "application/fake")
+                buf = bytearray()
+                seed = hashlib.md5(bytes(p or b"")).hexdigest()
+                while len(buf) < n_out:
+                    seed = hashlib.md5(seed.encode("ascii")).hexdigest()
+                    buf.extend(bytes.fromhex(seed))
+                payloads.append(bytes(buf[:n_out]))
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["width"] = target_w
+            out["height"] = target_h
+            yield out
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)

@@ -2328,6 +2328,37 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "multimodal_resize",
+    """
+    SELECT doc_id AS media_id,
+           224 AS width, 224 AS height,
+           CAST(6272 AS BIGINT) AS n_bytes,
+           md5(md5(text)) AS head_hex
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over binary payloads (the vision-encoder
+    preprocessing step): mapInPandas in/out on MEDIA_SCHEMA with a
+    deterministic fake bitmap (md5 hex chain). The oracle pins the
+    output dimensions, exact byte size (224*224/8), and the first
+    16-byte block — md5(md5(text)) reproduces the fake decoder's
+    first chain step in SQL, so the binary content is cross-engine
+    verified, not just its shape."""
+    from datasette_upload_csvs_spark.operators import multimodal
+
+    media = multimodal.fake_documents_media(load(spark, sf_dir, "documents"))
+    out = multimodal.resize_media(media, 224, 224)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.lower(F.hex(F.substring("payload", 1, 16))).alias("head_hex"),
+    )
+
+
 # ====================================================================
 # B36 — UDTF-style row expansion (posexplode)
 # ====================================================================
