@@ -5757,6 +5757,49 @@ def equidepth_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "doc_rolling_hash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), hs AS (
+      SELECT doc_id,
+             list_transform(t, x ->
+               CAST(md5_number_lower(x) % 2147483647 AS BIGINT)) AS hs
+      FROM toks
+    )
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                       (a, b) -> (a * 131 + b) % 2147483647) AS rolling_hash
+    FROM hs
+    """,
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint (Rabin–Karp shape): fold
+    acc = (acc*B + h(token)) mod P over the token stream — the
+    order-SENSITIVE fingerprint that complements the sorted-token
+    text_fingerprint (same tokens reordered hash differently). The
+    per-token hash is md5-low-64 (portable), so the whole chain is
+    engine-independent; one map-side fold, no shuffle."""
+    from datasette_upload_csvs_spark.functions.text import tokens as _toks
+    from datasette_upload_csvs_spark.operators.export import md5_low64
+
+    P = 2147483647
+    d = load(spark, sf_dir, "documents")
+    hs = F.transform(
+        _toks(F.col("text")),
+        lambda t: F.pmod(md5_low64(t), F.lit(P)).cast("long"),
+    )
+    rh = F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * F.lit(131) + h, F.lit(P)),
+    )
+    return d.select("doc_id", rh.alias("rolling_hash"))
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
