@@ -88,3 +88,17 @@ def test_connected_components_transitivity_beyond_pairs(spark, sf_dir):
         assert gid == min(members)
     canon = [r for r in out if r["is_canonical"]]
     assert len(canon) == len(by_group)
+
+
+def test_connected_components_long_chain(spark):
+    """A 200-vertex path has diameter 199: plain hash-min would need
+    199 rounds; pointer jumping must converge within max_iter=20
+    (O(log n))."""
+    from datasette_upload_csvs_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    out = graph.connected_components(edges, max_iter=20).collect()
+    assert len(out) == 200
+    assert {r["component"] for r in out} == {0}
