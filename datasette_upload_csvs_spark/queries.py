@@ -5800,6 +5800,92 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", rh.alias("rolling_hash"))
 
 
+@q(
+    "filtered_aggregates",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_finished,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+                FILTER (WHERE o_totalprice > 100000) AS DOUBLE)
+             AS big_revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER (WHERE ...) aggregate clauses — conditional
+    aggregation without CASE contortions, one pass, still map-side
+    partial-agg friendly."""
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_all,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4)))
+                    FILTER (WHERE o_totalprice > 100000) AS DOUBLE)
+                 AS big_revenue
+        FROM {orders}
+        GROUP BY o_orderpriority
+        """,
+        orders=load(spark, sf_dir, "orders"),
+    )
+
+
+@q(
+    "monthly_revenue_ewma",
+    """
+    WITH mo AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS x
+      FROM orders GROUP BY 1
+    ), agg AS (
+      SELECT list(x ORDER BY month) AS xs, list(month ORDER BY month) AS ms
+      FROM mo
+    )
+    SELECT CAST(ms[i] AS DATE) AS month,
+           round(xs[i], 2) AS revenue,
+           round(list_reduce(list_slice(xs, 1, i),
+                             (a, b) -> 0.2 * b + 0.8 * a), 6) AS ewma
+    FROM agg, UNNEST(range(1, len(xs) + 1)) AS u(i)
+    """,
+)
+def monthly_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over the monthly revenue
+    series (alpha=0.2): the recursive smoother windows can't express
+    (state depends on the previous OUTPUT). The series is bounded
+    (months), so it collects to one array row and each point's EWMA
+    is a prefix fold — identical fold order on both engines, so the
+    floats match bit-for-bit. For unbounded per-key series the same
+    fold runs inside applyInPandas per key instead."""
+    o = load(spark, sf_dir, "orders")
+    mo = o.groupBy(F.trunc("o_orderdate", "month").alias("month")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+        .cast("double")
+        .alias("x")
+    )
+    agg = mo.agg(
+        F.array_sort(F.collect_list(F.struct("month", "x"))).alias("mx")
+    ).select(
+        F.expr("transform(mx, e -> e.x)").alias("xs"),
+        F.expr("transform(mx, e -> e.month)").alias("ms"),
+    )
+    return agg.select(
+        F.explode(F.expr("sequence(1, size(xs))")).alias("i"), "xs", "ms"
+    ).select(
+        F.expr("element_at(ms, i)").alias("month"),
+        F.round(F.expr("element_at(xs, i)"), 2).alias("revenue"),
+        F.round(
+            F.expr(
+                "aggregate(slice(xs, 2, i - 1), element_at(xs, 1),"
+                " (acc, x) -> 0.2 * x + 0.8 * acc)"
+            ),
+            6,
+        ).alias("ewma"),
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
