@@ -5886,6 +5886,55 @@ def monthly_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "dq_check_orders",
+    """
+    SELECT 'not_null_o_custkey' AS rule,
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+             AS violations FROM orders
+    UNION ALL
+    SELECT 'accepted_values_o_orderstatus',
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+                AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'in_range_o_totalprice',
+           CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL
+                                 OR o_totalprice < 0
+                                 OR o_totalprice > 1000000) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique_o_orderkey',
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+          HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'ref_o_custkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_custkey IS NOT NULL
+      AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+)
+def dq_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/quality.py): N
+    row-level rules share ONE scan (conditional sums + stack),
+    uniqueness is one grouped agg, referential integrity one
+    broadcast anti-join. The oracle recomputes every rule in SQL."""
+    from datasette_upload_csvs_spark.operators import quality as DQ
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return DQ.check(
+        o,
+        [
+            DQ.not_null("o_custkey"),
+            DQ.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            DQ.in_range("o_totalprice", 0, 1000000),
+            DQ.unique("o_orderkey"),
+            DQ.references("o_custkey", c, "c_custkey"),
+        ],
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
