@@ -45,6 +45,33 @@ def merge_upsert(
     spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
 
 
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Classify every key across two same-schema snapshots:
+    'added' (new only), 'removed' (old only), 'changed' (both, any
+    non-key column differs), 'unchanged'. One full-outer join on the
+    keys with md5-of-struct content comparison — the row-level diff
+    that audits what a merge/CDC feed actually did.
+
+    Content equality via a digest of the non-key struct keeps the
+    comparison one expression regardless of column count (and null-
+    safe: md5 of a struct with NULL fields is stable).
+    """
+    non_keys = [c for c in old.columns if c not in keys]
+    digest = F.md5(F.to_json(F.struct(*[F.col(c) for c in non_keys])))
+    o = old.select(*keys, digest.alias("_h_old"))
+    n = new.select(*keys, digest.alias("_h_new"))
+    j = o.join(n, keys, "full_outer")
+    status = (
+        F.when(F.col("_h_old").isNull(), "added")
+        .when(F.col("_h_new").isNull(), "removed")
+        .when(F.col("_h_old") != F.col("_h_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(*keys, status.alias("diff_status"))
+
+
 def scd2_apply(
     current: DataFrame,
     updates: DataFrame,

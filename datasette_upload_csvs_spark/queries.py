@@ -5935,6 +5935,62 @@ def dq_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 101 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'I', 100.0
+      FROM orders WHERE o_orderkey % 89 = 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  THEN 'changed'
+                ELSE 'unchanged' END AS diff_status
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (operators/merge.snapshot_diff): one
+    full-outer key join classifying every key added / removed /
+    changed / unchanged — the audit of what a merge or CDC feed
+    actually did. Content equality via a digest of the non-key
+    struct (one expression regardless of column count); the oracle
+    compares columns directly with IS DISTINCT FROM — same verdict."""
+    from datasette_upload_csvs_spark.operators import merge
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    modified = base.filter(F.pmod("o_orderkey", F.lit(101)) != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.pmod("o_orderkey", F.lit(97)) == 0,
+            F.col("o_totalprice") + F.lit(10.0),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    added = base.filter(F.pmod("o_orderkey", F.lit(89)) == 0).select(
+        (F.col("o_orderkey") + F.lit(10000000)).alias("o_orderkey"),
+        F.lit("I").alias("o_orderstatus"),
+        F.lit(100.0).alias("o_totalprice"),
+    )
+    return merge.snapshot_diff(
+        base, modified.unionByName(added), ["o_orderkey"]
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
