@@ -5991,6 +5991,78 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "benford_first_digit",
+    """
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                            1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), n AS (SELECT COUNT(*) AS total FROM d)
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs,
+           round(CAST(COUNT(*) AS DOUBLE) / total, 6) AS p_obs,
+           round(log10(1.0 + 1.0 / digit), 6) AS p_benford
+    FROM d CROSS JOIN n
+    GROUP BY digit, total
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution vs Benford's law — the classic
+    anomaly screen for fabricated numeric data. Digit extraction
+    goes through an explicit floor() + bigint (DuckDB's double→int
+    CAST rounds while Spark's truncates, and double→VARCHAR uses
+    scientific notation; floored-integer formatting is identical). Map-side digit + one small agg."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    total = d.count()
+    return d.groupBy("digit").agg(
+        F.count("*").alias("n_obs"),
+        F.round(F.count("*") / F.lit(float(total)), 6).alias("p_obs"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("p_benford"),
+    )
+
+
+@q(
+    "not_in_null_semantics",
+    """
+    SELECT
+      CAST((SELECT COUNT(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    UNION ALL SELECT NULL)) AS BIGINT)
+        AS not_in_with_null,
+      CAST((SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)) AS BIGINT)
+        AS not_exists_count
+    """,
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, pinned: a single NULL in the subquery
+    makes `x NOT IN (...)` never-true (three-valued logic), while
+    NOT EXISTS keeps counting — both engines must agree on BOTH
+    counts (0 and the true anti-join count). The reason anti_join
+    queries in this engine always use left_anti, never NOT IN."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_c_nin")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("_o_nin")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM _c_nin
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM _o_nin
+                                   UNION ALL SELECT NULL)) AS not_in_with_null,
+          (SELECT COUNT(*) FROM _c_nin c
+           WHERE NOT EXISTS (SELECT 1 FROM _o_nin o
+                             WHERE o.o_custkey = c.c_custkey)) AS not_exists_count
+        """
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
