@@ -6063,6 +6063,37 @@ def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "histogram2d_qty_price",
+    """
+    SELECT CAST(floor((l_quantity - 1.0) / 5.0) AS INTEGER) AS qty_bin,
+           CAST(floor(l_extendedprice / 10000.0) AS INTEGER) AS price_bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def histogram2d_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (heatmap binning) over quantity × price: fixed-
+    width bins via floor arithmetic (explicit floor — never a
+    double→int cast, whose rounding differs across engines). One
+    map-side projection + one small agg; the density surface that
+    feeds outlier maps and join-selectivity estimates."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.floor((F.col("l_quantity") - F.lit(1.0)) / F.lit(5.0))
+            .cast("int")
+            .alias("qty_bin"),
+            F.floor(F.col("l_extendedprice") / F.lit(10000.0))
+            .cast("int")
+            .alias("price_bin"),
+        )
+        .groupBy("qty_bin", "price_bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
