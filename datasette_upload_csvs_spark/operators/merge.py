@@ -56,7 +56,9 @@ def snapshot_diff(
 
     Content equality via a digest of the non-key struct keeps the
     comparison one expression regardless of column count (and null-
-    safe: md5 of a struct with NULL fields is stable).
+    safe: md5 of a struct with NULL fields is stable). Keys must be
+    unique within each snapshot (it's a snapshot, not a log); a
+    duplicated key would fan out in the full-outer join.
     """
     non_keys = [c for c in old.columns if c not in keys]
     digest = F.md5(F.to_json(F.struct(*[F.col(c) for c in non_keys])))
@@ -90,6 +92,12 @@ def scd2_apply(
       - every batch row OPENS a new live version
         (valid_from = batch_ts, valid_to = NULL);
       - history rows (valid_to already set) pass through untouched.
+
+    `updates` must be key-unique: two rows for one key in a single
+    batch would open two LIVE versions, breaking the one-live-row
+    invariant. Batch callers dedupe first; the streaming path
+    (streaming/cdc.py) compacts each micro-batch to the latest row
+    per key before calling this.
 
     Change data capture reduced to one left-semi/anti pair plus a
     union — the same single-shuffle shape as merge_upsert_frames.

@@ -66,10 +66,16 @@ def weighted_sample(
     the content hash (sample_key), so the "draw" is reproducible
     cross-engine and stable under repartition. Plan: map-side score
     + global top-k (TakeOrderedAndProject — no full sort).
+
+    Rows with weight <= 0 are excluded up front: zero weight means
+    never sampled by definition, and a negative weight would invert
+    the score (u^(1/w) > 1, always sampled) — a silent corruption
+    of the sample, not a sample.
     """
     score = F.pow(sample_key(F.col(key_col)), 1.0 / F.col(weight_col))
     return (
-        df.withColumn("_ws", score)
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_ws", score)
         .orderBy(F.col("_ws").desc(), F.col(key_col).asc())
         .limit(k)
         .drop("_ws")

@@ -146,9 +146,12 @@ def compact_files(
     bottleneck (driver listing, task scheduling, footer reads — a
     million 1 MB files is an outage, the same data in 8 GB files is
     routine). One pass: size the directory, coalesce (narrow — no
-    shuffle) unless a sort order is requested, rewrite atomically
-    via a staging directory rename. Returns (files_before,
-    files_after).
+    shuffle) unless a sort order is requested, rewrite via a staging
+    directory swapped in by rename. (The remove+rename pair is not
+    one atomic step: a reader racing the swap can see a missing
+    directory — serialize compaction with readers, or compact into
+    a NEW path and flip a catalog/table pointer for true atomicity.)
+    Returns (files_before, files_after).
     """
     import math
     import os

@@ -72,3 +72,12 @@ def test_n_per_group_exact_counts(spark, sf_dir):
     counts = {r["o_orderstatus"]: r["n"] for r in
               out.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
     assert all(v == 7 for v in counts.values()) and len(counts) == 3
+
+
+def test_weighted_sample_guards_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 0.0), (3, -4.0), (4, 5.0)], "k long, w double"
+    )
+    got = {r["k"] for r in
+           sampling.weighted_sample(df, "k", "w", 10).collect()}
+    assert got == {1, 4}  # zero/negative weights never sampled
