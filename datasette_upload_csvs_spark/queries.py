@@ -6094,6 +6094,88 @@ def histogram2d_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "monthly_trend_by_nation",
+    """
+    WITH mo AS (
+      SELECT n.n_name,
+             CAST(date_diff('month', DATE '1992-01-01',
+                            date_trunc('month', o.o_orderdate)) AS BIGINT)
+               AS xm,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,4))) AS DOUBLE) AS y
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ), comp AS (
+      SELECT n_name,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xm) AS BIGINT) AS sx,
+             CAST(SUM(xm * xm) AS BIGINT) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xm * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+      FROM mo GROUP BY n_name
+    )
+    SELECT n_name, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n, 6) AS intercept
+    FROM comp
+    """,
+)
+def monthly_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS trend: revenue slope/intercept per nation over
+    month index — linear regression decomposed into exact component
+    sums (counts, Σx, Σx², decimal Σy, decimal Σxy) so every group's
+    fit is map-side partial-agg friendly AND bit-identical
+    cross-engine (a built-in regr_slope sums doubles in partition
+    order — never hash-matches). Two broadcast dims + two small
+    aggs."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    mo = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            (
+                (F.year(F.trunc("o_orderdate", "month")) - F.lit(1992))
+                * F.lit(12)
+                + F.month(F.trunc("o_orderdate", "month"))
+                - F.lit(1)
+            )
+            .cast("bigint")
+            .alias("xm"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,4)"))
+            .cast("double")
+            .alias("y")
+        )
+    )
+    comp = mo.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.sum("xm").alias("sx"),
+        F.sum(F.col("xm") * F.col("xm")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(28,4)")).cast("double").alias("sy"),
+        F.sum((F.col("xm") * F.col("y")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return comp.select(
+        "n_name",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
