@@ -6176,6 +6176,30 @@ def monthly_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "price_percentiles_by_status",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def price_percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (linear interpolation — Spark
+    percentile() and DuckDB quantile_cont share the formula; round-4
+    absorbs the last-ulp of the interpolation arithmetic). Exact
+    percentile is a per-group sort: fine per status group; the
+    sketch path for wide groups is approx_percentile_gate."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
