@@ -6200,6 +6200,41 @@ def price_percentiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "robust_dispersion_mad",
+    """
+    WITH med AS (
+      SELECT quantile_cont(o_totalprice, 0.5) AS m FROM orders
+    )
+    SELECT round(med.m, 4) AS median_price,
+           round(quantile_cont(abs(o_totalprice - med.m), 0.5), 4) AS mad,
+           round(quantile_cont(abs(o_totalprice - med.m), 0.5) * 1.4826, 4)
+             AS sigma_robust
+    FROM orders CROSS JOIN med
+    GROUP BY med.m
+    """,
+)
+def robust_dispersion_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation — the outlier-immune dispersion
+    measure (stddev is itself corrupted by the outliers you're
+    hunting; MAD×1.4826 estimates σ robustly). Two exact-percentile
+    passes: the median is a 1-row cross join back into the absolute
+    deviations — no collect, both passes distribute."""
+    o = load(spark, sf_dir, "orders")
+    med = o.agg(F.expr("percentile(o_totalprice, 0.5)").alias("m"))
+    dev = o.crossJoin(F.broadcast(med))
+    return dev.groupBy("m").agg(
+        F.round(F.first("m"), 4).alias("median_price"),
+        F.round(F.expr("percentile(abs(o_totalprice - m), 0.5)"), 4).alias(
+            "mad"
+        ),
+        F.round(
+            F.expr("percentile(abs(o_totalprice - m), 0.5)") * F.lit(1.4826),
+            4,
+        ).alias("sigma_robust"),
+    ).drop("m")
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
