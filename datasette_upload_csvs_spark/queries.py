@@ -1482,9 +1482,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "dedup_containment",
-    """
+_CAPPED_CONTAINMENT_ORACLE = """
     WITH toks AS (
       SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
                                  x -> x <> '') AS t
@@ -1492,27 +1490,48 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sh AS (
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
       FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)
+    ), dfreq AS (
+      SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+    ), rare AS (
+      SELECT s.doc_id, s.shingle
+      FROM sh s JOIN dfreq d ON s.shingle = d.shingle
+      WHERE d.df <= {max_df}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      SELECT c.id_a, c.id_b, COUNT(*) AS shared
+      FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                  JOIN sh b ON b.doc_id = c.id_b AND a.shingle = b.shingle
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
            CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS containment
     FROM pairs JOIN sizes sa ON id_a = sa.doc_id
                JOIN sizes sb ON id_b = sb.doc_id
-    WHERE CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.6
-    """,
-)
+    WHERE CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= {thr}
+"""
+
+
+@q("dedup_containment", _CAPPED_CONTAINMENT_ORACLE.format(max_df=20, thr="0.6"))
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment (overlap coefficient): shared/min(|A|,|B|) — the
     measure that catches a short document wholly embedded in a longer
     one, which Jaccard dilutes. Same shingle inverted index, different
-    normalizer."""
+    normalizer.
+
+    Candidate generation is max_df-capped (shingles in > 20 docs are
+    excluded from the inverted-index self-join — the frequent-item
+    cut), then candidates are verified with EXACT counts over the
+    full shingle sets, so a boilerplate shingle present in df docs
+    can never create an O(df²) bucket. The oracle implements the
+    identical cap. The uncapped single-pass form remains available as
+    dedup.ngram_jaccard_pairs(max_df=None) — the small/trusted-corpus
+    baseline."""
     pairs = dedup.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), threshold=0.0
+        load(spark, sf_dir, "documents"), threshold=0.0, max_df=20
     )
     return (
         pairs.withColumn(

@@ -102,3 +102,39 @@ def test_connected_components_long_chain(spark):
     out = graph.connected_components(edges, max_iter=20).collect()
     assert len(out) == 200
     assert {r["component"] for r in out} == {0}
+
+
+def test_max_df_cap_kills_hot_shingle_bucket(spark):
+    """Skewed corpus: one boilerplate phrase in 50% of docs. The
+    uncapped inverted-index self-join produces an O(df²) pair set
+    from the hot shingle alone; the max_df-capped candidate path
+    must stay linear (only pairs sharing RARE content survive), and
+    every capped pair's similarity is still exact."""
+    n = 200
+    hot = "all rights reserved worldwide"
+    rows = []
+    for i in range(n):
+        # unique filler so docs share nothing except the boilerplate
+        body = " ".join(f"w{i}x{j}" for j in range(10))
+        text = f"{body} {hot}" if i % 2 == 0 else body
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.0).count()
+    capped = dedup.ngram_jaccard_pairs(docs, threshold=0.0, max_df=20).count()
+    # 100 hot docs → C(100,2)=4950 quadratic pairs without the cap
+    assert uncapped >= 4950
+    # with the cap no pair shares a rare shingle → zero candidates
+    assert capped == 0
+
+    # and on a corpus with genuine near-dups the capped path still
+    # finds them with EXACT similarity (verify step uses full sets)
+    twins = spark.createDataFrame(
+        [(500, "alpha beta gamma delta epsilon zeta " + hot),
+         (501, "alpha beta gamma delta epsilon zeta " + hot)],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(twins)
+    pairs = dedup.ngram_jaccard_pairs(both, threshold=0.9, max_df=20).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(500, 501)]
+    assert pairs[0]["jaccard"] == 1.0
