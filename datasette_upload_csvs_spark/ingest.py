@@ -251,6 +251,63 @@ def sniff_multiline(
     return False
 
 
+def quote_balance_probe(
+    spark: SparkSession, path: str, quote: str = '"'
+) -> bool:
+    """True if any physical line has an ODD number of quote chars —
+    the signature of a quoted field containing an embedded newline
+    (RFC 4180 quoting always closes within a record: opening/closing
+    quotes pair up and doubled escape quotes come in pairs, so a
+    complete one-line record has even quote parity; a record split
+    across lines leaves odd-parity fragments).
+
+    This is the full-file check the head sniff can't give: it runs as
+    a SPLITTABLE distributed text scan (parallel at any size, unlike
+    the multiLine CSV scan it guards) with limit(1) early-stop, and
+    is only invoked when the file extends past the sniff window. A
+    stray unbalanced quote in a malformed unquoted field can
+    false-positive; that costs scan parallelism, never correctness.
+    """
+    probe = spark.read.text(path)
+    odd = (
+        F.length("value")
+        - F.length(F.translate("value", quote, ""))
+    ) % 2 == 1
+    return bool(probe.filter(odd).limit(1).count() > 0)
+
+
+def resolve_multiline(
+    spark: SparkSession,
+    path: str,
+    encoding: str,
+    sniff_bytes: int = SNIFF_BYTES_DEFAULT,
+    delimiter: str = ",",
+    quote: str = '"',
+) -> bool:
+    """Decide the multiLine scan mode safely: head sniff first, and —
+    when the file is larger than the sniff window so the head may
+    not be representative — confirm the negative with the
+    distributed quote-balance probe. Closes the silent-corruption
+    window where the first quoted embedded newline sits past the
+    sniff head (records would split mid-field and PERMISSIVE
+    null-padding would swallow the damage without an error)."""
+    if sniff_multiline(path, encoding, sniff_bytes, delimiter, quote):
+        return True
+    p = path
+    if os.path.isdir(p):
+        parts = [
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if not f.startswith(("_", "."))
+        ]
+        size = sum(os.path.getsize(f) for f in parts)
+    else:
+        size = os.path.getsize(p)
+    if size <= sniff_bytes and not path.endswith(".gz"):
+        return False  # head covered the whole file; sniff is exact
+    return quote_balance_probe(spark, path, quote)
+
+
 def _head_bytes(path: str, n: int) -> bytes:
     """First n bytes of the (logical) file. `.gz` inputs are
     transparently decompressed: Spark's CSV scan picks its
@@ -582,8 +639,8 @@ def upload_csv(
     try:
         encoding = detect_encoding(path, sniff_bytes)
         if multiline is None:
-            multiline = sniff_multiline(
-                path, encoding, sniff_bytes, delimiter
+            multiline = resolve_multiline(
+                spark, path, encoding, sniff_bytes, delimiter
             )
         raw = read_csv_all_strings(
             spark, path, encoding, delimiter=delimiter, multiline=multiline
@@ -694,14 +751,20 @@ def append_csv(
     _check_allowed(actor)
     task_id = str(uuid.uuid4())
     if not spark.catalog.tableExists(table):
-        return upload_csv(spark, path, table=table, sniff_bytes=sniff_bytes)
+        # forward the actor: the permission check above already
+        # passed, but upload_csv re-checks and must see the same
+        # identity (a None fall-through would wrongly Forbidden an
+        # authorized actor under a deny-anonymous hook)
+        return upload_csv(
+            spark, path, table=table, sniff_bytes=sniff_bytes, actor=actor
+        )
 
     encoding = detect_encoding(path, sniff_bytes)
     raw = read_csv_all_strings(
         spark,
         path,
         encoding,
-        multiline=sniff_multiline(path, encoding, sniff_bytes),
+        multiline=resolve_multiline(spark, path, encoding, sniff_bytes),
     )
     types = infer_column_types(raw)
     typed = apply_types(raw, types)

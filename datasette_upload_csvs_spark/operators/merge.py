@@ -33,16 +33,32 @@ def merge_upsert_frames(
     return kept.unionByName(updates)
 
 
+def swap_stage(spark: SparkSession, stage: str, table: str) -> None:
+    """Publish `stage` as `table` via DROP + RENAME.
+
+    NOT atomic: the two catalog statements leave a window where a
+    crash or a concurrent reader sees `table` missing entirely (the
+    data itself is never lost — the stage table still holds it, and
+    re-running the swap completes recovery). The session catalog's
+    v1 tables support neither transactional RENAME-over nor CREATE
+    OR REPLACE TABLE AS SELECT; with a v2 transactional format
+    (Delta/Iceberg) this helper is where a real atomic
+    replace/MERGE would slot in. Same caveat as
+    sources/layout.py::compact_files."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+
+
 def merge_upsert(
     spark: SparkSession, table: str, updates: DataFrame, keys: list[str]
 ) -> None:
     """Apply an update batch to a managed table in place (staging
-    swap; see module docstring)."""
+    swap; see module docstring and swap_stage for the atomicity
+    caveat)."""
     merged = merge_upsert_frames(spark.table(table), updates, keys)
     stage = f"{table}__stage"
     merged.write.mode("overwrite").saveAsTable(stage)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+    swap_stage(spark, stage, table)
 
 
 def snapshot_diff(

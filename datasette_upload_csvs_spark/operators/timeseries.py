@@ -29,10 +29,25 @@ def ewma_by_key(
     s_0 = x_0. One shuffle (groupBy key); series length bounded by
     per-key history, not corpus size.
     """
-    out_schema = f"{key_col} long, {ts_col} timestamp, {value_col} double, ewma double"
+    # derive key/ts field types from the input schema: the generic
+    # signature accepts string keys or date timestamps, and a
+    # hardcoded "long/timestamp" would fail the applyInPandas schema
+    # check at runtime for them
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(
+        [
+            in_fields[key_col],
+            in_fields[ts_col],
+            StructField(value_col, DoubleType(), True),
+            StructField("ewma", DoubleType(), True),
+        ]
+    )
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col)
+        pdf[value_col] = pdf[value_col].astype("float64")
         pdf["ewma"] = (
             pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
         )

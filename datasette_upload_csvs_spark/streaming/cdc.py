@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datasette_upload_csvs_spark.operators.merge import scd2_apply
+from datasette_upload_csvs_spark.operators.merge import scd2_apply, swap_stage
 
 
 def maintain_scd2_stream(
@@ -66,8 +66,9 @@ def maintain_scd2_stream(
         merged = scd2_apply(current, updates, keys, F.lit(batch_ts))
         stage = f"{table}__stage"
         merged.write.mode("overwrite").saveAsTable(stage)
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+        # swap_stage is NOT atomic (DROP→RENAME window); on crash the
+        # stage table still holds the merged state for recovery
+        swap_stage(spark, stage, table)
         batches["n"] += 1
 
     q = (

@@ -39,10 +39,14 @@ def merge_rollup(
     written to a staging table (reading the current rollup while
     writing a *different* table breaks the read-then-overwrite
     cycle without materializing on the driver), then swapped in via
-    DROP + RENAME. This keeps high-cardinality rollup keys (e.g.
-    per-user, 100M groups at corpus scale) distributed — no
-    O(groups) driver allocation ever happens.
+    DROP + RENAME (operators/merge.py::swap_stage — NOT atomic; a
+    reader between the two statements sees the table missing). This
+    keeps high-cardinality rollup keys (e.g. per-user, 100M groups
+    at corpus scale) distributed — no O(groups) driver allocation
+    ever happens.
     """
+    from datasette_upload_csvs_spark.operators.merge import swap_stage
+
     if spark.catalog.tableExists(table):
         state = spark.table(table).unionByName(state)
     merged = state.groupBy(*keys).agg(
@@ -51,8 +55,7 @@ def merge_rollup(
     )
     stage = f"{table}__stage"
     merged.write.mode("overwrite").saveAsTable(stage)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    spark.sql(f"ALTER TABLE {stage} RENAME TO {table}")
+    swap_stage(spark, stage, table)
 
 
 def maintain_rollup_stream(

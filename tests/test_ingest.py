@@ -357,3 +357,54 @@ def test_permission_gate(spark, tmp_path):
         ingest.set_allow_hook(None)
     # gate cleared: open again
     assert ingest.upload_csv(spark, path, table="gated_open").error is None
+
+
+def test_append_csv_forwards_actor_to_upload(spark, tmp_path):
+    """append_csv on a NOT-yet-existing table falls through to
+    upload_csv; the actor must ride along or a deny-anonymous hook
+    wrongly rejects an authorized appender."""
+    path = write(tmp_path, "fwd.csv", SIMPLE)
+    ingest.set_allow_hook(
+        lambda actor, action: bool(actor) and actor.get("id") == "root"
+    )
+    try:
+        res = ingest.append_csv(
+            spark, path, table="fwd_actor_tbl", actor={"id": "root"}
+        )
+        assert res.error is None and res.rows == 2
+    finally:
+        ingest.set_allow_hook(None)
+
+
+def test_quoted_newline_past_sniff_window_escalates(spark, tmp_path):
+    """The head sniff can't see a quoted embedded newline that first
+    appears beyond sniff_bytes; the quote-balance probe must catch it
+    and escalate to the multiLine scan instead of silently splitting
+    the record mid-field."""
+    filler = "".join(f"{i},plainrow{i}\n" for i in range(300))
+    content = "id,note\n" + filler + '9999,"line one\nline two"\n'
+    assert len(content) > 2048
+    path = write(tmp_path, "late_quote.csv", content.encode())
+    res = ingest.upload_csv(
+        spark, path, table="late_quote_tbl", sniff_bytes=1024
+    )
+    assert res.error is None
+    assert res.rows == 301  # 300 filler + 1 multiline record
+    row = (
+        spark.table("late_quote_tbl")
+        .filter(F.col("id") == 9999)
+        .collect()[0]
+    )
+    assert row["note"] == "line one\nline two"
+
+
+def test_quote_balance_probe_negative_stays_splittable(spark, tmp_path):
+    """A big quote-free CSV must NOT escalate: resolve_multiline
+    keeps the splittable scan when the full-file probe finds balanced
+    quotes everywhere."""
+    content = "id,v\n" + "".join(f"{i},x{i}\n" for i in range(500))
+    path = write(tmp_path, "clean_big.csv", content.encode())
+    assert (
+        ingest.resolve_multiline(spark, path, "utf-8", sniff_bytes=512)
+        is False
+    )

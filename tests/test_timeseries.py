@@ -52,3 +52,24 @@ def test_ewma_by_key_matches_fold(spark, sf_dir):
         F.abs(F.col("ewma") - F.col("ewma_ref")) > 1e-9
     ).count()
     assert bad == 0
+
+
+def test_ewma_by_key_string_key_and_date_ts(spark):
+    """Schema is derived from the input: string keys and date
+    timestamps must work (the schema was previously hardcoded
+    long/timestamp)."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            ("a", dt.date(2024, 1, 1), 1),
+            ("a", dt.date(2024, 1, 2), 3),
+            ("b", dt.date(2024, 1, 1), 10),
+        ],
+        "k string, d date, v int",
+    )
+    out = ewma_by_key(df, "k", "d", "v", alpha=0.5).collect()
+    got = {(r["k"], str(r["d"])): r["ewma"] for r in out}
+    assert got[("a", "2024-01-01")] == 1.0
+    assert got[("a", "2024-01-02")] == 2.0  # 0.5*3 + 0.5*1
+    assert got[("b", "2024-01-01")] == 10.0
