@@ -256,6 +256,59 @@ def lsh_topk(
     )
 
 
+def ivf_index(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    fit_sample_target: int = 4096,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Build the IVF index: (assigned inverted lists, centroids,
+    fit_count).
+
+    The coarse quantizer trains on a deterministic-seed SAMPLE of
+    the corpus, never the full table: at 100 TB a full-corpus
+    KMeans.fit is several complete passes just to place
+    n_clusters×dim floats, while a few thousand vectors pin the same
+    centroids (k-means needs O(k·dim) effective parameters).
+    `fit_sample_target` caps the expected sample size; corpora at or
+    below the target train on everything.
+
+    The returned lists are repartitioned BY CLUSTER ID, so each
+    inverted list is co-located: a probe of n_probe clusters touches
+    n_probe partitions, not a shard of every partition — the
+    IVF-Flat layout (FAISS) expressed as a DataFrame partitioning.
+    Assignment itself is a map-side argmin against broadcast
+    centroids (model.transform), no shuffle before the repartition.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+    ml = v.withColumn("features", array_to_vector("v"))
+    n = ml.count()
+    fraction = min(1.0, float(fit_sample_target) / max(n, 1))
+    fit_input = ml.sample(fraction=fraction, seed=seed) if fraction < 1.0 else ml
+    fit_input = fit_input.persist()
+    fit_count = fit_input.count()
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(
+        fit_input
+    )
+    fit_input.unpersist()
+    assigned = (
+        model.transform(ml)
+        .select(id_col, "v", F.col("prediction").alias("cluster"))
+        .repartition(n_clusters, "cluster")
+    )
+    spark = emb.sparkSession
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, center array<double>",
+    )
+    return assigned, centers, fit_count
+
+
 def ivf_topk(
     emb: DataFrame,
     query_id: int,
@@ -267,30 +320,17 @@ def ivf_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: k-means
-    coarse quantizer → per-cluster inverted lists → probe the n_probe
-    centroids nearest the query.
+    coarse quantizer (sample-trained; see ivf_index) → per-cluster
+    co-located inverted lists → probe the n_probe centroids nearest
+    the query.
 
-    Scale shape: the quantizer trains on a sample (MLlib KMeans is a
-    few passes over n_clusters×dim floats of state), assignment is a
-    map-side argmin over broadcast centroids, and a query touches
-    n_probe/n_clusters of the corpus. This is the FAISS IVF-Flat
-    layout expressed as DataFrames; repartition by cluster id to make
-    each inverted list one partition range.
+    A query touches n_probe/n_clusters of the corpus, and those
+    rows live in whole partitions (the index is repartitioned by
+    cluster), so partition pruning after a bucket-join keeps probe
+    I/O proportional to the probed lists.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    v = emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
-    ml = v.withColumn("features", array_to_vector("v"))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(ml)
-    assigned = model.transform(ml).select(
-        id_col, "v", F.col("prediction").alias("cluster")
-    )
-
-    spark = emb.sparkSession
-    centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        f"cluster int, center array<double>",
+    assigned, centers, _ = ivf_index(
+        emb, n_clusters, vec_col, id_col, seed
     )
     q = assigned.filter(F.col(id_col) == query_id).select(
         F.col(id_col).alias("query_id"), F.col("v").alias("qv")

@@ -138,3 +138,31 @@ def test_max_df_cap_kills_hot_shingle_bucket(spark):
     pairs = dedup.ngram_jaccard_pairs(both, threshold=0.9, max_df=20).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(500, 501)]
     assert pairs[0]["jaccard"] == 1.0
+
+
+def test_ivf_quantizer_trains_on_sample(spark, sf_dir):
+    """ivf_index must fit k-means on a deterministic sample, not the
+    full corpus, and still place every vector in a cluster with
+    co-located (cluster-partitioned) lists."""
+    from datasette_upload_csvs_spark.operators import similarity
+    from datasette_upload_csvs_spark.sources.parquet import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    assigned, centers, fit_count = similarity.ivf_index(
+        emb, n_clusters=8, fit_sample_target=100
+    )
+    assert fit_count < n  # the fit input is a strict sample
+    assert fit_count >= 50  # ...but big enough to train on
+    assert assigned.count() == n  # every vector assigned
+    assert centers.count() == 8
+    # co-location invariant: every cluster's list lives wholly in
+    # ONE partition (hash partitioning may pack several clusters
+    # into the same partition; it must never split one)
+    spread = (
+        assigned.withColumn("p", F.spark_partition_id())
+        .groupBy("cluster")
+        .agg(F.countDistinct("p").alias("np"))
+        .collect()
+    )
+    assert max(r["np"] for r in spread) == 1
