@@ -1671,20 +1671,51 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
+    ), anchors AS (
+      SELECT vec_id AS anchor_id, v AS av FROM v WHERE vec_id < 64
+    ), scored AS (
+      SELECT x.vec_id, a.anchor_id,
+             list_sum(list_transform(range(1, len(x.v) + 1),
+                      i -> x.v[i] * a.av[i]))
+               / (sqrt(list_sum(list_transform(x.v, e -> e * e)))
+                  * sqrt(list_sum(list_transform(a.av, e -> e * e)))) AS ac
+      FROM v x CROSS JOIN anchors a
+    ), assign AS (
+      SELECT vec_id, anchor_id FROM (
+        SELECT vec_id, anchor_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ac DESC, anchor_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= 6
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assign a JOIN assign b
+        ON a.anchor_id = b.anchor_id AND a.vec_id < b.vec_id
     ), p AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_sum(list_transform(range(1, len(a.v) + 1),
-                      i -> a.v[i] * b.v[i]))
-               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos_raw
-      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      SELECT c.id_a, c.id_b,
+             list_sum(list_transform(range(1, len(x.v) + 1),
+                      i -> x.v[i] * y.v[i]))
+               / (sqrt(list_sum(list_transform(x.v, e -> e * e)))
+                  * sqrt(list_sum(list_transform(y.v, e -> e * e)))) AS cos_raw
+      FROM cand c JOIN v x ON x.vec_id = c.id_a
+                  JOIN v y ON y.vec_id = c.id_b
     )
     SELECT id_a, id_b, round(cos_raw, 6) AS cos_sim
     FROM p WHERE cos_raw >= 0.35
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_near_dup_pairs(
+    """Embedding near-dup pairs on BUCKETED candidates: anchor
+    blocking (top-6 of the 64 smallest-id vectors as anchors — the
+    deterministic, cross-engine-reproducible stand-in for a k-means
+    coarse quantizer), candidate pairs share an anchor via a bucket
+    equi-join, exact cosine ≥ 0.35 verifies. The oracle reproduces
+    the identical anchor assignment, so the pair set is pinned. The
+    all-pairs exact form (previous registration) remains as
+    dedup.embedding_near_dup_pairs — the recall baseline; its
+    BroadcastNestedLoopJoin over n² pairs is exactly what this entry
+    replaces for corpus scale."""
+    return dedup.embedding_anchor_block_pairs(
         load(spark, sf_dir, "embeddings"), threshold=0.35
     )
 

@@ -166,3 +166,34 @@ def test_ivf_quantizer_trains_on_sample(spark, sf_dir):
         .collect()
     )
     assert max(r["np"] for r in spread) == 1
+
+
+def test_anchor_block_recall_and_plan_shape(spark, sf_dir):
+    """The bucketed embedding near-dup path must (a) recover ≥ 0.85
+    of the exact all-pairs result at the corpus threshold and (b)
+    generate candidates via an anchor_id EQUI-join — the only
+    nested-loop join allowed is corpus × broadcast-anchors scoring
+    (O(n·k), the IVF assignment shape)."""
+    from datasette_upload_csvs_spark.sources.parquet import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = dedup.embedding_near_dup_pairs(emb, threshold=0.35).select(
+        "id_a", "id_b"
+    )
+    blocked = dedup.embedding_anchor_block_pairs(emb, threshold=0.35)
+    n_exact = exact.count()
+    hit = exact.join(
+        blocked.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    ).count()
+    assert n_exact > 0
+    assert hit / n_exact >= 0.85
+
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    # the n×n pair join must be an EQUI-join on anchor_id, never a
+    # nested loop
+    assert "SortMergeJoin [anchor_id" in plan or (
+        "ShuffledHashJoin [anchor_id" in plan
+    )
+    # BNLJ appears only for corpus × broadcast-anchors scoring —
+    # O(n·k) — once per self-join side (the subplan is not reused)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
