@@ -1865,7 +1865,10 @@ def similarity_lsh_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-join batch ANN: every query's candidates come from
     LSH bucket proximity, scored in one join. Gate: mean recall@10
     vs the exact batch ≥ 30% (5 planes / Hamming-2 multiprobe
-    measures 0.57–0.75 across sf0.001–sf0.1)."""
+    measures 0.57–0.75 across sf0.001–sf0.1 — the intrinsic ceiling
+    of data-INDEPENDENT sign-random-projection when true neighbors
+    sit near the random-pair cosine background; the ≥0.9-recall
+    bucketed path is similarity_anchor_topk_batch)."""
     emb = load(spark, sf_dir, "embeddings")
     qids = list(range(8))
     exact = similarity.brute_force_topk_batch(emb, qids, 10).select(
@@ -1879,6 +1882,44 @@ def similarity_lsh_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(len(qids), total > 0 and hits / total >= 0.30)],
         "n_queries long, recall_ok boolean",
+    )
+
+
+@q(
+    "similarity_anchor_topk_batch",
+    "SELECT CAST(8 AS BIGINT) AS n_queries, TRUE AS recall_ok, TRUE AS pruned",
+)
+def similarity_anchor_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship bucketed batch ANN: anchor-cell probing (IVF with
+    deterministic anchors; similarity.anchor_topk_batch). Gate:
+    mean recall@10 vs the exact batch ≥ 0.9 AND the candidate set
+    is a strict subset of the corpus (measured 0.92-1.00 recall at
+    ~25% candidate fraction across sf0.001-sf0.1 — vs the 0.57-0.75
+    ceiling of sign-random-projection LSH on this corpus)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qids = list(range(8))
+    exact = similarity.brute_force_topk_batch(emb, qids, 10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.anchor_topk_batch(emb, qids, 10).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").count()
+    total = exact.count()
+    # pruning proof: candidates scored per query < half the corpus
+    n = emb.count()
+    cand_rows = similarity.anchor_topk_batch(
+        emb, qids, k=n, probe_corpus=3, probe_query=6
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                len(qids),
+                total > 0 and hits / total >= 0.9,
+                cand_rows < len(qids) * n // 2,
+            )
+        ],
+        "n_queries long, recall_ok boolean, pruned boolean",
     )
 
 
