@@ -56,3 +56,50 @@ def test_ingest_600k_rows(spark, tmp_path):
         F.sum(F.col("l_quantity").cast("decimal(28,4)")).cast("double").alias("s"),
     ).collect()[0]
     assert (got["n"], got["s"]) == (want["n"], want["s"])
+
+
+def test_single_256mb_csv_splits_and_ticks(spark, tmp_path):
+    """The 100 TB ingest claim in one test: ONE ≥256 MB CSV file must
+    (a) scan as a SPLITTABLE multi-partition input (multiLine stays
+    off — this is why a single huge upload parallelizes), (b) emit
+    mid-flight progress ticks from the statusTracker poller, and
+    (c) infer types correctly end to end."""
+    # build the file with Spark itself (driver-side generation of
+    # 256MB would dominate the test): ~6.6M rows ≈ 260 MB
+    n = 8_200_000
+    gen = spark.range(n).selectExpr(
+        "id AS k",
+        "concat('name_', id % 1000) AS name",
+        "CAST(id % 97 AS DOUBLE) / 7 AS score",
+    )
+    out_dir = os.path.join(str(tmp_path), "big_single")
+    gen.coalesce(1).write.option("header", True).mode("overwrite").csv(out_dir)
+    part = [f for f in os.listdir(out_dir) if f.endswith(".csv")][0]
+    path = os.path.join(out_dir, part)
+    size = os.path.getsize(path)
+    assert size >= 256 * 1024 * 1024, f"generated only {size} bytes"
+
+    raw = ingest.read_csv_all_strings(spark, path, "utf-8")
+    nparts = raw.rdd.getNumPartitions()
+    assert nparts > 1, f"single-file scan not split (got {nparts} partition)"
+
+    t0 = time.perf_counter()
+    res = ingest.upload_csv(spark, path, table="big_single_tbl",
+                            progress_interval=0.2)
+    elapsed = time.perf_counter() - t0
+    assert res.error is None
+    assert res.rows == n
+    assert res.types == {"k": "integer", "name": "text", "score": "float"}
+
+    hist = (
+        spark.table(ingest.PROGRESS_TABLE)
+        .filter(F.col("id") == res.task_id)
+        .orderBy("seq")
+        .collect()
+    )
+    mids = [r for r in hist if 0 < r["bytes_done"] < r["bytes_todo"]]
+    assert mids, "no mid-flight progress tick on a 256MB ingest"
+    bd = [r["bytes_done"] for r in hist]
+    assert bd == sorted(bd)
+    assert hist[-1]["bytes_done"] == hist[-1]["bytes_todo"] == size
+    assert elapsed < 180, f"256MB ingest took {elapsed:.1f}s"
