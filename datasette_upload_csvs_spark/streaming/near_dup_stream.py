@@ -53,13 +53,27 @@ def maintain_near_dup_stream(
     threshold: float = 0.7,
     num_perm: int = 128,
     n_bands: int = 32,
+    checkpoint_dir: str | None = None,
 ) -> int:
     """Drain a parquet stream of (doc_id, text) into near-dup PAIRS
     (pairs_table) while maintaining the LSH band index + shingle-set
     store (index_table, index_table + '__sets'). Trigger.AvailableNow;
     returns micro-batches processed. Pair direction: id_a < id_b, so
     batch-vs-history and in-batch pairs land identically to a batch
-    run over the full corpus (verified by test)."""
+    run over the full corpus (verified by test).
+
+    `checkpoint_dir` makes the stream RESUMABLE: a stopped/killed
+    query restarted with the same checkpoint skips already-committed
+    source files, so the maintained index keeps extending instead of
+    reprocessing history (restart test proves index == batch-rebuilt).
+    Recovery grain is the micro-batch: foreachBatch offsets commit
+    AFTER the sink returns, so a kill mid-batch replays that whole
+    batch on restart — the three appends (pairs/bands/sets) would
+    then double-apply that batch's rows. At this state shape the fix
+    is an epoch-keyed idempotent append (stage each batch under its
+    epoch id and MERGE); kept out of the default path because the
+    common failure (kill BETWEEN batches, e.g. a drained
+    availableNow run) recovers exactly."""
     rows = num_perm // n_bands
     sets_table = f"{index_table}__sets"
     batches = {"n": 0}
@@ -126,13 +140,15 @@ def maintain_near_dup_stream(
         new_bands.unpersist()
         batches["n"] += 1
 
-    q = (
+    writer = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
         .writeStream.foreachBatch(sink)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
     q.awaitTermination()
     return batches["n"]

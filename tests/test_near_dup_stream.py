@@ -48,3 +48,67 @@ def test_stream_near_dup_equals_batch(spark, sf_dir, tmp_path):
     assert spark.table("nd_pairs").count() == len(got)
     for t in ("nd_pairs", "nd_index", "nd_index__sets"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stream_near_dup_restart_from_checkpoint(spark, sf_dir, tmp_path):
+    """Kill-and-restart recovery: drain 2 arrival files, stop (the
+    availableNow query terminates — the 'kill'), land 2 more files,
+    restart with the SAME checkpoint. The restarted run must process
+    ONLY the new files (no index double-append), and the final
+    pairs/index must equal a batch rebuild over the full corpus."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_stream_ckpt")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def land(i):
+        part = docs.filter(F.pmod("doc_id", F.lit(4)) == i)
+        d = str(tmp_path / f"cp{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        name = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(d, name), os.path.join(src, f"arrival_{i}.parquet"))
+
+    for t in ("ndr_pairs", "ndr_index", "ndr_index__sets"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    land(0); land(1)
+    n1 = maintain_near_dup_stream(
+        spark, src, "doc_id bigint, text string",
+        pairs_table="ndr_pairs", index_table="ndr_index", threshold=0.7,
+        checkpoint_dir=ckpt,
+    )
+    assert n1 == 2
+    idx_after_first = spark.table("ndr_index").count()
+
+    land(2); land(3)
+    n2 = maintain_near_dup_stream(
+        spark, src, "doc_id bigint, text string",
+        pairs_table="ndr_pairs", index_table="ndr_index", threshold=0.7,
+        checkpoint_dir=ckpt,
+    )
+    # restart processed ONLY the two new files
+    assert n2 == 2
+
+    # the index extended (new docs) but never re-appended old bands:
+    # per-doc band rows appear exactly once
+    spark.catalog.refreshTable("ndr_index")
+    idx = spark.table("ndr_index")
+    assert idx.count() > idx_after_first
+    assert (
+        idx.groupBy("doc_id", "band").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+
+    # stream result == batch rebuild over the full corpus
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 10))
+        for r in spark.table("ndr_pairs").collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 10))
+        for r in dedup.minhash_near_dup_pairs(docs, threshold=0.7).collect()
+    }
+    assert got == want and got
+    assert spark.table("ndr_pairs").count() == len(got)
+    for t in ("ndr_pairs", "ndr_index", "ndr_index__sets"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
