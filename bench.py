@@ -31,6 +31,13 @@ HEADLINE = [
     "similarity_topk_batch",
     "text_word_freq",
     "multimodal_feature_extract",
+    # ≥3-shuffle analytics tier: multi-exchange plans whose exchanges
+    # are algorithmic stages — regressions here are invisible to the
+    # 0/1-shuffle queries above
+    "text_tfidf_top_terms",
+    "events_weekly_retention",
+    "q15_top_supplier",
+    "similarity_anchor_topk_results",
 ]
 
 

@@ -211,17 +211,43 @@ def anchor_topk_batch(
     """
     from pyspark.sql import Window
 
-    v = emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+    from datasette_upload_csvs_spark.functions.vector import l2_norm
+
+    # repartition before the O(n·k) scoring: a single-file corpus
+    # would otherwise run every interpreted HOF cosine on one core;
+    # norms are precomputed once per vector so scoring is one dot +
+    # one divide instead of three folds per (vector, anchor)
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    v = (
+        emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+        .repartition(par)
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
     anchors = v.filter(F.col(id_col) < k_anchors).select(
-        F.col(id_col).alias("anchor_id"), F.col("v").alias("av")
+        F.col(id_col).alias("anchor_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"),
     )
     scored_anchors = v.join(F.broadcast(anchors)).select(
-        id_col, "v", "anchor_id", cosine(F.col("v"), F.col("av")).alias("ac")
+        id_col,
+        "v",
+        "nrm",
+        "anchor_id",
+        (dot(F.col("v"), F.col("av")) / (F.col("nrm") * F.col("anrm"))).alias(
+            "ac"
+        ),
     )
     w_assign = Window.partitionBy(id_col).orderBy(
         F.col("ac").desc(), F.col("anchor_id").asc()
     )
-    ranked = scored_anchors.withColumn("rn", F.row_number().over(w_assign))
+    # materialize the assignment ONCE: corpus cells and query cells
+    # both derive from it, and without the persist each side re-runs
+    # the full n×k anchor scoring (the most expensive stage)
+    ranked = (
+        scored_anchors.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= max(probe_corpus, probe_query))
+        .persist()
+    )
     corpus_cells = ranked.filter(F.col("rn") <= probe_corpus).select(
         id_col, "v", "anchor_id"
     )

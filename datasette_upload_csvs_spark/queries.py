@@ -1924,6 +1924,67 @@ def similarity_anchor_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "similarity_anchor_topk_results",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), anchors AS (
+      SELECT vec_id AS anchor_id, v AS av FROM v WHERE vec_id < 64
+    ), scored_anchors AS (
+      SELECT x.vec_id, a.anchor_id,
+             list_sum(list_transform(range(1, len(x.v) + 1),
+                      i -> x.v[i] * a.av[i]))
+               / (sqrt(list_sum(list_transform(x.v, e -> e * e)))
+                  * sqrt(list_sum(list_transform(a.av, e -> e * e)))) AS ac
+      FROM v x CROSS JOIN anchors a
+    ), ranked AS (
+      SELECT vec_id, anchor_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY ac DESC, anchor_id ASC) AS rn
+      FROM scored_anchors
+    ), corpus_cells AS (
+      SELECT vec_id, anchor_id FROM ranked WHERE rn <= 3
+    ), query_cells AS (
+      SELECT vec_id AS query_id, anchor_id FROM ranked
+      WHERE vec_id < 8 AND rn <= 6
+    ), cand AS (
+      SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+      FROM corpus_cells c JOIN query_cells q ON c.anchor_id = q.anchor_id
+      WHERE c.vec_id <> q.query_id
+    ), scored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             list_sum(list_transform(range(1, len(x.v) + 1),
+                      i -> x.v[i] * y.v[i]))
+               / (sqrt(list_sum(list_transform(x.v, e -> e * e)))
+                  * sqrt(list_sum(list_transform(y.v, e -> e * e)))) AS cos_raw
+      FROM cand cd JOIN v x ON x.vec_id = cd.neighbor_id
+                   JOIN v y ON y.vec_id = cd.query_id
+    ), final AS (
+      SELECT query_id, neighbor_id, cos_raw,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_raw DESC, neighbor_id ASC) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank,
+           round(cos_raw, 6) AS cos_sim
+    FROM final WHERE rk <= 10
+    """,
+)
+def similarity_anchor_topk_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anchor-cell batch ANN RESULT SET (8 queries × top-10),
+    hash-checked: anchor assignment is deterministic on any engine,
+    so unlike k-means-based ANN the approximate neighbor lists
+    themselves are oracle-reproducible, not just a recall verdict.
+    This is the benchable form of similarity_anchor_topk_batch's
+    gate (which additionally runs the exact baseline to measure
+    recall)."""
+    return similarity.anchor_topk_batch(
+        load(spark, sf_dir, "embeddings"), query_ids=list(range(8)), k=10
+    )
+
+
+@q(
     "similarity_ivf_recall",
     "SELECT CAST(0 AS BIGINT) AS query_id, TRUE AS recall_ok",
 )
