@@ -71,6 +71,9 @@ _DRIVER_PRIORITY = [
     "dedup_minhash_lsh", "simhash_fingerprints_portable",
     # round-4 additions (newest code first in the driver sample)
     "q11_important_stock", "q16_parts_supplier_count",
+    "curation_repetition_stats", "curation_strip_boilerplate",
+    "curation_pack_chunks", "curation_pii_redact",
+    "curation_mixture_rebalance", "curation_shuffle_order",
 ]
 
 _DRIVER_CHECKED = frozenset({
@@ -6538,6 +6541,232 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
+
+
+# ====================================================================
+# Curation operators (round 4): the passes between "raw documents"
+# and "tokenizer-ready shards" — repetition filters, boilerplate
+# strip, sequence packing, PII scrub, mixture rebalance, shuffle
+# order. operators/curation.py holds the implementations.
+# ====================================================================
+
+from datasette_upload_csvs_spark.operators.curation import (  # noqa: E402
+    EMAIL_RE as _EMAIL_RE_SQL,
+    PHONE_RE as _PHONE_RE_SQL,
+)
+
+
+@q(
+    "curation_repetition_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS tok
+      FROM documents
+    ), w AS (
+      SELECT doc_id, tok2, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(tok) AS tok2 FROM t) GROUP BY 1, 2
+    ), ws AS (
+      SELECT doc_id, SUM(cnt) AS n_words, MAX(cnt) AS top_cnt,
+             COUNT(*) AS n_distinct
+      FROM w GROUP BY 1
+    ), bg AS (
+      SELECT doc_id, b, COUNT(*) AS cnt
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(tok)),
+                                         i -> tok[i] || ' ' || tok[i+1])) AS b
+            FROM t) GROUP BY 1, 2
+    ), bs AS (
+      SELECT doc_id, SUM(cnt) AS n_bigrams, COUNT(*) AS n_distinct_b
+      FROM bg GROUP BY 1
+    ), j AS (
+      SELECT ws.doc_id, ws.n_words, ws.top_cnt, ws.n_distinct,
+             bs.n_bigrams, bs.n_distinct_b,
+             1.0 - 1.0 * ws.n_distinct / ws.n_words AS dw,
+             1.0 * ws.top_cnt / ws.n_words AS tw,
+             CASE WHEN bs.n_bigrams IS NULL OR bs.n_bigrams = 0 THEN 0.0
+                  ELSE 1.0 - 1.0 * bs.n_distinct_b / bs.n_bigrams END AS db
+      FROM ws LEFT JOIN bs USING (doc_id)
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           round(dw, 6) AS dup_word_frac,
+           round(tw, 6) AS top_word_frac,
+           round(db, 6) AS dup_bigram_frac,
+           (dw <= 0.55 AND tw <= 0.10 AND db <= 0.05) AS keep
+    FROM j
+    """,
+)
+def curation_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals + keep verdict (dup-word,
+    top-word, dup-bigram fractions). Scale shape: explode → two
+    hash aggregations sharing the doc-keyed shuffle — see
+    operators/curation.py:repetition_stats."""
+    from datasette_upload_csvs_spark.operators.curation import repetition_stats
+
+    return repetition_stats(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "curation_strip_boilerplate",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS tok
+      FROM documents
+    ), nd AS (SELECT COUNT(*) AS n_docs FROM t),
+    dfc AS (
+      SELECT tok2, COUNT(*) AS df
+      FROM (SELECT doc_id, unnest(list_distinct(tok)) AS tok2 FROM t)
+      GROUP BY 1
+    ), stop AS (
+      SELECT coalesce(list(tok2 ORDER BY tok2), []) AS s
+      FROM dfc, nd WHERE df > n_docs * 0.78
+    )
+    SELECT doc_id,
+           CAST(len(tok) AS INTEGER) AS n_tokens_before,
+           CAST(len(kept) AS INTEGER) AS n_tokens_after,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS clean_hash
+    FROM (SELECT doc_id, tok,
+                 list_filter(tok, x -> NOT list_contains(s, x)) AS kept
+          FROM t, stop)
+    """,
+)
+def curation_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-document-frequency token strip (CCNet-style boilerplate
+    cut). The stop set is provably tiny (≤ 1/max_df_frac tokens per
+    df mass), broadcast once; docs filter their token arrays in
+    codegen with order preserved — no explode/re-sort round trip."""
+    from datasette_upload_csvs_spark.operators.curation import strip_boilerplate
+
+    return strip_boilerplate(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "curation_pack_chunks",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             greatest(len(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                      x -> x <> '')), 1) AS n
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n,
+             COALESCE(SUM(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+      FROM t
+    )
+    SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+           CAST(st AS BIGINT) AS start_offset,
+           CAST(floor(st / 512) AS BIGINT) AS first_chunk,
+           CAST(floor((st + n - 1) / 512) AS BIGINT) AS last_chunk
+    FROM c
+    """,
+)
+def curation_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (every pretraining loader's
+    layout): docs laid end-to-end in id order, cut every 512 tokens.
+    The oracle's global running sum is a single-partition window; the
+    Spark plan is the DISTRIBUTED two-phase prefix sum — per-bucket
+    totals prefix-summed and broadcast, within-bucket windows in
+    parallel — see operators/curation.py:pack_concat_chunks."""
+    from datasette_upload_csvs_spark.operators.curation import pack_concat_chunks
+
+    return pack_concat_chunks(
+        load(spark, sf_dir, "documents"), chunk_tokens=512, bucket_size=1000
+    ).withColumn("n_tokens", F.col("n_tokens").cast("int"))
+
+
+@q(
+    "curation_pii_redact",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS tp
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(tp, '{_EMAIL_RE_SQL}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(tp, '{_PHONE_RE_SQL}')) AS INTEGER)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(tp, '{_EMAIL_RE_SQL}', '[EMAIL]', 'g'),
+                              '{_PHONE_RE_SQL}', '[PHONE]', 'g'))
+             AS redacted_hash
+    FROM p
+    """,
+)
+def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub with match counts. The synthetic corpus has no
+    contact strings, so the query first composes a deterministic one
+    per doc (user<id>@example.com, +1-555-<id%10000>) — both engines
+    build the identical string, then redact it independently; the
+    md5 of the redacted text is the cross-engine proof. Map-only
+    codegen pass (regexp_count + regexp_replace) at any scale."""
+    from datasette_upload_csvs_spark.operators.curation import redact_pii
+
+    d = load(spark, sf_dir, "documents").withColumn(
+        "text_pii",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com +1-555-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ),
+    )
+    return redact_pii(d, "text_pii")
+
+
+@q(
+    "curation_mixture_rebalance",
+    """
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    m AS (SELECT MIN(n_docs) AS min_n FROM c),
+    r AS (SELECT source, n_docs, CAST(min_n AS DOUBLE) / n_docs AS rate
+          FROM c, m)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                               AS DOUBLE) / 18446744073709551616.0 < rate
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents JOIN r USING (source)
+    GROUP BY source, n_docs
+    """,
+)
+def curation_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample every source to the smallest source's size (uniform
+    training mixture). Keep decisions are md5-content-deterministic —
+    stable under repartition, AQE, and incremental reruns — and the
+    per-source audit (n_docs, n_kept) is what this query returns."""
+    from datasette_upload_csvs_spark.operators.curation import rebalance_to_uniform
+
+    return rebalance_to_uniform(load(spark, sf_dir, "documents"), "source")
+
+
+@q(
+    "curation_shuffle_order",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5_number_lower(CAST(doc_id AS VARCHAR) || ':shuffle-v1') AS hk
+      FROM documents
+    )
+    SELECT doc_id, CAST(hk % 8 AS INTEGER) AS shard_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hk % 8
+                                   ORDER BY hk, doc_id) AS INTEGER)
+             AS pos_in_shard
+    FROM h
+    """,
+)
+def curation_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sharded training-order shuffle: shard = md5 % 8,
+    position = md5 rank within shard. Shards are read independently
+    (no global sort); salt bump = new epoch order. The only exchange
+    is the hash partition by shard."""
+    from datasette_upload_csvs_spark.operators.curation import shuffle_shards
+
+    return shuffle_shards(load(spark, sf_dir, "documents"), num_shards=8)
 
 
 # ====================================================================
