@@ -38,6 +38,11 @@ HEADLINE = [
     "events_weekly_retention",
     "q15_top_supplier",
     "similarity_anchor_topk_results",
+    # curation tier (round 4): the pretraining-pipeline passes —
+    # a double explode/agg join (repetition) and the distributed
+    # two-phase prefix sum (packing)
+    "curation_repetition_stats",
+    "curation_pack_chunks",
 ]
 
 

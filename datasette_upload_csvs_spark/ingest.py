@@ -840,8 +840,12 @@ def upload_csv_async(
     holder: dict = {}
 
     def run():
+        # forward the actor: the gate already passed above, and the
+        # hook may legitimately deny a None actor (same fall-through
+        # bug class as append_csv's, fixed round 3)
         holder["result"] = upload_csv(
-            spark, path, table, database, sniff_bytes, task_id=task_id
+            spark, path, table, database, sniff_bytes, task_id=task_id,
+            actor=actor,
         )
 
     t = threading.Thread(target=run, daemon=True, name=f"ingest-{task_id[:8]}")

@@ -1,0 +1,241 @@
+"""The reference's web surface (A19), framework-free.
+
+datasette-upload-csvs registers two routes and a progress-poll
+contract on top of Datasette's ASGI stack (reference __init__.py:
+28-33 `register_routes`, :72-117 the GET/POST handler,
+templates/upload_csv.html:51-75 the form, :188-204 the 1 Hz poll
+loop). This module reproduces that surface as a dependency-free ASGI
+application over the Spark ingest engine:
+
+    GET  /-/upload-csvs                  → HTML upload form
+    GET  /-/upload-csv                   → 302 to /-/upload-csvs
+    POST /-/upload-csvs   (multipart)    → starts async ingest;
+         with xhr=1 returns the JSON contract
+         {url, database_path, task_id, bytes_todo}
+         (reference __init__.py:233-241), else 302 to the table url
+    GET  /{db}/_csv_progress_.json?id=X  → [{...progress row...}]
+         (the `_shape=array` SQLite view the template polls)
+
+No Starlette/Datasette dependency: the app is a plain ASGI callable,
+multipart parsing is stdlib (email.parser over the raw body), and
+permissions go through ingest.set_allow_hook — the same gate every
+programmatic entry point checks. The ingest itself is
+ingest.upload_csv_async: the request thread never blocks on Spark.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tempfile
+from email.parser import BytesParser
+from email.policy import HTTP
+from urllib.parse import parse_qs, quote_plus, unquote
+
+from datasette_upload_csvs_spark import ingest
+
+FORM_HTML = """<!DOCTYPE html>
+<html><head><title>Upload CSV</title></head>
+<body>
+<h1>Upload CSV</h1>
+<form action="/-/upload-csvs" id="uploadForm" method="post"
+      enctype="multipart/form-data">
+{database_select}
+<div id="file-drop">
+  <input type="file" name="csv" id="csvUpload">
+  <label for="csvUpload">Select a file to upload or drag and drop one here</label>
+</div>
+<progress class="progress" value="0" max="100">Uploading...</progress>
+<p>
+  <label for="id_table_name">Table name</label>
+  <input required id="id_table_name" type="text" name="table_name">
+</p>
+<p><input type="submit" value="Upload file" class="button"></p>
+</form>
+<script>
+// reference templates/upload_csv.html:188-204 — poll
+// /{{database_path}}/_csv_progress_.json?id={{task_id}}&_shape=array
+// once a second until bytes_done == bytes_todo, then navigate to url.
+</script>
+</body></html>
+"""
+
+
+def _database_select(databases: list[str], selected: str | None) -> str:
+    if len(databases) <= 1:
+        return ""
+    opts = "".join(
+        '<option{sel}>{name}</option>'.format(
+            sel=" selected" if name == selected else "", name=name
+        )
+        for name in databases
+    )
+    return (
+        '<p><label>Database <select id="id_database" name="database">'
+        f"{opts}</select></label></p>"
+    )
+
+
+def parse_multipart(content_type: str, body: bytes) -> dict[str, dict]:
+    """Parse a multipart/form-data body into
+    {field_name: {"value": bytes, "filename": str|None}} using the
+    stdlib email parser (the reference delegates this to Starlette;
+    the wire format is the same RFC 7578)."""
+    head = f"Content-Type: {content_type}\r\n\r\n".encode()
+    msg = BytesParser(policy=HTTP).parsebytes(head + body)
+    fields: dict[str, dict] = {}
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if not name:
+            continue
+        fields[name] = {
+            "value": part.get_payload(decode=True) or b"",
+            "filename": part.get_filename(),
+        }
+    return fields
+
+
+class UploadApp:
+    """ASGI app wrapping the Spark ingest engine.
+
+    `databases` lists selectable target databases (reference: every
+    mutable Datasette db); the first is the default. `actor_from_
+    scope` extracts the actor for the permission hook (the reference
+    reads request.actor; anything — header, cookie — can be plugged
+    here)."""
+
+    def __init__(
+        self,
+        spark,
+        databases: list[str] | None = None,
+        actor_from_scope=None,
+        upload_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.databases = databases or []
+        self.actor_from_scope = actor_from_scope or (lambda scope: None)
+        self.upload_dir = upload_dir
+        self.tasks: dict[str, ingest.IngestTask] = {}
+
+    # -- ASGI plumbing ------------------------------------------------
+
+    async def __call__(self, scope, receive, send):
+        assert scope["type"] == "http"
+        path = scope["path"]
+        method = scope["method"].upper()
+        query = parse_qs(scope.get("query_string", b"").decode())
+
+        if path == "/-/upload-csv":
+            await self._respond(send, 302, "", [(b"location", b"/-/upload-csvs")])
+            return
+        if path == "/-/upload-csvs" and method == "GET":
+            await self._get_form(scope, query, send)
+            return
+        if path == "/-/upload-csvs" and method == "POST":
+            await self._post_upload(scope, receive, query, send)
+            return
+        if path.endswith("/_csv_progress_.json") and method == "GET":
+            await self._get_progress(path, query, send)
+            return
+        await self._respond(send, 404, "not found")
+
+    async def _respond(self, send, status, body, headers=None, ctype="text/html"):
+        if isinstance(body, (dict, list)):
+            body, ctype = json.dumps(body), "application/json"
+        hdrs = [(b"content-type", ctype.encode())] + list(headers or [])
+        await send(
+            {"type": "http.response.start", "status": status, "headers": hdrs}
+        )
+        await send(
+            {"type": "http.response.body", "body": body.encode()
+             if isinstance(body, str) else body}
+        )
+
+    async def _read_body(self, receive) -> bytes:
+        buf = io.BytesIO()
+        while True:
+            msg = await receive()
+            buf.write(msg.get("body", b""))
+            if not msg.get("more_body"):
+                return buf.getvalue()
+
+    # -- handlers -----------------------------------------------------
+
+    async def _get_form(self, scope, query, send):
+        try:
+            ingest._check_allowed(self.actor_from_scope(scope))
+        except ingest.Forbidden as ex:
+            await self._respond(send, 403, str(ex))
+            return
+        selected = (query.get("database") or [None])[0]
+        await self._respond(
+            send,
+            200,
+            FORM_HTML.format(
+                database_select=_database_select(self.databases, selected)
+            ),
+        )
+
+    async def _post_upload(self, scope, receive, query, send):
+        actor = self.actor_from_scope(scope)
+        try:
+            ingest._check_allowed(actor)
+        except ingest.Forbidden as ex:
+            await self._respond(send, 403, str(ex))
+            return
+
+        ctype = dict(
+            (k.decode().lower(), v.decode()) for k, v in scope.get("headers", [])
+        ).get("content-type", "")
+        fields = parse_multipart(ctype, await self._read_body(receive))
+        if "csv" not in fields:
+            await self._respond(send, 400, "missing csv file field")
+            return
+
+        filename = fields["csv"]["filename"] or "upload.csv"
+        # reference __init__.py:119-124: table name falls back to the
+        # filename minus .csv; collision suffixes happen in catalog.py
+        table = (fields.get("table_name") or fields.get("table") or {}).get(
+            "value", b""
+        ).decode() or (filename[:-4] if filename.endswith(".csv") else filename)
+        database = (fields.get("database") or {}).get("value", b"").decode() or None
+        if database is None and self.databases:
+            database = self.databases[0]
+
+        fd, tmp = tempfile.mkstemp(
+            suffix=".csv", prefix="upload_", dir=self.upload_dir
+        )
+        with os.fdopen(fd, "wb") as f:
+            f.write(fields["csv"]["value"])
+
+        task = ingest.upload_csv_async(
+            self.spark, tmp, table=table, database=database, actor=actor
+        )
+        self.tasks[task.task_id] = task
+
+        db_path = quote_plus(database or "default")
+        payload = {
+            # reference __init__.py:233-241 xhr JSON contract
+            "url": f"/{db_path}/{quote_plus(table)}",
+            "database_path": db_path,
+            "task_id": task.task_id,
+            "bytes_todo": os.path.getsize(tmp),
+        }
+        if (fields.get("xhr") or {}).get("value") == b"1":
+            await self._respond(send, 200, payload)
+        else:
+            await self._respond(
+                send, 302, "", [(b"location", payload["url"].encode())]
+            )
+
+    async def _get_progress(self, path, query, send):
+        task_id = (query.get("id") or [""])[0]
+        database = unquote(path.split("/")[1]) or None
+        if database == "default":
+            database = None
+        row = ingest.get_progress(self.spark, task_id, database=database)
+        # _shape=array: the template's fetch expects a JSON array of
+        # rows (reference polls the SQLite table through Datasette's
+        # JSON API)
+        await self._respond(send, 200 if row else 404, [row] if row else [])

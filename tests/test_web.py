@@ -1,0 +1,211 @@
+"""A19 web surface: the reference's route + template contract
+(upload form, multipart POST, xhr JSON shape, progress poll,
+permission gate) driven end-to-end against the ASGI app — no
+server, the callable is exercised directly."""
+
+from __future__ import annotations
+
+import asyncio
+import json
+
+import pytest
+
+from datasette_upload_csvs_spark import ingest
+from datasette_upload_csvs_spark.web import UploadApp, parse_multipart
+
+BOUNDARY = "xYzZY123"
+
+
+def multipart_body(fields: dict[str, tuple[str | None, bytes]]) -> bytes:
+    out = b""
+    for name, (filename, value) in fields.items():
+        out += f"--{BOUNDARY}\r\n".encode()
+        cd = f'Content-Disposition: form-data; name="{name}"'
+        if filename:
+            cd += f'; filename="{filename}"'
+        out += cd.encode() + b"\r\n\r\n" + value + b"\r\n"
+    return out + f"--{BOUNDARY}--\r\n".encode()
+
+
+def call(app, method, path, query="", body=b"", ctype=""):
+    """Run one request through the ASGI callable; returns
+    (status, headers, body_bytes)."""
+    scope = {
+        "type": "http",
+        "method": method,
+        "path": path,
+        "query_string": query.encode(),
+        "headers": [(b"content-type", ctype.encode())] if ctype else [],
+    }
+    sent = []
+    received = False
+
+    async def receive():
+        nonlocal received
+        received = True
+        return {"type": "http.request", "body": body, "more_body": False}
+
+    async def send(msg):
+        sent.append(msg)
+
+    asyncio.run(app(scope, receive, send))
+    status = sent[0]["status"]
+    headers = dict(sent[0]["headers"])
+    payload = b"".join(m.get("body", b"") for m in sent[1:])
+    return status, headers, payload
+
+
+@pytest.fixture
+def app(spark, tmp_path):
+    ingest.set_allow_hook(None)
+    yield UploadApp(spark, upload_dir=str(tmp_path))
+    ingest.set_allow_hook(None)
+
+
+def test_redirect_legacy_route(app):
+    status, headers, _ = call(app, "GET", "/-/upload-csv")
+    assert status == 302
+    assert headers[b"location"] == b"/-/upload-csvs"
+
+
+def test_form_renders(app):
+    status, _, body = call(app, "GET", "/-/upload-csvs")
+    assert status == 200
+    assert b'name="csv"' in body and b'name="table_name"' in body
+    # single-database deployments hide the select (reference
+    # __init__.py:100-105: only offered when len(dbs) > 1)
+    assert b"id_database" not in body
+
+
+def test_form_database_select():
+    class Dummy:  # no spark needed for GET
+        pass
+
+    app = UploadApp(Dummy(), databases=["a", "b"])
+    _, _, body = call(app, "GET", "/-/upload-csvs", query="database=b")
+    assert b"<option>a</option>" in body
+    assert b"<option selected>b</option>" in body
+
+
+def test_upload_xhr_roundtrip(app, spark):
+    csv_bytes = b"name,age\nalice,30\nbob,25\n"
+    body = multipart_body(
+        {
+            "csv": ("people_web.csv", csv_bytes),
+            "table_name": (None, b"people_web"),
+            "xhr": (None, b"1"),
+        }
+    )
+    status, _, payload = call(
+        app, "POST", "/-/upload-csvs", body=body,
+        ctype=f"multipart/form-data; boundary={BOUNDARY}",
+    )
+    assert status == 200
+    data = json.loads(payload)
+    # the reference's xhr JSON contract (__init__.py:233-241)
+    assert set(data) == {"url", "database_path", "task_id", "bytes_todo"}
+    assert data["bytes_todo"] == len(csv_bytes)
+    assert data["url"].endswith("/people_web")
+
+    result = app.tasks[data["task_id"]].result(timeout=120)
+    assert result.error is None
+    assert result.rows == 2
+
+    # progress poll: the template's loop terminates on
+    # bytes_done == bytes_todo (upload_csv.html:197-199)
+    status, _, payload = call(
+        app, "GET", f"/{data['database_path']}/_csv_progress_.json",
+        query=f"id={data['task_id']}",
+    )
+    assert status == 200
+    rows = json.loads(payload)
+    assert len(rows) == 1
+    assert rows[0]["bytes_done"] == rows[0]["bytes_todo"]
+    assert rows[0]["error"] is None
+
+    got = {(r["name"], r["age"]) for r in spark.table(result.table).collect()}
+    assert got == {("alice", 30), ("bob", 25)}
+    spark.sql(f"DROP TABLE IF EXISTS {result.table}")
+
+
+def test_upload_non_xhr_redirects(app, spark):
+    body = multipart_body(
+        {"csv": ("redir_web.csv", b"a,b\n1,2\n"), "table_name": (None, b"redir_web")}
+    )
+    status, headers, _ = call(
+        app, "POST", "/-/upload-csvs", body=body,
+        ctype=f"multipart/form-data; boundary={BOUNDARY}",
+    )
+    assert status == 302
+    assert headers[b"location"].endswith(b"/redir_web")
+    [t] = app.tasks.values()
+    res = t.result(timeout=120)
+    assert res.error is None
+    spark.sql(f"DROP TABLE IF EXISTS {res.table}")
+
+
+def test_table_name_falls_back_to_filename(app, spark):
+    body = multipart_body({"csv": ("from_filename.csv", b"x\n7\n"), "xhr": (None, b"1")})
+    status, _, payload = call(
+        app, "POST", "/-/upload-csvs", body=body,
+        ctype=f"multipart/form-data; boundary={BOUNDARY}",
+    )
+    assert status == 200
+    data = json.loads(payload)
+    assert data["url"].endswith("/from_filename")
+    res = app.tasks[data["task_id"]].result(timeout=120)
+    assert res.error is None
+    spark.sql(f"DROP TABLE IF EXISTS {res.table}")
+
+
+def test_permission_gate_denies_before_work(app):
+    ingest.set_allow_hook(lambda actor, action: actor == "root")
+    try:
+        status, _, _ = call(app, "GET", "/-/upload-csvs")
+        assert status == 403
+        status, _, _ = call(
+            app, "POST", "/-/upload-csvs",
+            body=multipart_body({"csv": ("x.csv", b"a\n1\n")}),
+            ctype=f"multipart/form-data; boundary={BOUNDARY}",
+        )
+        assert status == 403
+        assert not app.tasks  # denied BEFORE any task was created
+    finally:
+        ingest.set_allow_hook(None)
+
+
+def test_permission_gate_allows_actor(app, spark):
+    ingest.set_allow_hook(lambda actor, action: actor == "root")
+    app.actor_from_scope = lambda scope: "root"
+    try:
+        status, _, payload = call(
+            app, "POST", "/-/upload-csvs",
+            body=multipart_body(
+                {"csv": ("gated_web.csv", b"a\n1\n"), "xhr": (None, b"1")}
+            ),
+            ctype=f"multipart/form-data; boundary={BOUNDARY}",
+        )
+        assert status == 200
+        res = app.tasks[json.loads(payload)["task_id"]].result(timeout=120)
+        assert res.error is None
+        spark.sql(f"DROP TABLE IF EXISTS {res.table}")
+    finally:
+        ingest.set_allow_hook(None)
+
+
+def test_missing_csv_field_is_400(app):
+    body = multipart_body({"table_name": (None, b"nope")})
+    status, _, _ = call(
+        app, "POST", "/-/upload-csvs", body=body,
+        ctype=f"multipart/form-data; boundary={BOUNDARY}",
+    )
+    assert status == 400
+
+
+def test_multipart_parser_preserves_binary():
+    raw = bytes(range(256))
+    body = multipart_body({"csv": ("b.csv", raw), "k": (None, b"v")})
+    fields = parse_multipart(f"multipart/form-data; boundary={BOUNDARY}", body)
+    assert fields["csv"]["value"] == raw
+    assert fields["csv"]["filename"] == "b.csv"
+    assert fields["k"]["value"] == b"v"
