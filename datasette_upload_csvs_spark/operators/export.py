@@ -25,7 +25,7 @@ consumer".
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -59,3 +59,46 @@ def write_training_shards(
     sharded = assign_shards(df, id_col, num_shards)
     cols = ([split_col] if split_col else []) + ["shard_id"]
     sharded.repartition(*cols).write.mode("overwrite").partitionBy(*cols).parquet(path)
+
+
+def balanced_shards(
+    df: DataFrame,
+    size_col: str,
+    id_col: str = "doc_id",
+    num_shards: int = 16,
+) -> DataFrame:
+    """Size-balanced shard assignment: rank docs by (size desc, id)
+    and deal them round-robin — the classic LPT-style balancing that
+    keeps per-shard token totals within one max-doc of each other
+    (plain hash sharding balances doc COUNTS, not token WORK; skewed
+    doc lengths then skew tokenizer/training throughput per shard).
+
+    The global rank is computed WITHOUT a global window: (1) row
+    counts per distinct size value (tiny aggregate), (2) exclusive
+    prefix over those size bands — the only single-partition window
+    runs over one row per distinct size, (3) within-band row_number
+    partitioned by size. rank = band_prefix + within-band position,
+    bit-identical to ROW_NUMBER() OVER (ORDER BY size DESC, id) at
+    any parallelism. Same two-phase shape as
+    curation.pack_concat_chunks.
+    """
+    base = df.select(F.col(id_col), F.col(size_col).alias("_n"))
+    wb = Window.orderBy(F.desc("_n")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = (
+        base.groupBy("_n")
+        .agg(F.count("*").alias("_c"))
+        .withColumn("_prefix", F.coalesce(F.sum("_c").over(wb), F.lit(0)))
+        .select("_n", "_prefix")
+    )
+    rn = F.row_number().over(Window.partitionBy("_n").orderBy(id_col))
+    rank = F.col("_prefix") + rn
+    return (
+        base.join(F.broadcast(prefix), "_n")
+        .select(
+            F.col(id_col),
+            F.col("_n").alias(size_col),
+            F.pmod(rank - 1, F.lit(num_shards)).cast("int").alias("shard_id"),
+        )
+    )

@@ -118,3 +118,40 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.col(id_col),
         F.md5(F.array_join(t, " ")).alias("fingerprint"),
     )
+
+
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc average negative log-probability under the corpus's
+    own unigram model — the cheap stand-in for KenLM-perplexity
+    quality scoring (docs full of globally-rare tokens score high =
+    surprising; repetitive template docs score low).
+
+    Determinism follows token_entropy_by_lang's recipe: p = cnt/tot
+    is exact integer→double division, each -ln p term is rounded to
+    10 digits BEFORE summing, and the per-doc sum runs in decimal so
+    accumulation order can't matter. Scale: one vocabulary aggregate
+    (map-side combined) joined back to the token stream on the word
+    key; the vocab side is small enough to broadcast in practice but
+    the plan stays correct as a shuffle join if it isn't.
+    """
+    from datasette_upload_csvs_spark.functions.text import tokens as _tokens
+
+    toks = docs.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("w"))
+    freq = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("tot"))
+    term = F.round(-F.log(F.col("cnt") / F.col("tot")), 10).cast(
+        "decimal(28,12)"
+    )
+    scored = freq.crossJoin(F.broadcast(tot)).select("w", term.alias("nll"))
+    return (
+        toks.join(scored, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum("nll").cast("double") / F.count("*"), 6
+            ).alias("avg_nll"),
+        )
+    )

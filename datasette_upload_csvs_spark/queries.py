@@ -74,6 +74,8 @@ _DRIVER_PRIORITY = [
     "curation_repetition_stats", "curation_strip_boilerplate",
     "curation_pack_chunks", "curation_pii_redact",
     "curation_mixture_rebalance", "curation_shuffle_order",
+    "dedup_ngram_coverage", "export_balanced_shards",
+    "text_unigram_logprob",
 ]
 
 _DRIVER_CHECKED = frozenset({
@@ -6767,6 +6769,131 @@ def curation_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasette_upload_csvs_spark.operators.curation import shuffle_shards
 
     return shuffle_shards(load(spark, sf_dir, "documents"), num_shards=8)
+
+
+@q(
+    "dedup_ngram_coverage",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, UNNEST(range(1, greatest(len(t) - 6, 2))) AS u(i)
+    ), dfg AS (
+      SELECT g, COUNT(*) AS df FROM sh GROUP BY g
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_grams,
+           round(1.0 * SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / COUNT(*), 6)
+             AS coverage
+    FROM sh JOIN dfg USING (g)
+    GROUP BY doc_id
+    """,
+)
+def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-flavored duplication metric (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    fraction of a doc's distinct 8-gram shingles that occur in more
+    than one document. Unlike pairwise dedup this is linear: explode
+    the inverted index once, count gram document-frequency, join
+    back — no candidate pairs. Docs shorter than 8 tokens contribute
+    their whole text as one shingle (functions/text.py:shingles)."""
+    from datasette_upload_csvs_spark.functions.text import shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(shingles(F.col("text"), 8)).alias("g")
+    )
+    dfg = sh.groupBy("g").agg(F.count("*").alias("df"))
+    dup = F.sum((F.col("df") >= 2).cast("bigint"))
+    return (
+        sh.join(dfg, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            dup.alias("dup_grams"),
+            F.round(dup / F.count("*"), 6).alias("coverage"),
+        )
+    )
+
+
+@q(
+    "export_balanced_shards",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                             x -> x <> '')) AS n
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, doc_id) AS rk
+      FROM t
+    )
+    SELECT CAST((rk - 1) % 16 AS INTEGER) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM r GROUP BY 1
+    """,
+)
+def export_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced training shards: docs ranked by (token count
+    desc, id) and dealt round-robin, so every shard carries equal
+    token WORK, not just equal doc counts. The oracle's global
+    ROW_NUMBER is the spec; the Spark plan computes the identical
+    rank with the two-phase band-prefix pattern (no full-data
+    single-partition window) — operators/export.py:balanced_shards."""
+    from datasette_upload_csvs_spark.functions.text import token_count
+    from datasette_upload_csvs_spark.operators.export import balanced_shards
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n")
+    )
+    return (
+        balanced_shards(d, "n", num_shards=16)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+        )
+    )
+
+
+@q(
+    "text_unigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ), freq AS (
+      SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w
+    ), tot AS (SELECT SUM(cnt) AS tot FROM freq),
+    scored AS (
+      SELECT w, CAST(round(-ln(cnt / tot), 10) AS DECIMAL(28,12)) AS nll
+      FROM freq, tot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+    FROM toks JOIN scored USING (w)
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average negative log-prob under the corpus unigram
+    model — the cheap KenLM-perplexity stand-in for quality scoring.
+    Portability uses the entropy recipe: exact int→double division,
+    per-term round(10) before a decimal sum (accumulation order
+    can't matter). operators/textstats.py:unigram_logprob."""
+    from datasette_upload_csvs_spark.operators.textstats import unigram_logprob
+
+    return unigram_logprob(load(spark, sf_dir, "documents"))
 
 
 # ====================================================================

@@ -43,6 +43,13 @@ ENGINE_CONFS: dict[str, str] = {
     # no nanos timestamp type, so scan them as long and convert
     # (queries.load re-derives micros with exact integer division).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Micros-precision naive timestamps (isAdjustedToUTC=false, the
+    # regenerated testdata's events.ts) must read as TIMESTAMP (LTZ
+    # under the UTC session zone), not TIMESTAMP_NTZ: LTZ is what the
+    # nanos→micros conversion produced in earlier testdata vintages,
+    # keeps unix_micros/epoch arithmetic legal, and matches how the
+    # DuckDB oracle treats the same naive column under UTC.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
