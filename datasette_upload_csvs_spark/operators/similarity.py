@@ -498,3 +498,115 @@ def recall_vs_brute_force(
         [(query_id, float(hit) / float(total) if total else 0.0)],
         "query_id long, recall double",
     )
+
+
+def pq_index(
+    emb: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    fit_sample_target: int = 4096,
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product-quantization index (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search"): split each vector
+    into m subvectors, learn an n_codes-entry k-means codebook per
+    subspace, store each vector as m small code ids (m·log2(n_codes)
+    bits — 32 bits/vector at 8×16 vs 2048 for raw float64s).
+
+    Codebooks train on a deterministic-seed sample (the ivf_index
+    rule: k-means needs O(k·dim) effective parameters, never a full
+    pass); encoding is m chained map-side KMeansModel.transform
+    calls — no shuffle anywhere. Returns (codes DF with code_0..m-1
+    int columns, codebooks as an m×n_codes×sub_dim nested list for
+    driver-side distance tables).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+    dim = len(v.select("v").first()["v"])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+
+    n = v.count()
+    fraction = min(1.0, float(fit_sample_target) / max(n, 1))
+    fit_base = v.sample(fraction=fraction, seed=seed) if fraction < 1.0 else v
+
+    ml = v
+    codebooks: list[list[list[float]]] = []
+    for j in range(m):
+        sl = F.slice(F.col("v"), j * sub + 1, sub)
+        fit_j = fit_base.select(array_to_vector(sl).alias("features"))
+        model = (
+            KMeans(k=n_codes, seed=seed + j, featuresCol="features")
+            .fit(fit_j)
+        )
+        codebooks.append(
+            [[float(x) for x in c] for c in model.clusterCenters()]
+        )
+        ml = ml.withColumn(f"_f{j}", array_to_vector(sl))
+        model = model.copy().setFeaturesCol(f"_f{j}").setPredictionCol(
+            f"code_{j}"
+        )
+        ml = model.transform(ml).drop(f"_f{j}")
+    return ml.drop("v"), codebooks
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance (ADC): the query
+    stays exact; each corpus vector's distance is the sum over
+    subspaces of ||q_j − codebook[j][code_j]||², read out of an
+    m×n_codes lookup table built once per query.
+
+    The table is a pure literal array expression, so scoring is a
+    map-side whole-stage-codegen pass over the (tiny) code columns —
+    the corpus's float vectors are never touched after indexing.
+    Top-k is TakeOrderedAndProject (no global sort).
+    """
+    codes, codebooks = pq_index(
+        emb, m, n_codes, vec_col, id_col, seed
+    )
+    sub = len(codebooks[0][0])
+    q = (
+        emb.filter(F.col(id_col) == query_id)
+        .select(as_double_array(F.col(vec_col)).alias("qv"))
+        .first()["qv"]
+    )
+    # driver-side m×n_codes distance table (m·n_codes·sub flops once
+    # per query — microscopic next to any scan)
+    dtab = [
+        [
+            sum(
+                (q[j * sub + t] - codebooks[j][c][t]) ** 2
+                for t in range(sub)
+            )
+            for c in range(n_codes)
+        ]
+        for j in range(m)
+    ]
+    adist = None
+    for j in range(m):
+        arr = F.array(*[F.lit(x) for x in dtab[j]])
+        term = F.element_at(arr, F.col(f"code_{j}") + 1)
+        adist = term if adist is None else adist + term
+    return (
+        codes.filter(F.col(id_col) != query_id)
+        .select(
+            F.lit(query_id).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            adist.alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("neighbor_id").asc())
+        .limit(k)
+    )

@@ -75,7 +75,7 @@ _DRIVER_PRIORITY = [
     "curation_pack_chunks", "curation_pii_redact",
     "curation_mixture_rebalance", "curation_shuffle_order",
     "dedup_ngram_coverage", "export_balanced_shards",
-    "text_unigram_logprob",
+    "text_unigram_logprob", "similarity_pq_recall",
 ]
 
 _DRIVER_CHECKED = frozenset({
@@ -6769,6 +6769,48 @@ def curation_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasette_upload_csvs_spark.operators.curation import shuffle_shards
 
     return shuffle_shards(load(spark, sf_dir, "documents"), num_shards=8)
+
+
+@q(
+    "similarity_pq_recall",
+    "SELECT CAST(0 AS BIGINT) AS query_id, TRUE AS recall_ok",
+)
+def similarity_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC (Jégou et al.) vs exact L2 top-10:
+    16 subspaces × 64 codes (96 bits/vector, ~170× smaller than the
+    raw float64s) must recover ≥ 30% — the same bar as the LSH gate.
+    Codebooks are seeded-sample k-means; k-means init isn't bit-
+    stable across environments, so the oracle pins the verdict, not
+    the neighbor set (the ivf_recall convention). Scoring never
+    touches the float vectors: an m×n_codes literal lookup table in
+    codegen over the int code columns."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", similarity.as_double_array(F.col("embedding")).alias("v")
+    )
+    qv = v.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    exact = (
+        v.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != 0)
+        .withColumn(
+            "d",
+            F.aggregate(
+                F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .orderBy(F.col("d").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    approx = similarity.pq_topk(emb, 0, 10, m=16, n_codes=64).select(
+        F.col("neighbor_id").alias("vec_id")
+    )
+    hit = exact.join(approx, "vec_id", "left_semi").count()
+    return spark.createDataFrame(
+        [(0, hit >= 3)], "query_id long, recall_ok boolean"
+    )
 
 
 @q(

@@ -50,6 +50,11 @@ ENGINE_CONFS: dict[str, str] = {
     # keeps unix_micros/epoch arithmetic legal, and matches how the
     # DuckDB oracle treats the same naive column under UTC.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Write timestamps as TIMESTAMP_MICROS, not the legacy INT96:
+    # INT96 columns carry no min/max footer statistics, which silently
+    # disables row-group skipping (and broke the clustering-layout
+    # invariant once the testdata switched to real timestamp columns).
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 
