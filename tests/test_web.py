@@ -209,3 +209,31 @@ def test_multipart_parser_preserves_binary():
     assert fields["csv"]["value"] == raw
     assert fields["csv"]["filename"] == "b.csv"
     assert fields["k"]["value"] == b"v"
+
+
+def test_upload_error_surfaces_through_poll(app, spark):
+    """The template's poll loop alerts on rows[0].error (reference
+    upload_csv.html:191-193); a zero-byte upload must surface its
+    captured error through the progress route, never crash the
+    request thread."""
+    body = multipart_body(
+        {"csv": ("empty_web.csv", b""), "xhr": (None, b"1")}
+    )
+    status, _, payload = call(
+        app, "POST", "/-/upload-csvs", body=body,
+        ctype=f"multipart/form-data; boundary={BOUNDARY}",
+    )
+    assert status == 200  # upload itself succeeds; the TASK fails
+    data = json.loads(payload)
+    task = app.tasks[data["task_id"]]
+    res = task.result(timeout=120)
+    assert res.error is not None
+
+    status, _, payload = call(
+        app, "GET", f"/{data['database_path']}/_csv_progress_.json",
+        query=f"id={data['task_id']}",
+    )
+    assert status == 200
+    rows = json.loads(payload)
+    assert rows[0]["error"] is not None
+    assert rows[0]["completed"] is None
