@@ -1,8 +1,9 @@
 """End-to-end corpus curation: the composite LLM-data pipeline.
 
 One call chains the engine's operators the way a training-data run
-does: exact dedup → near-dup removal (MinHash-LSH) → quality filter →
-language tag → deterministic train/val split → stats. Every stage is
+does: exact dedup → near-dup removal (MinHash-LSH) → repetition
+filter (Gopher-style) → quality filter → language tag →
+deterministic train/val split → stats. Every stage is
 a DataFrame transformation; nothing materializes until the final
 write/count, so Catalyst optimizes across stage boundaries (e.g. the
 quality filter's token array reuses the tokenizer expression the
@@ -20,7 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datasette_upload_csvs_spark.operators import dedup, graph, textstats
+from datasette_upload_csvs_spark.operators import curation, dedup, graph, textstats
 
 
 @dataclass
@@ -28,6 +29,7 @@ class CurationStats:
     n_input: int
     n_after_exact_dedup: int
     n_after_near_dedup: int
+    n_after_repetition: int
     n_after_quality: int
     n_train: int
     n_val: int
@@ -63,6 +65,16 @@ def curate_corpus(
     deduped = exact.join(losers, id_col, "left_anti")
     n_near = deduped.count()
 
+    # 2.5 repetition cut (Gopher A1.1: template spam shows up as
+    # dup-word / top-word / dup-bigram dominance, orthogonal to the
+    # stopword/length quality rules below). Doc-keyed aggregation —
+    # shares the shuffle key the dedup stages already used.
+    rep_keep = curation.repetition_stats(deduped, text_col, id_col).filter(
+        F.col("keep")
+    ).select(id_col)
+    deduped = deduped.join(rep_keep, id_col, "left_semi")
+    n_repetition = deduped.count()
+
     # 3. quality + language annotation (single map-side pass each)
     quality = textstats.quality_scores(deduped, text_col, id_col).select(
         id_col, "quality_score"
@@ -89,6 +101,7 @@ def curate_corpus(
         n_input=n_input,
         n_after_exact_dedup=n_exact,
         n_after_near_dedup=n_near,
+        n_after_repetition=n_repetition,
         n_after_quality=n_quality,
         n_train=n_train,
         n_val=n_val,
