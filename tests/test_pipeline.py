@@ -11,7 +11,9 @@ def test_curate_corpus(spark, sf_dir):
     # no exact dups in this corpus; near-dups exist and are removed
     assert stats.n_after_exact_dedup == 500
     assert stats.n_after_near_dedup < 500
-    assert stats.n_after_quality <= stats.n_after_near_dedup
+    # the word-soup corpus is highly repetitive: the Gopher cut bites
+    assert 0 < stats.n_after_repetition < stats.n_after_near_dedup
+    assert stats.n_after_quality <= stats.n_after_repetition
     assert stats.n_train + stats.n_val == stats.n_after_quality
     assert 0 < stats.n_val < stats.n_after_quality
     cols = set(curated.columns)
