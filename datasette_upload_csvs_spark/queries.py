@@ -76,6 +76,7 @@ _DRIVER_PRIORITY = [
     "curation_mixture_rebalance", "curation_shuffle_order",
     "dedup_ngram_coverage", "export_balanced_shards",
     "text_unigram_logprob", "similarity_pq_recall",
+    "udtf_chunk_text",
 ]
 
 _DRIVER_CHECKED = frozenset({
@@ -6936,6 +6937,61 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasette_upload_csvs_spark.operators.textstats import unigram_logprob
 
     return unigram_logprob(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "udtf_chunk_text",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+           CAST(len(t[i*64+1 : i*64+64]) AS INTEGER) AS n_tokens,
+           md5(array_to_string(t[i*64+1 : i*64+64], ' ')) AS chunk_hash
+    FROM toks, UNNEST(range(0, CAST(ceil(len(t) / 64.0) AS BIGINT))) AS u(i)
+    """,
+)
+def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Python UDTF (PySpark 4 `@udtf`, lateral-joined in SQL):
+    split each document into 64-token chunks, one output row per
+    chunk with a content hash the oracle reproduces via list slicing.
+
+    This demonstrates the table-function API surface itself — for
+    THIS particular job the pure-Catalyst equivalent (posexplode over
+    a sliced-array transform, cf. curation_pack_chunks) is the faster
+    plan, and the docstring says so; a UDTF earns its Python row path
+    when the per-row expansion is genuinely imperative (parsers,
+    tokenizers, decoders). Arrow-batched via useArrow."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int, chunk_hash string",
+          useArrow=True)
+    class ChunkText:
+        def eval(self, text: str):
+            import hashlib
+            import re as _re
+
+            toks = [t for t in _re.split(r"\s+", text or "") if t]
+            n = len(toks)
+            chunks = max((n + 63) // 64, 1) if n else 0
+            for i in range(chunks):
+                piece = toks[i * 64 : (i + 1) * 64]
+                yield (
+                    i,
+                    len(piece),
+                    hashlib.md5(" ".join(piece).encode()).hexdigest(),
+                )
+
+    spark.udtf.register("chunk_text_udtf", ChunkText)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk_hash
+        FROM _udtf_docs d, LATERAL chunk_text_udtf(d.text) c
+        """
+    )
 
 
 # ====================================================================
