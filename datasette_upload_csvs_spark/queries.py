@@ -76,7 +76,8 @@ _DRIVER_PRIORITY = [
     "curation_mixture_rebalance", "curation_shuffle_order",
     "dedup_ngram_coverage", "export_balanced_shards",
     "text_unigram_logprob", "similarity_pq_recall",
-    "udtf_chunk_text",
+    "udtf_chunk_text", "ks_price_returnflag_binned",
+    "mutual_info_priority_flag",
 ]
 
 _DRIVER_CHECKED = frozenset({
@@ -6991,6 +6992,140 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.chunk_hash
         FROM _udtf_docs d, LATERAL chunk_text_udtf(d.text) c
         """
+    )
+
+
+@q(
+    "ks_price_returnflag_binned",
+    """
+    WITH src AS (
+      SELECT l_returnflag AS flag,
+             least(CAST(floor(l_extendedprice / 1000.0) AS BIGINT), 99)
+               AS bin
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ), counts AS (
+      SELECT bin,
+             SUM(CASE WHEN flag = 'A' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN flag = 'R' THEN 1 ELSE 0 END) AS cr
+      FROM src GROUP BY bin
+    ), tot AS (
+      SELECT SUM(ca) AS na, SUM(cr) AS nr FROM counts
+    ), cdf AS (
+      SELECT bin,
+             SUM(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_a,
+             SUM(cr) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_r
+      FROM counts
+    )
+    SELECT round(MAX(abs(1.0 * cum_a / na - 1.0 * cum_r / nr)), 6)
+             AS ks_stat,
+           CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nr) AS BIGINT) AS n_r
+    FROM cdf, tot
+    """,
+)
+def ks_price_returnflag_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the price
+    distributions of A- vs R-flag lineitems, over 100 equi-width
+    $1000 bins. Exact KS needs a global sort of the pooled sample —
+    a single-partition window at any serious scale — so the engine
+    ships the BINNED statistic: per-bin counts (one map-side-combined
+    aggregate), CDFs via a window over 100 bin rows, D = max |ΔCDF|.
+    Binning bounds the error by the bin's probability mass and keeps
+    the plan scale-free; cum fractions are exact-integer ratios so
+    both engines agree bit-for-bit."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+    )
+    binned = l.select(
+        F.col("l_returnflag").alias("flag"),
+        F.least(
+            F.floor(F.col("l_extendedprice") / 1000.0).cast("bigint"),
+            F.lit(99),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum((F.col("flag") == "A").cast("bigint")).alias("ca"),
+        F.sum((F.col("flag") == "R").cast("bigint")).alias("cr"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = counts.agg(
+        F.sum("ca").alias("na"), F.sum("cr").alias("nr")
+    )
+    cdf = counts.select(
+        "bin",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cr").over(w).alias("cum_r"),
+    )
+    return (
+        cdf.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_a") / F.col("na")
+                        - F.col("cum_r") / F.col("nr")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+            F.max("na").alias("n_a"),
+            F.max("nr").alias("n_r"),
+        )
+    )
+
+
+@q(
+    "mutual_info_priority_flag",
+    """
+    WITH joint AS (
+      SELECT o_orderpriority AS p, l_returnflag AS f, COUNT(*) AS c
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ), tot AS (SELECT SUM(c) AS n FROM joint),
+    marg_p AS (SELECT p, SUM(c) AS cp FROM joint GROUP BY p),
+    marg_f AS (SELECT f, SUM(c) AS cf FROM joint GROUP BY f)
+    SELECT round(CAST(SUM(CAST(round(
+             (1.0 * c / n) * ln((1.0 * c * n) / (1.0 * cp * cf)), 10)
+             AS DECIMAL(28,12))) AS DOUBLE), 6) AS mutual_info_nats,
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM joint JOIN marg_p USING (p) JOIN marg_f USING (f)
+         CROSS JOIN tot
+    """,
+)
+def mutual_info_priority_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(order priority; return flag) in nats —
+    the dependence screen feature stores run between categorical
+    columns (chi-square's information-theoretic sibling). One joint
+    aggregate; marginals re-aggregate the (tiny) contingency table;
+    per-cell p·ln terms round(10) before a decimal sum, the entropy
+    portability recipe. The only data-scale shuffle is the joint
+    (p, f) count — map-side combined on 15 cells."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    joint = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("p"),
+            F.col("l_returnflag").alias("f"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    tot = joint.agg(F.sum("c").alias("n"))
+    mp = joint.groupBy("p").agg(F.sum("c").alias("cp"))
+    mf = joint.groupBy("f").agg(F.sum("c").alias("cf"))
+    term = F.round(
+        (F.col("c") / F.col("n"))
+        * F.log((F.col("c") * F.col("n")) / (F.col("cp") * F.col("cf"))),
+        10,
+    ).cast("decimal(28,12)")
+    return (
+        joint.join(F.broadcast(mp), "p")
+        .join(F.broadcast(mf), "f")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(term).cast("double"), 6).alias("mutual_info_nats"),
+            F.count("*").alias("n_cells"),
+        )
     )
 
 
