@@ -77,7 +77,8 @@ _DRIVER_PRIORITY = [
     "dedup_ngram_coverage", "export_balanced_shards",
     "text_unigram_logprob", "similarity_pq_recall",
     "udtf_chunk_text", "ks_price_returnflag_binned",
-    "mutual_info_priority_flag",
+    "mutual_info_priority_flag", "cms_token_heavy_hitters",
+    "bloom_contamination_screen",
 ]
 
 _DRIVER_CHECKED = frozenset({
@@ -6558,6 +6559,9 @@ from datasette_upload_csvs_spark.operators.curation import (  # noqa: E402
     EMAIL_RE as _EMAIL_RE_SQL,
     PHONE_RE as _PHONE_RE_SQL,
 )
+from datasette_upload_csvs_spark.operators.export import (  # noqa: E402
+    md5_low64 as _md5_low64,
+)
 
 
 @q(
@@ -7126,6 +7130,176 @@ def mutual_info_priority_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term).cast("double"), 6).alias("mutual_info_nats"),
             F.count("*").alias("n_cells"),
         )
+    )
+
+
+@q(
+    "cms_token_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ), cms AS (
+      SELECT r, CAST(md5_number_lower(w || ':' || CAST(r AS VARCHAR)) % 1024
+                     AS INTEGER) AS col,
+             COUNT(*) AS c
+      FROM toks, UNNEST([0, 1, 2, 3]) AS u(r)
+      GROUP BY 1, 2
+    ), truth AS (
+      SELECT w, COUNT(*) AS true_cnt FROM toks GROUP BY w
+      ORDER BY true_cnt DESC, w LIMIT 10
+    ), est AS (
+      SELECT t.w, t.true_cnt, MIN(cms.c) AS est_cnt
+      FROM truth t,
+           UNNEST([0, 1, 2, 3]) AS u(r)
+           JOIN cms ON cms.r = u.r
+            AND cms.col = CAST(md5_number_lower(t.w || ':' ||
+                                CAST(u.r AS VARCHAR)) % 1024 AS INTEGER)
+      GROUP BY t.w, t.true_cnt
+    )
+    SELECT w, CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(est_cnt AS BIGINT) AS est_cnt,
+           est_cnt >= true_cnt AS bound_holds
+    FROM est
+    """,
+)
+def cms_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode/Muthukrishnan) over the token
+    stream: 4 rows × 1024 columns of counters built in ONE hash
+    aggregation — the mergeable frequency sketch that replaces exact
+    counts when the key space doesn't fit (HLL counts distincts,
+    quantile sketches rank; CMS answers "how often did X occur").
+    Estimates for the true top-10 tokens are min-over-rows lookups;
+    the CMS one-sided guarantee (estimate ≥ truth) is emitted as a
+    checked column. Hashes are md5-low-64 mod width, so the oracle
+    builds the identical sketch. At 100 TB the sketch is 4 KB of
+    counters per executor, merged by the same groupBy."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(_text_tokens("text")).alias("w")
+    )
+    rows_ = F.array(*[F.lit(i) for i in range(4)])
+    keyed = toks.select(
+        "w", F.explode(rows_).alias("r")
+    ).withColumn(
+        "col",
+        F.pmod(
+            _md5_low64(F.concat(F.col("w"), F.lit(":"), F.col("r").cast("string"))),
+            F.lit(1024),
+        ).cast("int"),
+    )
+    cms = keyed.groupBy("r", "col").agg(F.count("*").alias("c"))
+    truth = (
+        toks.groupBy("w")
+        .agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "w")
+        .limit(10)
+    )
+    probes = truth.select(
+        "w", "true_cnt", F.explode(rows_).alias("r")
+    ).withColumn(
+        "col",
+        F.pmod(
+            _md5_low64(F.concat(F.col("w"), F.lit(":"), F.col("r").cast("string"))),
+            F.lit(1024),
+        ).cast("int"),
+    )
+    est = (
+        probes.join(cms, ["r", "col"])
+        .groupBy("w", "true_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+    )
+    return est.select(
+        "w",
+        "true_cnt",
+        "est_cnt",
+        (F.col("est_cnt") >= F.col("true_cnt")).alias("bound_holds"),
+    )
+
+
+@q(
+    "bloom_contamination_screen",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split_regex(lower(text), '{SPLIT_RE}'),
+                           x -> x <> ''))), ' ')) AS f
+      FROM documents
+    ), test_pos AS (
+      SELECT DISTINCT CAST(md5_number_lower(f || ':' || CAST(k AS VARCHAR))
+                           % 1048576 AS BIGINT) AS pos
+      FROM fp, UNNEST([0, 1, 2, 3]) AS u(k)
+      WHERE doc_id % 10 = 0
+    ), bits AS (SELECT list(pos ORDER BY pos) AS bs FROM test_pos),
+    train AS (
+      SELECT source, f FROM fp WHERE doc_id % 10 <> 0
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_flagged
+    FROM train, bits
+    WHERE list_contains(bs, CAST(md5_number_lower(f || ':0') % 1048576 AS BIGINT))
+      AND list_contains(bs, CAST(md5_number_lower(f || ':1') % 1048576 AS BIGINT))
+      AND list_contains(bs, CAST(md5_number_lower(f || ':2') % 1048576 AS BIGINT))
+      AND list_contains(bs, CAST(md5_number_lower(f || ':3') % 1048576 AS BIGINT))
+    GROUP BY source
+    """,
+)
+def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination screen: the held-out set's
+    fingerprints hash into k=4 positions of a 2^20-bit filter; a
+    train doc is flagged when ALL its positions are set (a superset
+    of true contamination — Bloom's no-false-negative guarantee is
+    what an exclusion screen needs). contamination_overlap is the
+    exact semi-join twin; the Bloom variant is what ships when the
+    test set is too large to broadcast as raw fingerprints — the
+    filter is ~128 KB regardless of test-set size. The position SET
+    here is a sorted array standing in for the packed bitset (the
+    membership algebra is identical and oracle-reproducible);
+    array_contains over a broadcast sorted array is a codegen'd
+    probe."""
+    fp = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.sort_array(
+                    F.array_distinct(_text_tokens(F.lower(F.col("text"))))
+                ),
+            )
+        ).alias("f"),
+    )
+    ks = F.array(*[F.lit(i) for i in range(4)])
+    test_pos = (
+        fp.filter(F.pmod("doc_id", F.lit(10)) == 0)
+        .select(F.explode(ks).alias("k"), "f")
+        .select(
+            F.pmod(
+                _md5_low64(
+                    F.concat(F.col("f"), F.lit(":"), F.col("k").cast("string"))
+                ),
+                F.lit(1_048_576),
+            )
+            .cast("bigint")
+            .alias("pos")
+        )
+        .distinct()
+        .agg(F.sort_array(F.collect_list("pos")).alias("bs"))
+    )
+    train = fp.filter(F.pmod("doc_id", F.lit(10)) != 0)
+    cond = None
+    for k in range(4):
+        p = F.pmod(
+            _md5_low64(F.concat(F.col("f"), F.lit(f":{k}"))),
+            F.lit(1_048_576),
+        ).cast("bigint")
+        c = F.array_contains(F.col("bs"), p)
+        cond = c if cond is None else cond & c
+    return (
+        train.crossJoin(F.broadcast(test_pos))
+        .filter(cond)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_flagged"))
     )
 
 
