@@ -265,7 +265,12 @@ def rebalance_to_uniform(
     Returns per-stratum (n_docs, n_kept) so the mixture is auditable;
     compose with the same filter to materialize the kept rows.
     """
-    counts = docs.groupBy(strata_col).agg(F.count("*").alias("n_docs"))
+    # counts feeds both the rates join and the global min: persist the
+    # (one row per stratum) aggregate so the corpus isn't scanned once
+    # per consumer.
+    counts = (
+        docs.groupBy(strata_col).agg(F.count("*").alias("n_docs")).persist()
+    )
     min_n = counts.agg(F.min("n_docs").alias("min_n"))
     rates = counts.crossJoin(F.broadcast(min_n)).select(
         strata_col,

@@ -6487,6 +6487,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("value")
         )
+        # referenced by both the per-part branch and the global
+        # threshold: without persist Catalyst re-derives the agg —
+        # and re-scans lineitem — once per branch (no automatic CTE
+        # materialization). The persisted frame is one row per part,
+        # not fact data; bench/driver clearCache reclaims it.
+        .persist()
     )
     total = stock.agg(
         (
