@@ -7119,6 +7119,9 @@ def mutual_info_priority_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_returnflag").alias("f"),
         )
         .agg(F.count("*").alias("c"))
+        # consumed by both marginals and the final join: persist the
+        # 15-row contingency table or the fact join runs three times
+        .persist()
     )
     tot = joint.agg(F.sum("c").alias("n"))
     mp = joint.groupBy("p").agg(F.sum("c").alias("cp"))
