@@ -1,0 +1,74 @@
+"""Incremental curation annotation: per-document quality, language,
+and repetition verdicts computed as documents ARRIVE, appended to a
+maintained annotations table.
+
+The batch pipeline (pipeline.curate_corpus) re-derives annotations
+for the whole corpus; an ingest-time pipeline wants them exactly
+once per document, the moment the document lands. All three
+annotators are per-doc (no cross-doc state), so the stream is
+embarrassingly incremental — the interesting part is the contract:
+
+  - exactly-once per doc_id across restarts (checkpointed source
+    offsets; the sink table never sees a batch twice),
+  - stream == batch: after draining, the annotations table must
+    equal the batch operators run over the full corpus, bit for bit.
+
+foreachBatch (not a plain writeStream sink) keeps the door open for
+batch-local joins; Trigger.AvailableNow drains deterministically.
+Contrast with near_dup_stream.py, where per-batch work joins a
+maintained index — here each batch is self-contained.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datasette_upload_csvs_spark.operators import curation, textstats
+
+
+def annotate(batch: DataFrame) -> DataFrame:
+    """One doc in, one annotation row out (quality score, language,
+    repetition keep verdict) — pure Catalyst expressions, reusable
+    verbatim by the batch path (the stream==batch proof depends on
+    sharing this exact function)."""
+    q = textstats.quality_scores(batch).select("doc_id", "quality_score")
+    lang = textstats.language_id(batch).select("doc_id", "predicted_lang")
+    rep = curation.repetition_stats(batch).select("doc_id", "keep")
+    return (
+        batch.select("doc_id")
+        .join(q, "doc_id")
+        .join(lang, "doc_id")
+        .join(rep, "doc_id")
+    )
+
+
+def annotate_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    annotations_table: str,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Drain a parquet stream of (doc_id, text) into the annotations
+    table via foreachBatch + Trigger.AvailableNow. Returns the number
+    of micro-batches processed. Re-running with the same checkpoint
+    resumes from stored offsets — already-annotated files are never
+    re-read (the exactly-once half of the contract)."""
+    n_batches = 0
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        nonlocal n_batches
+        n_batches += 1
+        annotate(batch).write.mode("append").saveAsTable(annotations_table)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    writer = stream.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    writer.start().awaitTermination()
+    return n_batches

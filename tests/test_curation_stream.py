@@ -1,0 +1,59 @@
+"""Incremental curation annotations must equal the batch run over the
+full corpus, regardless of arrival batching, and never double-annotate
+a document across checkpointed restarts."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from datasette_upload_csvs_spark.sources.parquet import read_table
+from datasette_upload_csvs_spark.streaming.curation_stream import (
+    annotate,
+    annotate_stream,
+)
+
+SCHEMA = "doc_id bigint, text string"
+
+
+def _stage_arrivals(docs, tmp_path, parts=3):
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src)
+    for i in range(parts):
+        part = docs.filter(F.pmod("doc_id", F.lit(parts)) == i)
+        d = str(tmp_path / f"p{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        name = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        shutil.copy(
+            os.path.join(d, name), os.path.join(src, f"arrival_{i}.parquet")
+        )
+    return src
+
+
+def test_stream_annotations_equal_batch(spark, sf_dir, tmp_path):
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = _stage_arrivals(docs, tmp_path)
+    spark.sql("DROP TABLE IF EXISTS curation_ann")
+
+    n = annotate_stream(
+        spark, src, SCHEMA, "curation_ann",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert n == 3  # maxFilesPerTrigger=1 → one batch per arrival file
+
+    got = {tuple(r) for r in spark.table("curation_ann").collect()}
+    want = {tuple(r) for r in annotate(docs).collect()}
+    assert got == want and got
+    # exactly one row per doc
+    assert spark.table("curation_ann").count() == docs.count()
+
+    # restart with the SAME checkpoint: no files left -> no batches,
+    # no duplicate annotations
+    n2 = annotate_stream(
+        spark, src, SCHEMA, "curation_ann",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert spark.table("curation_ann").count() == docs.count(), n2
+    spark.sql("DROP TABLE IF EXISTS curation_ann")
