@@ -78,7 +78,7 @@ _DRIVER_PRIORITY = [
     "text_unigram_logprob", "similarity_pq_recall",
     "udtf_chunk_text", "ks_price_returnflag_binned",
     "mutual_info_priority_flag", "cms_token_heavy_hitters",
-    "bloom_contamination_screen",
+    "bloom_contamination_screen", "text_bigram_logprob",
 ]
 
 _DRIVER_CHECKED = frozenset({
@@ -7309,6 +7309,82 @@ def bloom_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .groupBy("source")
         .agg(F.count("*").alias("n_flagged"))
+    )
+
+
+@q(
+    "text_bigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ), cbg AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2
+    ), cctx AS (
+      SELECT w1, SUM(c12) AS c1 FROM cbg GROUP BY 1
+    ), scored AS (
+      SELECT w1, w2,
+             CAST(round(-ln(1.0 * c12 / c1), 10) AS DECIMAL(28,12)) AS nll
+      FROM cbg JOIN cctx USING (w1)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+    FROM bg JOIN scored USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc average negative log-prob under the corpus BIGRAM
+    model, P(w2|w1) = c(w1,w2)/c(w1) — one order sharper than
+    text_unigram_logprob at separating template spam (repeated
+    transitions are cheap) from fresh prose (rare transitions are
+    expensive). Docs with <2 tokens have no bigrams and drop out,
+    matching the oracle's join shape. Same portability recipe:
+    exact-integer division, per-term round(10), decimal sum. Plan:
+    bigram explode → (w1,w2) count (map-side combined) → context
+    re-agg over the (small) bigram vocab → join back on the bigram
+    key."""
+    t = _text_tokens(F.col("text"))
+    d = load(spark, sf_dir, "documents")
+    n = F.size(t)
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.slice(t, 1, n - 1),
+                    lambda x, i: F.struct(
+                        x.alias("w1"),
+                        F.element_at(t, i + F.lit(2)).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    cbg = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cctx = cbg.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    scored = cbg.join(cctx, "w1").select(
+        "w1",
+        "w2",
+        F.round(-F.log(F.col("c12") / F.col("c1")), 10)
+        .cast("decimal(28,12)")
+        .alias("nll"),
+    )
+    return (
+        bg.join(scored, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum("nll").cast("double") / F.count("*"), 6).alias(
+                "avg_nll"
+            ),
+        )
     )
 
 
