@@ -79,6 +79,7 @@ _DRIVER_PRIORITY = [
     "udtf_chunk_text", "ks_price_returnflag_binned",
     "mutual_info_priority_flag", "cms_token_heavy_hitters",
     "bloom_contamination_screen", "text_bigram_logprob",
+    "hybrid_rrf_retrieval",
 ]
 
 _DRIVER_CHECKED = frozenset({
@@ -7384,6 +7385,145 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("nll").cast("double") / F.count("*"), 6).alias(
                 "avg_nll"
             ),
+        )
+    )
+
+
+@q(
+    "hybrid_rrf_retrieval",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS t
+      FROM documents WHERE doc_id <> 0
+    ), n_docs AS (SELECT COUNT(*) AS n FROM documents),
+    dfreq AS (
+      SELECT tok, COUNT(*) AS df
+      FROM (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks)
+      WHERE tok IN ('join', 'scan', 'merge')
+      GROUP BY tok
+    ), lex_scored AS (
+      SELECT doc_id,
+             round(SUM(len(list_filter(t, x -> x = d.tok))
+                       * ln(1.0 * n.n / d.df)), 10) AS lex
+      FROM toks, dfreq d, n_docs n
+      GROUP BY doc_id
+      HAVING SUM(len(list_filter(t, x -> x = d.tok))) > 0
+    ), lex_rank AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY lex DESC, doc_id) AS r
+      FROM lex_scored QUALIFY r <= 20
+    ), qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+    vec_scored AS (
+      SELECT vec_id AS doc_id,
+             list_dot_product(embedding, q)
+               / (sqrt(list_dot_product(embedding, embedding))
+                  * sqrt(list_dot_product(q, q))) AS cs
+      FROM embeddings, qv WHERE vec_id <> 0
+    ), vec_rank AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS r
+      FROM vec_scored QUALIFY r <= 20
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             COALESCE(1.0 / (60 + l.r), 0.0)
+               + COALESCE(1.0 / (60 + v.r), 0.0) AS rrf,
+             l.r IS NOT NULL AS in_lex,
+             v.r IS NOT NULL AS in_vec
+      FROM lex_rank l FULL OUTER JOIN vec_rank v USING (doc_id)
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER)
+             AS rank,
+           doc_id, round(rrf, 6) AS rrf_score, in_lex, in_vec
+    FROM fused
+    QUALIFY rank <= 10
+    """,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.):
+    a lexical TF-IDF rank list (query terms join/scan/merge) and a
+    vector cosine rank list (query = embedding 0) fused as
+    Σ 1/(60+rank) — the standard RAG trick for marrying keyword and
+    embedding recall without score calibration. Both lists carry
+    deterministic tiebreaks; the fuse is a 20-row full outer join.
+    At scale each list is its own top-k (TakeOrderedAndProject for
+    the vector side, agg + rank for the lexical side) — fusion cost
+    never grows past 2k rows."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") != 0)
+    emb = load(spark, sf_dir, "embeddings")
+    n_docs = load(spark, sf_dir, "documents").count()
+
+    toks = d.select("doc_id", _text_tokens("text").alias("t"))
+    terms = ["join", "scan", "merge"]
+    dfreq = (
+        toks.select(
+            "doc_id", F.explode(F.array_distinct("t")).alias("tok")
+        )
+        .filter(F.col("tok").isin(terms))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    lex = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))),
+                10,
+            ).alias("lex")
+        )
+    )
+    wl = Window.orderBy(F.desc("lex"), "doc_id")
+    lex_rank = lex.withColumn("r", F.row_number().over(wl)).filter(
+        F.col("r") <= 20
+    ).select("doc_id", F.col("r").alias("lr"))
+
+    from datasette_upload_csvs_spark.operators import similarity as _sim
+
+    v = emb.select(
+        "vec_id", _sim.as_double_array(F.col("embedding")).alias("v")
+    )
+    qv = v.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cs = dot(F.col("v"), F.col("q")) / (
+        F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("q"), F.col("q")))
+    )
+    wv = Window.orderBy(F.desc("cs"), "doc_id")
+    vec_rank = (
+        v.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("doc_id"), cs.alias("cs"))
+        .withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") <= 20)
+        .select("doc_id", F.col("r").alias("vr"))
+    )
+    fused = (
+        lex_rank.join(vec_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(1.0 / (F.col("lr") + 60), F.lit(0.0))
+                + F.coalesce(1.0 / (F.col("vr") + 60), F.lit(0.0))
+            ).alias("rrf"),
+            F.col("lr").isNotNull().alias("in_lex"),
+            F.col("vr").isNotNull().alias("in_vec"),
+        )
+    )
+    wf = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "rank", "doc_id", F.round("rrf", 6).alias("rrf_score"),
+            "in_lex", "in_vec",
         )
     )
 
