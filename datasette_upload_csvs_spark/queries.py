@@ -79,7 +79,7 @@ _DRIVER_PRIORITY = [
     "udtf_chunk_text", "ks_price_returnflag_binned",
     "mutual_info_priority_flag", "cms_token_heavy_hitters",
     "bloom_contamination_screen", "text_bigram_logprob",
-    "hybrid_rrf_retrieval",
+    "hybrid_rrf_retrieval", "dedup_graph_triangles",
 ]
 
 _DRIVER_CHECKED = frozenset({
@@ -7525,6 +7525,80 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank", "doc_id", F.round("rrf", 6).alias("rrf_score"),
             "in_lex", "in_vec",
         )
+    )
+
+
+@q(
+    "dedup_graph_triangles",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT id_a, id_b
+      FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+                 JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
+    )
+    SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(DISTINCT v) FROM
+                   (SELECT id_a AS v FROM edges
+                    UNION ALL SELECT id_b FROM edges)) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*)
+                 FROM edges e1 JOIN edges e2 ON e1.id_b = e2.id_a
+                      JOIN edges e3 ON e3.id_a = e1.id_a
+                                   AND e3.id_b = e2.id_b) AS BIGINT)
+             AS n_triangles
+    """,
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup graph — the cluster-cohesion
+    audit: a dedup graph whose components are triangle-dense is
+    true duplicate clusters; components that are long triangle-free
+    chains signal threshold-chaining (A~B~C with A≁C), where
+    cluster-canonical dedup over-merges. Edges come from the SAME
+    exact-Jaccard-verified MinHash pipeline the dedup queries use;
+    triangles are the a<b<c ordered two-hop join — the node-iterator
+    shape whose cost is bounded by Σ deg², kept sane at scale by the
+    LSH graph's bounded degree (bucket caps), never by all-pairs."""
+    from datasette_upload_csvs_spark.operators import dedup
+
+    pairs = dedup.minhash_near_dup_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.7
+    )
+    edges = pairs.select("id_a", "id_b").persist()
+    n_edges = edges.count()
+    n_nodes = (
+        edges.select(F.col("id_a").alias("v"))
+        .unionAll(edges.select(F.col("id_b").alias("v")))
+        .distinct()
+        .count()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    n_tri = (
+        e1.join(e2, F.col("e1.id_b") == F.col("e2.id_a"))
+        .join(
+            e3,
+            (F.col("e3.id_a") == F.col("e1.id_a"))
+            & (F.col("e3.id_b") == F.col("e2.id_b")),
+        )
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n_edges, n_nodes, n_tri)],
+        "n_edges long, n_nodes long, n_triangles long",
     )
 
 
