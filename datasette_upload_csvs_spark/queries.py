@@ -80,6 +80,7 @@ _DRIVER_PRIORITY = [
     "mutual_info_priority_flag", "cms_token_heavy_hitters",
     "bloom_contamination_screen", "text_bigram_logprob",
     "hybrid_rrf_retrieval", "dedup_graph_triangles",
+    "text_vocab_coverage", "pack_padding_waste",
 ]
 
 _DRIVER_CHECKED = frozenset({
@@ -7599,6 +7600,107 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_edges, n_nodes, n_tri)],
         "n_edges long, n_nodes long, n_triangles long",
+    )
+
+
+@q(
+    "text_vocab_coverage",
+    f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ), freq AS (
+      SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+    ), ranked AS (
+      SELECT c,
+             SUM(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING)
+               AS cum,
+             SUM(c) OVER () AS tot,
+             ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r
+      FROM freq
+    )
+    SELECT CAST(MAX(r) AS BIGINT) AS vocab_size,
+           CAST(MIN(CASE WHEN 1.0 * cum / tot >= 0.5 THEN r END) AS BIGINT)
+             AS types_for_50pct,
+           CAST(MIN(CASE WHEN 1.0 * cum / tot >= 0.9 THEN r END) AS BIGINT)
+             AS types_for_90pct,
+           CAST(MIN(CASE WHEN 1.0 * cum / tot >= 0.99 THEN r END) AS BIGINT)
+             AS types_for_99pct
+    FROM ranked
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — how many types cover 50/90/99% of
+    token occurrences (the Heaps/Zipf audit that sizes a tokenizer's
+    vocab before training one). The window runs over the VOCABULARY
+    (one row per distinct token), which is sublinear in corpus size —
+    the corpus itself is reduced by one map-side-combined count
+    aggregate first, so the single-partition rank window is over
+    ~10⁵-10⁶ rows at any corpus scale, not over tokens."""
+    freq = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(_text_tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    w_rank = Window.orderBy(F.desc("c"), "w")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = freq.select(
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot"),
+        F.row_number().over(w_rank).alias("r"),
+    )
+    share = F.col("cum") / F.col("tot")
+    return ranked.agg(
+        F.max("r").alias("vocab_size"),
+        F.min(F.when(share >= 0.5, F.col("r"))).alias("types_for_50pct"),
+        F.min(F.when(share >= 0.9, F.col("r"))).alias("types_for_90pct"),
+        F.min(F.when(share >= 0.99, F.col("r"))).alias("types_for_99pct"),
+    )
+
+
+@q(
+    "pack_padding_waste",
+    f"""
+    WITH t AS (
+      SELECT source,
+             greatest(len(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                      x -> x <> '')), 1) AS n
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM((512 - n % 512) % 512) AS BIGINT) AS pad_tokens,
+           round(1.0 * SUM((512 - n % 512) % 512)
+                 / (SUM(n) + SUM((512 - n % 512) % 512)), 6) AS waste_frac
+    FROM t GROUP BY source
+    """,
+)
+def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding waste of pad-to-512 batching per source — the number
+    that justifies concat-and-chunk packing (curation_pack_chunks):
+    every doc shorter than the context burns (512 − n mod 512) pad
+    tokens, and waste_frac is the share of batch slots holding
+    padding. One map-side aggregate; the decision input for choosing
+    a packing strategy per source."""
+    n = F.greatest(F.size(_text_tokens("text")), F.lit(1))
+    pad = (F.lit(512) - n % 512) % 512
+    return (
+        load(spark, sf_dir, "documents")
+        .select("source", n.alias("n"), pad.alias("pad"))
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("total_tokens"),
+            F.sum("pad").alias("pad_tokens"),
+            F.round(
+                F.sum("pad") / (F.sum("n") + F.sum("pad")), 6
+            ).alias("waste_frac"),
+        )
     )
 
 
