@@ -81,6 +81,7 @@ _DRIVER_PRIORITY = [
     "bloom_contamination_screen", "text_bigram_logprob",
     "hybrid_rrf_retrieval", "dedup_graph_triangles",
     "text_vocab_coverage", "pack_padding_waste",
+    "events_anomaly_mad_daily", "dedup_rate_by_source",
 ]
 
 _DRIVER_CHECKED = frozenset({
@@ -7700,6 +7701,126 @@ def pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum("pad") / (F.sum("n") + F.sum("pad")), 6
             ).alias("waste_frac"),
+        )
+    )
+
+
+@q(
+    "events_anomaly_mad_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             COUNT(*) AS c
+      FROM events GROUP BY 1
+    ), med AS (
+      SELECT quantile_cont(c, 0.5) AS m FROM daily
+    ), mad AS (
+      SELECT quantile_cont(abs(c - med.m), 0.5) AS v, MAX(med.m) AS m
+      FROM daily, med GROUP BY med.m
+    )
+    SELECT d, CAST(c AS BIGINT) AS n_events,
+           round((c - mad.m) / greatest(mad.v * 1.4826, 1e-9), 4)
+             AS robust_z,
+           abs(c - mad.m) > 3.5 * mad.v * 1.4826 AS is_anomaly
+    FROM daily, mad
+    ORDER BY d
+    """,
+)
+def events_anomaly_mad_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-volume anomaly flags via median + MAD (the
+    outlier-immune z-score: a traffic spike can't inflate its own
+    detection threshold the way mean/stddev lets it). Per-day counts
+    are one aggregate; median/MAD run over the (tiny) daily series;
+    flags are a broadcast cross join back. The robust-σ factor
+    1.4826 makes the threshold comparable to a 3.5σ rule."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("c"))
+    med = daily.agg(F.expr("percentile(c, 0.5)").alias("m"))
+    mad = (
+        daily.crossJoin(F.broadcast(med))
+        .groupBy("m")
+        .agg(F.expr("percentile(abs(c - m), 0.5)").alias("v"))
+    )
+    sig = F.greatest(F.col("v") * 1.4826, F.lit(1e-9))
+    return (
+        daily.crossJoin(F.broadcast(mad))
+        .select(
+            "d",
+            F.col("c").alias("n_events"),
+            F.round((F.col("c") - F.col("m")) / sig, 4).alias("robust_z"),
+            (F.abs(F.col("c") - F.col("m")) > 3.5 * F.col("v") * 1.4826).alias(
+                "is_anomaly"
+            ),
+        )
+        .orderBy("d")
+    )
+
+
+@q(
+    "dedup_rate_by_source",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT id_a, id_b
+      FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+                 JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
+    ), dup_docs AS (
+      SELECT DISTINCT v FROM
+        (SELECT id_a AS v FROM edges UNION ALL SELECT id_b FROM edges)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_dup_pair,
+           round(1.0 * SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS dup_rate
+    FROM documents LEFT JOIN dup_docs ON doc_id = v
+    GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplication rate per source — the redundancy audit that
+    feeds mixture decisions (a source whose docs mostly near-dup each
+    other contributes less unique signal than its row count claims).
+    Documents in ≥1 verified near-dup pair, as a fraction of the
+    source; edges come from the exact-Jaccard-verified MinHash
+    pipeline, membership is a broadcast semi-style left join."""
+    from datasette_upload_csvs_spark.operators import dedup
+
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dup_pairs(d, threshold=0.7)
+    dupd = (
+        pairs.select(F.col("id_a").alias("v"))
+        .unionAll(pairs.select(F.col("id_b").alias("v")))
+        .distinct()
+    )
+    return (
+        d.join(F.broadcast(dupd), d.doc_id == dupd.v, "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("v").isNotNull().cast("bigint")).alias(
+                "n_in_dup_pair"
+            ),
+            F.round(
+                F.sum(F.col("v").isNotNull().cast("bigint")) / F.count("*"),
+                6,
+            ).alias("dup_rate"),
         )
     )
 
