@@ -105,3 +105,52 @@ def test_sample_is_map_side_only(spark, sf_dir):
         read_table(spark, sf_dir, "orders"), "o_orderkey", 0.1
     )
     assert plans.shuffle_count(df) == 0
+
+
+def test_pii_redact_query_is_map_only(spark, sf_dir):
+    df = Q.curation_pii_redact(spark, sf_dir)
+    assert plans.shuffle_count(df) == 0
+    assert plans.wholestage_codegen_spans(df) >= 1
+
+
+def test_bloom_screen_broadcasts_filter(spark, sf_dir):
+    df = Q.bloom_contamination_screen(spark, sf_dir)
+    txt = plans.executed_plan(df)
+    # the position set reaches the train side as a broadcast, and the
+    # train scan never shuffles its documents
+    assert "BroadcastExchange" in txt
+    assert set(plans.read_schema_columns(df)) <= {"doc_id", "source", "text"}
+
+
+def test_cms_sketch_is_single_aggregation(spark, sf_dir):
+    df = Q.cms_token_heavy_hitters(spark, sf_dir)
+    txt = plans.executed_plan(df)
+    # counter build + truth + probe join — but no nested-loop blowup
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_ks_binned_window_is_bounded(spark, sf_dir):
+    # the CDF window runs over <=100 bin rows, so the plan's only
+    # SinglePartition exchange carries the bin table, not lineitem
+    df = Q.ks_price_returnflag_binned(spark, sf_dir)
+    txt = plans.executed_plan(df)
+    assert txt.count("Exchange SinglePartition") <= 2
+    assert set(plans.read_schema_columns(df)) == {
+        "l_returnflag", "l_extendedprice",
+    }
+
+
+def test_q16_anti_join_and_part_pushdown(spark, sf_dir):
+    df = Q.q16_parts_supplier_count(spark, sf_dir)
+    txt = plans.executed_plan(df)
+    assert "LeftAnti" in txt
+    assert plans.has_pushed_filters(df)
+
+
+def test_balanced_shards_no_global_data_window(spark, sf_dir):
+    df = Q.export_balanced_shards(spark, sf_dir)
+    txt = plans.executed_plan(df)
+    # band-prefix pattern: the single-partition window covers one row
+    # per distinct size, never the doc stream
+    assert txt.count("Exchange SinglePartition") <= 2
+    assert plans.uses_broadcast_join(df)
