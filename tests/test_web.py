@@ -237,3 +237,31 @@ def test_upload_error_surfaces_through_poll(app, spark):
     rows = json.loads(payload)
     assert rows[0]["error"] is not None
     assert rows[0]["completed"] is None
+
+
+def test_two_uploads_in_flight_concurrently(app, spark):
+    """Two POSTs before either task finishes: independent task ids,
+    both tables land (A16 async orchestration through the web
+    surface; the reference serves concurrent uploads the same way)."""
+    datas = []
+    for name in ("conc_web_a", "conc_web_b"):
+        body = multipart_body(
+            {
+                "csv": (f"{name}.csv", f"k,v\n{name},1\n".encode()),
+                "table_name": (None, name.encode()),
+                "xhr": (None, b"1"),
+            }
+        )
+        status, _, payload = call(
+            app, "POST", "/-/upload-csvs", body=body,
+            ctype=f"multipart/form-data; boundary={BOUNDARY}",
+        )
+        assert status == 200
+        datas.append(json.loads(payload))
+
+    assert datas[0]["task_id"] != datas[1]["task_id"]
+    results = [app.tasks[d["task_id"]].result(timeout=120) for d in datas]
+    for d, res in zip(datas, results):
+        assert res.error is None
+        assert spark.table(res.table).count() == 1
+        spark.sql(f"DROP TABLE IF EXISTS {res.table}")
