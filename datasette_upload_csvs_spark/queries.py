@@ -82,6 +82,7 @@ _DRIVER_PRIORITY = [
     "hybrid_rrf_retrieval", "dedup_graph_triangles",
     "text_vocab_coverage", "pack_padding_waste",
     "events_anomaly_mad_daily", "dedup_rate_by_source",
+    "split_cluster_safe",
 ]
 
 _DRIVER_CHECKED = frozenset({
@@ -7821,6 +7822,83 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("v").isNotNull().cast("bigint")) / F.count("*"),
                 6,
             ).alias("dup_rate"),
+        )
+    )
+
+
+@q(
+    "split_cluster_safe",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), good AS (
+      SELECT id_a, id_b
+      FROM pr JOIN sizes sa ON id_a = sa.doc_id
+              JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
+    ), edges AS (
+      SELECT id_a AS v, id_b AS n FROM good
+      UNION
+      SELECT id_b AS v, id_a AS n FROM good
+    ), walk(v, c) AS (
+      SELECT v, v FROM (SELECT DISTINCT v FROM edges) t
+      UNION
+      SELECT e.v, w.c FROM edges e JOIN walk w ON w.v = e.n
+    ), comp AS (
+      SELECT v, MIN(c) AS component FROM walk GROUP BY v
+    ), assigned AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS g,
+             CASE WHEN substr(md5(CAST(COALESCE(c.component, d.doc_id)
+                                       AS VARCHAR)), 1, 1)
+                       IN ('0', '1', '2') THEN 'val' ELSE 'train' END AS split
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_clusters
+    FROM assigned GROUP BY split
+    """,
+)
+def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: the split key is the near-dup
+    CLUSTER id, not the doc id, so two near-duplicate documents can
+    never land on opposite sides of the split (the eval-contamination
+    mode a doc-keyed hash split silently permits). Clusters come from
+    the same connected components dedup_groups verifies; membership
+    is md5(cluster) — deterministic, engine-portable. Output audits
+    docs and clusters per split."""
+    from datasette_upload_csvs_spark.operators import graph
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.7).select(
+        "id_a", "id_b"
+    )
+    cc = graph.connected_components(pairs)
+    g = F.coalesce("component", "doc_id")
+    split = F.when(
+        F.substring(F.md5(g.cast("string")), 1, 1).isin("0", "1", "2"),
+        "val",
+    ).otherwise("train")
+    return (
+        docs.select("doc_id")
+        .join(cc, F.col("doc_id") == F.col("vertex"), "left")
+        .select(F.col("doc_id"), g.alias("g"), split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("g").alias("n_clusters"),
         )
     )
 
