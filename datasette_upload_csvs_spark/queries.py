@@ -1489,6 +1489,15 @@ _JACCARD_ORACLE = """
 
 @q("dedup_ngram_jaccard", _JACCARD_ORACLE.format(thr="0.3"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncapped exact-Jaccard baseline — SMALL/TRUSTED CORPORA ONLY.
+
+    max_df=None means the shingle inverted-index self-join has no
+    frequent-item cut: one boilerplate shingle present in df docs
+    creates an O(df²) candidate bucket, which dominates the job at
+    corpus scale. This entry exists as the oracle-exact small-corpus
+    baseline; every production-scale path must use the capped twin
+    (dedup_ngram_jaccard_capped / max_df=...) or the MinHash+LSH
+    route (dedup_minhash_lsh)."""
     return dedup.ngram_jaccard_pairs(
         load(spark, sf_dir, "documents"), threshold=0.3
     )
@@ -1803,9 +1812,13 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "dedup_groups",
-    """
+# Shared CTE chain for the two cluster-consuming queries: max_df-capped
+# candidate generation (frequent-item cut — shingles in > max_df docs are
+# excluded from the inverted-index self-join, killing the O(df²)
+# hot-shingle bucket), exact-Jaccard verify over FULL shingle sets,
+# then recursive-CTE transitive closure. Mirrors the Spark side's
+# ngram_jaccard_pairs(max_df=...) + connected_components exactly.
+_CAPPED_CLUSTER_CTES = """
     WITH RECURSIVE toks AS (
       SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
                                  x -> x <> '') AS t
@@ -1813,11 +1826,21 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), sh AS (
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
       FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)
+    ), dfreq AS (
+      SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+    ), rare AS (
+      SELECT s.doc_id, s.shingle
+      FROM sh s JOIN dfreq d ON s.shingle = d.shingle
+      WHERE d.df <= {max_df}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), pr AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      SELECT c.id_a, c.id_b, COUNT(*) AS shared
+      FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                  JOIN sh b ON b.doc_id = c.id_b AND a.shingle = b.shingle
       GROUP BY 1, 2
     ), good AS (
       SELECT id_a, id_b
@@ -1835,6 +1858,15 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), comp AS (
       SELECT v, MIN(c) AS component FROM walk GROUP BY v
     )
+"""
+
+_CLUSTER_MAX_DF = 20
+
+
+@q(
+    "dedup_groups",
+    _CAPPED_CLUSTER_CTES.format(max_df=_CLUSTER_MAX_DF)
+    + """
     SELECT d.doc_id,
            COALESCE(c.component, d.doc_id) AS group_id,
            COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
@@ -1846,15 +1878,20 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (operators/graph.py, hash-min label propagation): if
     A~B and B~C then {A,B,C} is one cluster even though (A,C) was
     never emitted. group_id = min doc_id of the cluster (the keeper
-    convention), singletons are their own group. Oracle = recursive
-    CTE transitive closure over the same exact-Jaccard ≥ 0.7 edge
-    set."""
+    convention), singletons are their own group.
+
+    Edge generation is max_df-capped (frequent-item cut + exact
+    verify, same recipe as dedup_containment) so a boilerplate
+    shingle present in df documents can never create an O(df²)
+    candidate bucket — the scale guard a 100 TB corpus needs. Oracle
+    = recursive CTE transitive closure over the identically-capped
+    exact-Jaccard ≥ 0.7 edge set."""
     from datasette_upload_csvs_spark.operators import graph
 
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.7).select(
-        "id_a", "id_b"
-    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.7, max_df=_CLUSTER_MAX_DF
+    ).select("id_a", "id_b")
     cc = graph.connected_components(pairs)
     return (
         docs.select("doc_id")
@@ -7828,36 +7865,8 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "split_cluster_safe",
-    """
-    WITH RECURSIVE toks AS (
-      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
-                                 x -> x <> '') AS t
-      FROM documents
-    ), sh AS (
-      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-    ), pr AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), good AS (
-      SELECT id_a, id_b
-      FROM pr JOIN sizes sa ON id_a = sa.doc_id
-              JOIN sizes sb ON id_b = sb.doc_id
-      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
-    ), edges AS (
-      SELECT id_a AS v, id_b AS n FROM good
-      UNION
-      SELECT id_b AS v, id_a AS n FROM good
-    ), walk(v, c) AS (
-      SELECT v, v FROM (SELECT DISTINCT v FROM edges) t
-      UNION
-      SELECT e.v, w.c FROM edges e JOIN walk w ON w.v = e.n
-    ), comp AS (
-      SELECT v, MIN(c) AS component FROM walk GROUP BY v
-    ), assigned AS (
+    _CAPPED_CLUSTER_CTES.format(max_df=_CLUSTER_MAX_DF).rstrip()
+    + """, assigned AS (
       SELECT d.doc_id,
              COALESCE(c.component, d.doc_id) AS g,
              CASE WHEN substr(md5(CAST(COALESCE(c.component, d.doc_id)
@@ -7876,15 +7885,17 @@ def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     CLUSTER id, not the doc id, so two near-duplicate documents can
     never land on opposite sides of the split (the eval-contamination
     mode a doc-keyed hash split silently permits). Clusters come from
-    the same connected components dedup_groups verifies; membership
-    is md5(cluster) — deterministic, engine-portable. Output audits
+    the same connected components dedup_groups verifies — including
+    its max_df-capped edge generation, so the full-corpus split run
+    never hits an O(df²) hot-shingle bucket; membership is
+    md5(cluster) — deterministic, engine-portable. Output audits
     docs and clusters per split."""
     from datasette_upload_csvs_spark.operators import graph
 
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.7).select(
-        "id_a", "id_b"
-    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.7, max_df=_CLUSTER_MAX_DF
+    ).select("id_a", "id_b")
     cc = graph.connected_components(pairs)
     g = F.coalesce("component", "doc_id")
     split = F.when(
