@@ -53,7 +53,7 @@ def q(name: str, oracle: str | None = None):
 
 
 # Names hash-verified by the driver at sf0.01 (union of
-# CORRECTNESS_r01/r02/r03.json) AT THEIR CURRENT IMPLEMENTATION.
+# CORRECTNESS_r01..r04.json) AT THEIR CURRENT IMPLEMENTATION.
 # The driver samples a prefix of the registry, so listing these LAST
 # rotates the not-yet-driver-checked queries into the sample while
 # keeping every name stable.
@@ -61,68 +61,92 @@ def q(name: str, oracle: str | None = None):
 # Rule (round-2 ADVICE): any query whose implementation or oracle
 # changed AFTER its last driver check must NOT appear here — it goes
 # in _DRIVER_PRIORITY so the independent check re-runs on the new
-# code. Round-3 rewrites never re-sampled: dedup_containment
-# (max_df cap, a3e0823), dedup_embedding_cosine (anchor-blocked
-# candidates, 1364c9e); round-2 rewrites whose rotation was flagged
-# by ADVICE: dedup_minhash_lsh (hash-shingles), and
-# simhash_fingerprints_portable (bit-63 two's-complement).
+# code. Round-5 priority = the two queries whose edge generation was
+# capped this round (dedup_groups, split_cluster_safe — impl AND
+# oracle changed) followed by the 44 names never yet included in a
+# driver sample (r1∪r2∪r3∪r4 = 147 of 191); 46 ≤ the driver's
+# 50-name prefix, so round 5 completes the rotation.
 _DRIVER_PRIORITY = [
-    "dedup_containment", "dedup_embedding_cosine",
-    "dedup_minhash_lsh", "simhash_fingerprints_portable",
-    # round-4 additions (newest code first in the driver sample)
-    "q11_important_stock", "q16_parts_supplier_count",
-    "curation_repetition_stats", "curation_strip_boilerplate",
-    "curation_pack_chunks", "curation_pii_redact",
-    "curation_mixture_rebalance", "curation_shuffle_order",
-    "dedup_ngram_coverage", "export_balanced_shards",
-    "text_unigram_logprob", "similarity_pq_recall",
-    "udtf_chunk_text", "ks_price_returnflag_binned",
-    "mutual_info_priority_flag", "cms_token_heavy_hitters",
-    "bloom_contamination_screen", "text_bigram_logprob",
-    "hybrid_rrf_retrieval", "dedup_graph_triangles",
-    "text_vocab_coverage", "pack_padding_waste",
-    "events_anomaly_mad_daily", "dedup_rate_by_source",
-    "split_cluster_safe",
+    "dedup_groups", "split_cluster_safe", "group_by_all_sql",
+    "export_shard_assignment", "embedding_quantize_int8",
+    "corr_regression_qty_price", "array_agg_region_nations",
+    "bigram_pmi_collocations", "revenue_share_by_nation",
+    "events_weekly_retention", "daily_revenue_drawdown",
+    "argmax_priority_extreme_orders", "token_entropy_by_lang",
+    "chisq_contingency_flag_status", "means_family_price",
+    "interval_overlap_concurrency", "order_streak_islands",
+    "rfm_customer_segments", "basket_brand_lift", "pareto_abc_customers",
+    "event_type_transition_matrix", "moments_skew_kurtosis",
+    "supplier_concentration_hhi", "attribution_first_last_touch",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    "scd2_customer_versions", "hll_mergeable_distinct",
+    "approx_percentile_gate", "sample_deterministic", "sample_stratified",
+    "merge_upsert_orders", "sample_weighted_orders",
+    "sample_n_per_group_orders", "equidepth_histogram_price",
+    "doc_rolling_hash", "filtered_aggregates", "monthly_revenue_ewma",
+    "dq_check_orders", "snapshot_diff_orders", "benford_first_digit",
+    "not_in_null_semantics", "histogram2d_qty_price",
+    "monthly_trend_by_nation", "price_percentiles_by_status",
+    "robust_dispersion_mad"
 ]
 
 _DRIVER_CHECKED = frozenset({
     "anti_join_no_orders", "approx_count_distinct",
     "approx_quantile_tolerance", "array_funcs_extended",
-    "array_ops_embeddings", "asof_join_last_click", "bitwise_ops",
-    "conditional_case", "contamination_overlap", "correlated_avg_filter",
-    "count_distinct", "cross_join_region_pairs", "cube_flag_status",
-    "date_format_funcs", "date_funcs",
-    "dedup_exact_ranks", "dedup_groups", "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped", "dedup_simhash",
-    "disjunctive_filter_join", "distinct_status_priority", "doc_keywords",
+    "array_ops_embeddings", "asof_join_last_click", "bag_set_ops",
+    "bitwise_ops", "bloom_contamination_screen", "bool_aggs",
+    "cms_token_heavy_hitters", "conditional_case", "contamination_overlap",
+    "correlated_avg_filter", "count_distinct", "cross_join_region_pairs",
+    "cube_flag_status", "curation_mixture_rebalance",
+    "curation_pack_chunks", "curation_pii_redact",
+    "curation_repetition_stats", "curation_shuffle_order",
+    "curation_strip_boilerplate", "date_format_funcs", "date_funcs",
+    "dedup_containment", "dedup_embedding_cosine", "dedup_exact_ranks",
+    "dedup_graph_triangles", "dedup_minhash_lsh", "dedup_ngram_coverage",
+    "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
+    "dedup_rate_by_source", "dedup_simhash", "disjunctive_filter_join",
+    "distinct_status_priority", "doc_keywords",
+    "embedding_centroid_distance", "events_anomaly_mad_daily",
     "events_funnel", "events_resample_gapfill", "events_session_window",
     "events_sliding_window", "events_tumbling_window", "except_nations",
-    "explode_doc_tokens", "filter_null_tests", "full_outer_nation_supplier",
-    "fuzzy_name_pairs", "global_agg", "grouped_pandas_zscore",
-    "grouping_sets_mixed", "hash_sample", "having_filter",
-    "intersect_nations", "json_extract_events", "lateral_topk_per_nation",
-    "left_join_order_counts", "limit_offset", "math_funcs",
-    "math_funcs_extended", "multimodal_feature_extract",
-    "multimodal_resize", "null_safe_join_groups", "percentiles_price",
-    "pivot_returnflag", "price_histogram", "q10_returned_items",
-    "q13_customer_distribution", "q1_pricing_summary",
-    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
-    "q6_revenue_change", "range_join_ship_lag", "recursive_cte_series",
-    "regexp_funcs", "rollup_nation_priority", "semi_join_big_spenders",
-    "similarity_anchor_topk_batch",
-    "similarity_anchor_topk_results", "similarity_ivf_recall",
-    "similarity_lsh_recall", "similarity_lsh_topk_batch",
+    "explode_doc_tokens", "export_balanced_shards",
+    "feature_hashing_buckets", "filter_null_tests",
+    "full_outer_nation_supplier", "fuzzy_name_pairs", "global_agg",
+    "grouped_pandas_zscore", "grouping_sets_mixed", "hash_funcs",
+    "hash_sample", "having_filter", "hybrid_rrf_retrieval",
+    "intersect_nations", "json_extract_events",
+    "ks_price_returnflag_binned", "lateral_topk_per_nation",
+    "left_join_order_counts", "limit_offset", "map_funcs_price_stats",
+    "math_funcs", "math_funcs_extended", "multimodal_feature_extract",
+    "multimodal_resize", "mutual_info_priority_flag",
+    "null_safe_join_groups", "outlier_orders_iqr", "pack_padding_waste",
+    "percentiles_price", "pivot_returnflag", "pivot_status_by_flag",
+    "price_histogram", "q10_returned_items", "q11_important_stock",
+    "q12_late_priority_mix", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_parts_supplier_count",
+    "q18_large_volume_customers", "q1_pricing_summary",
+    "q20_part_promotion_suppliers", "q21_waiting_suppliers",
+    "q22_dormant_customers", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_revenue_change",
+    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
+    "range_join_ship_lag", "recursive_cte_series", "regexp_funcs",
+    "rollup_nation_priority", "semi_join_big_spenders",
+    "sessionize_events_lag", "simhash_fingerprints_portable",
+    "similarity_anchor_topk_batch", "similarity_anchor_topk_results",
+    "similarity_ivf_recall", "similarity_lsh_recall",
+    "similarity_lsh_topk_batch", "similarity_pq_recall",
     "similarity_topk_batch", "similarity_topk_bruteforce",
     "sort_nulls_handling", "sql_scalar_subquery", "sqlite_compat_funcs",
     "stats_dispersion", "stratified_split_counts", "string_agg_suppliers",
     "string_funcs", "string_funcs_extended", "table_profile",
-    "text_bigram_freq", "text_fingerprint", "text_lang_id", "text_quality",
-    "text_tfidf_top_terms", "text_token_stats", "text_word_freq",
-    "theta_join_richer_suppliers", "token_count_bpe", "topk_per_group",
-    "udf_pandas_vowel_count", "union_all_nation_keys",
-    "unpivot_lineitem_metrics", "window_distribution",
-    "window_lag_lead_orders", "window_range_frame", "window_rank_customers",
-    "window_running_total",
+    "text_bigram_freq", "text_bigram_logprob", "text_fingerprint",
+    "text_lang_id", "text_quality", "text_tfidf_top_terms",
+    "text_token_stats", "text_unigram_logprob", "text_vocab_coverage",
+    "text_word_freq", "theta_join_richer_suppliers", "token_count_bpe",
+    "topk_per_group", "udf_pandas_vowel_count", "udtf_chunk_text",
+    "union_all_nation_keys", "unpivot_lineitem_metrics",
+    "window_distribution", "window_ignore_nulls", "window_lag_lead_orders",
+    "window_range_frame", "window_rank_customers", "window_running_total"
 })
 
 
