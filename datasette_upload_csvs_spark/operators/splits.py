@@ -1,0 +1,190 @@
+"""Leakage-safe train/val split assignment, stable under corpus growth.
+
+split_cluster_safe (queries.py) keys the split on the near-dup CLUSTER
+id so near-duplicates never straddle the split — but it recomputes
+clusters from scratch, and a full recompute after an append can flip
+an existing cluster's min-id and silently migrate already-assigned
+documents train↔val: exactly the eval contamination the split exists
+to prevent.
+
+This module adds the incremental contract a growing corpus needs:
+
+- ``assign_splits(docs)``  — full recompute; emits
+  (doc_id, cluster_id, split, bridged=false).
+- ``append_splits(prev, docs)`` — incremental; every row of ``prev``
+  is returned **unchanged** (the stability guarantee: an assigned
+  document's split label is frozen forever), and only documents
+  absent from ``prev`` receive new rows.
+
+Append semantics (deterministic, engine-portable):
+
+- Candidate generation touches only pairs with ≥1 NEW endpoint: the
+  new docs' rare shingles are joined against the full corpus index,
+  so per-batch work is O(batch × bucket), never O(corpus²). The
+  document-frequency cap (``max_df``) is computed over the full
+  corpus, same frequent-item cut + exact-Jaccard verify as
+  dedup.ngram_jaccard_pairs.
+- A new doc connected (directly or through other new docs) to ≥1
+  previously-assigned cluster ADOPTS the split of the linked cluster
+  with the smallest cluster_id, and inherits that cluster_id. Old
+  clusters bridged by a new doc keep their existing labels — merging
+  them would migrate old docs, which the contract forbids; instead
+  the new row is flagged ``bridged=true`` (it is near >1 old cluster,
+  possibly on both sides of the split) so a hygiene-sensitive
+  pipeline can quarantine it.
+- New docs reachable only from new docs form fresh clusters keyed by
+  min new doc_id; membership is the same md5(cluster_id) rule as
+  split_cluster_safe (first hex digit in {0,1,2} → val).
+
+At 100 TB the full-corpus shingle index would be maintained
+incrementally (a managed table keyed by shingle) rather than rebuilt;
+the candidate cut and adoption rules are unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datasette_upload_csvs_spark.functions.text import shingles
+from datasette_upload_csvs_spark.operators.dedup import doc_shingles
+from datasette_upload_csvs_spark.operators.graph import connected_components
+
+VAL_HEX = ("0", "1", "2")
+
+
+def _split_of(cluster_col) -> F.Column:
+    """md5-first-hex-digit membership — identical to split_cluster_safe."""
+    return F.when(
+        F.substring(F.md5(cluster_col.cast("string")), 1, 1).isin(*VAL_HEX),
+        F.lit("val"),
+    ).otherwise(F.lit("train"))
+
+
+def assign_splits(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    max_df: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_id, split, bridged) for every document.
+
+    Full recompute: capped-edge near-dup clusters (the dedup_groups
+    pipeline), split keyed on cluster id. ``bridged`` is always false
+    here — bridging only exists under append.
+    """
+    from datasette_upload_csvs_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        docs, text_col, id_col, threshold=threshold, max_df=max_df
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    g = F.coalesce("component", id_col)
+    return (
+        docs.select(id_col)
+        .join(cc, F.col(id_col) == F.col("vertex"), "left")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            g.alias("cluster_id"),
+            _split_of(g).alias("split"),
+            F.lit(False).alias("bridged"),
+        )
+    )
+
+
+def _incremental_edges(
+    docs: DataFrame,
+    new_ids: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    max_df: int,
+) -> DataFrame:
+    """Verified near-dup edges (id_a, id_b) with ≥1 NEW endpoint.
+
+    Same capped candidate recipe as dedup.ngram_jaccard_pairs, but the
+    left side of the shingle-bucket join is restricted to new docs'
+    shingles, so candidate volume scales with the batch, not the
+    corpus."""
+    sh = doc_shingles(docs, text_col, id_col)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare = sh.join(
+        dfreq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+    )
+    rare_new = rare.join(new_ids, on=id_col, how="left_semi")
+    cand = (
+        rare_new.alias("a")
+        .join(rare.alias("b"), on="shingle")
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+    sets = docs.select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    shared = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    denom = (F.size("sh_a") + F.size("sh_b")).cast("double") - shared
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(shared / denom >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def append_splits(
+    prev: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    max_df: int = 20,
+) -> DataFrame:
+    """Extend ``prev`` assignments to the grown corpus ``docs``.
+
+    Stability contract: the returned DataFrame contains every row of
+    ``prev`` byte-identical, plus one new row per document of ``docs``
+    not present in ``prev``. No existing document ever changes
+    cluster_id or split."""
+    prev_cols = prev.select("doc_id", "cluster_id", "split", "bridged")
+    new_ids = docs.select(F.col(id_col)).join(
+        prev_cols.select(F.col("doc_id").alias(id_col)), on=id_col, how="left_anti"
+    )
+    edges = _incremental_edges(
+        docs, new_ids, text_col, id_col, threshold, max_df
+    )
+    cc = connected_components(edges)
+
+    # per incremental component: the anchor = smallest previously
+    # assigned cluster reachable; its split is adopted wholesale.
+    anchors = (
+        cc.join(prev_cols, cc["vertex"] == prev_cols["doc_id"])
+        .groupBy("component")
+        .agg(
+            F.min("cluster_id").alias("anchor_cluster"),
+            F.min_by("split", "cluster_id").alias("anchor_split"),
+            F.count_distinct("cluster_id").alias("n_anchor_clusters"),
+        )
+    )
+
+    comp_of_new = cc.join(
+        new_ids.select(F.col(id_col).alias("vertex")), "vertex", "left_semi"
+    )
+    g = F.coalesce("anchor_cluster", "component", F.col(id_col))
+    new_rows = (
+        new_ids.join(
+            comp_of_new, new_ids[id_col] == comp_of_new["vertex"], "left"
+        )
+        .join(anchors, "component", "left")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            g.alias("cluster_id"),
+            F.coalesce("anchor_split", _split_of(g)).alias("split"),
+            (F.coalesce("n_anchor_clusters", F.lit(0)) >= 2).alias("bridged"),
+        )
+    )
+    return prev_cols.unionByName(new_rows)

@@ -7938,6 +7938,140 @@ def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "split_incremental_stable",
+    """
+    WITH RECURSIVE old_docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 250
+    ), toks1 AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS t
+      FROM old_docs
+    ), sh1 AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks1, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)
+    ), dfreq1 AS (
+      SELECT shingle, COUNT(*) AS df FROM sh1 GROUP BY shingle
+    ), rare1 AS (
+      SELECT s.doc_id, s.shingle
+      FROM sh1 s JOIN dfreq1 d ON s.shingle = d.shingle WHERE d.df <= 20
+    ), cand1 AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM rare1 a JOIN rare1 b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ), sizes1 AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh1 GROUP BY doc_id
+    ), pr1 AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS shared
+      FROM cand1 c JOIN sh1 a ON a.doc_id = c.id_a
+                   JOIN sh1 b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+      GROUP BY 1, 2
+    ), good1 AS (
+      SELECT id_a, id_b
+      FROM pr1 JOIN sizes1 sa ON id_a = sa.doc_id
+               JOIN sizes1 sb ON id_b = sb.doc_id
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
+    ), edges1 AS (
+      SELECT id_a AS v, id_b AS n FROM good1
+      UNION SELECT id_b, id_a FROM good1
+    ), walk1(v, c) AS (
+      SELECT v, v FROM (SELECT DISTINCT v FROM edges1) t
+      UNION SELECT e.v, w.c FROM edges1 e JOIN walk1 w ON w.v = e.n
+    ), comp1 AS (
+      SELECT v, MIN(c) AS component FROM walk1 GROUP BY v
+    ), assigned1 AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+      FROM old_docs d LEFT JOIN comp1 c ON d.doc_id = c.v
+    ), toks2 AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), sh2 AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks2, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)
+    ), dfreq2 AS (
+      SELECT shingle, COUNT(*) AS df FROM sh2 GROUP BY shingle
+    ), rare2 AS (
+      SELECT s.doc_id, s.shingle
+      FROM sh2 s JOIN dfreq2 d ON s.shingle = d.shingle WHERE d.df <= 20
+    ), new_ids AS (
+      SELECT doc_id FROM documents WHERE doc_id >= 250
+    ), rare_new AS (
+      SELECT r.doc_id, r.shingle
+      FROM rare2 r JOIN new_ids n ON r.doc_id = n.doc_id
+    ), cand2 AS (
+      SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                      greatest(a.doc_id, b.doc_id) AS id_b
+      FROM rare_new a JOIN rare2 b
+        ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    ), sizes2 AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id
+    ), pr2 AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS shared
+      FROM cand2 c JOIN sh2 a ON a.doc_id = c.id_a
+                   JOIN sh2 b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+      GROUP BY 1, 2
+    ), good2 AS (
+      SELECT id_a, id_b
+      FROM pr2 JOIN sizes2 sa ON id_a = sa.doc_id
+               JOIN sizes2 sb ON id_b = sb.doc_id
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
+    ), edges2 AS (
+      SELECT id_a AS v, id_b AS n FROM good2
+      UNION SELECT id_b, id_a FROM good2
+    ), walk2(v, c) AS (
+      SELECT v, v FROM (SELECT DISTINCT v FROM edges2) t
+      UNION SELECT e.v, w.c FROM edges2 e JOIN walk2 w ON w.v = e.n
+    ), comp2 AS (
+      SELECT v, MIN(c) AS component FROM walk2 GROUP BY v
+    ), anchors AS (
+      SELECT c.component, MIN(a.cluster_id) AS anchor_cluster,
+             COUNT(DISTINCT a.cluster_id) AS n_anchor
+      FROM comp2 c JOIN assigned1 a ON c.v = a.doc_id GROUP BY 1
+    ), new_rows AS (
+      SELECT n.doc_id,
+             COALESCE(an.anchor_cluster, c.component, n.doc_id) AS cluster_id,
+             COALESCE(an.n_anchor, 0) >= 2 AS bridged
+      FROM new_ids n LEFT JOIN comp2 c ON n.doc_id = c.v
+           LEFT JOIN anchors an ON c.component = an.component
+    ), final AS (
+      SELECT doc_id, cluster_id, FALSE AS bridged FROM assigned1
+      UNION ALL
+      SELECT doc_id, cluster_id, bridged FROM new_rows
+    )
+    SELECT CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+                     IN ('0', '1', '2') THEN 'val' ELSE 'train' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN bridged THEN 1 ELSE 0 END) AS BIGINT) AS n_bridged
+    FROM final GROUP BY 1
+    """,
+)
+def split_incremental_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-stable variant of split_cluster_safe
+    (operators/splits.py): docs < 250 are assigned first (batch 1),
+    then the full corpus is appended. Batch-1 labels are FROZEN —
+    append_splits returns them unchanged by construction, so no
+    existing document can migrate train↔val when the corpus grows
+    (tests/test_splits.py proves the bridge-doc hazard). New docs
+    adopt the split of the smallest linked old cluster (bridged docs
+    flagged) or an md5-keyed fresh cluster. Incremental edge
+    generation only probes pairs touching a new doc — per-batch work,
+    not per-corpus. Oracle replays both phases in recursive SQL."""
+    from datasette_upload_csvs_spark.operators import splits as splits_ops
+
+    docs = load(spark, sf_dir, "documents")
+    prev = splits_ops.assign_splits(
+        docs.filter(F.col("doc_id") < 250), max_df=_CLUSTER_MAX_DF
+    )
+    out = splits_ops.append_splits(prev, docs, max_df=_CLUSTER_MAX_DF)
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+        F.sum(F.col("bridged").cast("bigint")).alias("n_bridged"),
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
