@@ -66,36 +66,57 @@ def balanced_shards(
     size_col: str,
     id_col: str = "doc_id",
     num_shards: int = 16,
+    salt_buckets: int = 32,
 ) -> DataFrame:
-    """Size-balanced shard assignment: rank docs by (size desc, id)
-    and deal them round-robin — the classic LPT-style balancing that
-    keeps per-shard token totals within one max-doc of each other
-    (plain hash sharding balances doc COUNTS, not token WORK; skewed
-    doc lengths then skew tokenizer/training throughput per shard).
+    """Size-balanced shard assignment: rank docs by
+    (size desc, salt, id) and deal them round-robin — the classic
+    LPT-style balancing that keeps per-shard token totals within one
+    max-doc of each other (plain hash sharding balances doc COUNTS,
+    not token WORK; skewed doc lengths then skew tokenizer/training
+    throughput per shard).
 
     The global rank is computed WITHOUT a global window: (1) row
-    counts per distinct size value (tiny aggregate), (2) exclusive
-    prefix over those size bands — the only single-partition window
-    runs over one row per distinct size, (3) within-band row_number
-    partitioned by size. rank = band_prefix + within-band position,
-    bit-identical to ROW_NUMBER() OVER (ORDER BY size DESC, id) at
-    any parallelism. Same two-phase shape as
-    curation.pack_concat_chunks.
+    counts per (size, salt) band (tiny aggregate), (2) exclusive
+    prefix over those bands — the only single-partition window runs
+    over ≤ distinct-sizes × salt_buckets rows, (3) within-band
+    row_number partitioned by (size, salt). rank = band_prefix +
+    within-band position, bit-identical to ROW_NUMBER() OVER
+    (ORDER BY size DESC, salt, id) at any parallelism.
+
+    The salt is the de-skew guard: LLM corpora concentrate sizes
+    (docs truncated/packed to exactly the context length all share
+    one size value), and an unsalted within-band row_number would
+    funnel that hot band through a single task. salt =
+    md5_low64(id) % salt_buckets is content-defined (engine-portable,
+    partition-independent), so the canonical order — and therefore
+    every shard assignment — stays deterministic while a hot band
+    fans out across salt_buckets tasks. Balance quality is unchanged:
+    round-robin dealing only needs sizes descending; order WITHIN a
+    size band is arbitrary for the balancing property. Same two-phase
+    shape as curation.pack_concat_chunks.
     """
-    base = df.select(F.col(id_col), F.col(size_col).alias("_n"))
-    wb = Window.orderBy(F.desc("_n")).rowsBetween(
+    base = df.select(
+        F.col(id_col),
+        F.col(size_col).alias("_n"),
+        F.pmod(md5_low64(F.col(id_col)), F.lit(salt_buckets))
+        .cast("int")
+        .alias("_salt"),
+    )
+    wb = Window.orderBy(F.desc("_n"), F.asc("_salt")).rowsBetween(
         Window.unboundedPreceding, -1
     )
     prefix = (
-        base.groupBy("_n")
+        base.groupBy("_n", "_salt")
         .agg(F.count("*").alias("_c"))
         .withColumn("_prefix", F.coalesce(F.sum("_c").over(wb), F.lit(0)))
-        .select("_n", "_prefix")
+        .select("_n", "_salt", "_prefix")
     )
-    rn = F.row_number().over(Window.partitionBy("_n").orderBy(id_col))
+    rn = F.row_number().over(
+        Window.partitionBy("_n", "_salt").orderBy(id_col)
+    )
     rank = F.col("_prefix") + rn
     return (
-        base.join(F.broadcast(prefix), "_n")
+        base.join(F.broadcast(prefix), ["_n", "_salt"])
         .select(
             F.col(id_col),
             F.col("_n").alias(size_col),

@@ -67,7 +67,8 @@ def q(name: str, oracle: str | None = None):
 # driver sample (r1∪r2∪r3∪r4 = 147 of 191); 46 ≤ the driver's
 # 50-name prefix, so round 5 completes the rotation.
 _DRIVER_PRIORITY = [
-    "dedup_groups", "split_cluster_safe", "group_by_all_sql",
+    "dedup_groups", "split_cluster_safe", "export_balanced_shards",
+    "group_by_all_sql",
     "export_shard_assignment", "embedding_quantize_int8",
     "corr_regression_qty_price", "array_agg_region_nations",
     "bigram_pmi_collocations", "revenue_share_by_nation",
@@ -109,7 +110,7 @@ _DRIVER_CHECKED = frozenset({
     "embedding_centroid_distance", "events_anomaly_mad_daily",
     "events_funnel", "events_resample_gapfill", "events_session_window",
     "events_sliding_window", "events_tumbling_window", "except_nations",
-    "explode_doc_tokens", "export_balanced_shards",
+    "explode_doc_tokens",
     "feature_hashing_buckets", "filter_null_tests",
     "full_outer_nation_supplier", "fuzzy_name_pairs", "global_agg",
     "grouped_pandas_zscore", "grouping_sets_mixed", "hash_funcs",
@@ -6950,7 +6951,11 @@ def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), r AS (
       SELECT doc_id, n,
-             ROW_NUMBER() OVER (ORDER BY n DESC, doc_id) AS rk
+             ROW_NUMBER() OVER (
+               ORDER BY n DESC,
+                        md5_number_lower(CAST(doc_id AS VARCHAR)) % 32,
+                        doc_id
+             ) AS rk
       FROM t
     )
     SELECT CAST((rk - 1) % 16 AS INTEGER) AS shard_id,
@@ -6961,11 +6966,13 @@ def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def export_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Size-balanced training shards: docs ranked by (token count
-    desc, id) and dealt round-robin, so every shard carries equal
-    token WORK, not just equal doc counts. The oracle's global
+    desc, md5 salt, id) and dealt round-robin, so every shard carries
+    equal token WORK, not just equal doc counts. The oracle's global
     ROW_NUMBER is the spec; the Spark plan computes the identical
-    rank with the two-phase band-prefix pattern (no full-data
-    single-partition window) — operators/export.py:balanced_shards."""
+    rank with the two-phase (size, salt)-band prefix pattern — no
+    full-data single-partition window, and a hot size band (every doc
+    truncated to the same length) fans out across 32 salt tasks
+    instead of serializing — operators/export.py:balanced_shards."""
     from datasette_upload_csvs_spark.functions.text import token_count
     from datasette_upload_csvs_spark.operators.export import balanced_shards
 

@@ -62,6 +62,41 @@ def test_balanced_shards_rank_equals_naive(spark, docs):
         r.doc_id: r.shard_id
         for r in balanced_shards(df, "n", num_shards=5).collect()
     }
-    naive = sorted(docs, key=lambda t: (-t[1], t[0]))
+    # canonical order = (size desc, md5 salt, id): the salt de-skews
+    # hot size bands; replicate md5_low64 % 32 here
+    naive = sorted(docs, key=lambda t: (-t[1], _salt32(t[0]), t[0]))
     for rank, (i, _) in enumerate(naive, start=1):
         assert got[i] == (rank - 1) % 5, (i, got[i], rank)
+
+
+def _salt32(doc_id: int) -> int:
+    """Python twin of export.md5_low64(id) % 32 (little-endian uint64
+    of md5 bytes 9..16 — DuckDB's md5_number_lower)."""
+    import hashlib
+
+    d = hashlib.md5(str(doc_id).encode()).digest()
+    return int.from_bytes(d[8:16], "little") % 32
+
+
+def test_balanced_shards_hot_band_fans_out(spark):
+    """Adversarial corpus: EVERY doc has the same size (the
+    truncated-to-context-length shape). The rank stage must hash on
+    (size, salt) so the single hot band spreads over salt buckets
+    instead of one task, and the assignment must still equal the
+    naive (size desc, salt, id) deal."""
+    from datasette_upload_csvs_spark import plans
+
+    docs = [(i, 2048) for i in range(400)]
+    df = balanced_shards(
+        spark.createDataFrame(docs, "doc_id long, n int"), "n", num_shards=4
+    )
+    txt = plans.executed_plan(df)
+    assert "_salt" in txt.split("Exchange hashpartitioning")[1][:80], (
+        "rank stage must partition by (_n, _salt), got:\n" + txt
+    )
+    got = {r.doc_id: r.shard_id for r in df.collect()}
+    naive = sorted(docs, key=lambda t: (-t[1], _salt32(t[0]), t[0]))
+    for rank, (i, _) in enumerate(naive, start=1):
+        assert got[i] == (rank - 1) % 4
+    # salt really fans the band out: many distinct salt values exist
+    assert len({_salt32(i) for i, _ in docs}) > 16
