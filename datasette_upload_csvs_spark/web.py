@@ -54,9 +54,76 @@ FORM_HTML = """<!DOCTYPE html>
 <p><input type="submit" value="Upload file" class="button"></p>
 </form>
 <script>
-// reference templates/upload_csv.html:188-204 — poll
-// /{{database_path}}/_csv_progress_.json?id={{task_id}}&_shape=array
-// once a second until bytes_done == bytes_todo, then navigate to url.
+/* Working port of reference templates/upload_csv.html:51-75
+   (drag-and-drop) and :188-204 (the 1 Hz progress poll): submit via
+   fetch with xhr=1, then poll
+   /{{database_path}}/_csv_progress_.json?id={{task_id}}&_shape=array
+   once a second, drive the <progress> bar from bytes_done/bytes_todo,
+   and navigate to the table url when the row reports completion. */
+(function () {{
+  var form = document.getElementById("uploadForm");
+  var fileInput = document.getElementById("csvUpload");
+  var drop = document.getElementById("file-drop");
+  var bar = document.querySelector("progress.progress");
+
+  ["dragenter", "dragover"].forEach(function (ev) {{
+    drop.addEventListener(ev, function (e) {{
+      e.preventDefault();
+      drop.classList.add("dragging");
+    }});
+  }});
+  ["dragleave", "drop"].forEach(function (ev) {{
+    drop.addEventListener(ev, function (e) {{
+      e.preventDefault();
+      drop.classList.remove("dragging");
+    }});
+  }});
+  drop.addEventListener("drop", function (e) {{
+    if (e.dataTransfer && e.dataTransfer.files.length) {{
+      fileInput.files = e.dataTransfer.files;
+    }}
+  }});
+
+  function poll(info) {{
+    var url =
+      "/" + info.database_path + "/_csv_progress_.json?id=" +
+      encodeURIComponent(info.task_id) + "&_shape=array";
+    var timer = setInterval(function () {{
+      fetch(url)
+        .then(function (r) {{ return r.json(); }})
+        .then(function (rows) {{
+          if (!rows.length) return;
+          var row = rows[0];
+          if (row.error) {{
+            clearInterval(timer);
+            alert("Upload error: " + row.error);
+            return;
+          }}
+          if (info.bytes_todo) {{
+            bar.value = (100 * row.bytes_done) / info.bytes_todo;
+          }}
+          if (row.completed || row.bytes_done >= info.bytes_todo) {{
+            clearInterval(timer);
+            bar.value = 100;
+            window.location = info.url;
+          }}
+        }});
+    }}, 1000);
+  }}
+
+  form.addEventListener("submit", function (e) {{
+    e.preventDefault();
+    var data = new FormData(form);
+    data.append("xhr", "1");
+    fetch(form.action, {{ method: "POST", body: data }})
+      .then(function (r) {{
+        if (!r.ok) throw new Error("upload failed: " + r.status);
+        return r.json();
+      }})
+      .then(poll)
+      .catch(function (err) {{ alert(err); }});
+  }});
+}})();
 </script>
 </body></html>
 """
@@ -105,6 +172,10 @@ class UploadApp:
     reads request.actor; anything — header, cookie — can be plugged
     here)."""
 
+    # completed tasks retained for late progress polls; older entries
+    # are evicted so a long-lived app can't grow without bound
+    MAX_FINISHED_TASKS = 100
+
     def __init__(
         self,
         spark,
@@ -117,6 +188,30 @@ class UploadApp:
         self.actor_from_scope = actor_from_scope or (lambda scope: None)
         self.upload_dir = upload_dir
         self.tasks: dict[str, ingest.IngestTask] = {}
+
+    def _watch_task(self, task: ingest.IngestTask, tmp_path: str) -> None:
+        """Daemon thread: when the ingest thread finishes, delete its
+        spooled upload file and evict old finished tasks (the
+        reference's SpooledTemporaryFile dies with the request; our
+        detached Spark job needs the file until completion)."""
+        import threading
+
+        def run():
+            task.thread.join()
+            try:
+                os.unlink(tmp_path)
+            except OSError:
+                pass
+            done = [
+                tid for tid, t in list(self.tasks.items())
+                if not t.thread.is_alive()
+            ]
+            for tid in done[: -self.MAX_FINISHED_TASKS or None]:
+                self.tasks.pop(tid, None)
+
+        threading.Thread(
+            target=run, daemon=True, name=f"cleanup-{task.task_id[:8]}"
+        ).start()
 
     # -- ASGI plumbing ------------------------------------------------
 
@@ -136,7 +231,7 @@ class UploadApp:
             await self._post_upload(scope, receive, query, send)
             return
         if path.endswith("/_csv_progress_.json") and method == "GET":
-            await self._get_progress(path, query, send)
+            await self._get_progress(scope, path, query, send)
             return
         await self._respond(send, 404, "not found")
 
@@ -208,11 +303,13 @@ class UploadApp:
         )
         with os.fdopen(fd, "wb") as f:
             f.write(fields["csv"]["value"])
+        bytes_todo = os.path.getsize(tmp)
 
         task = ingest.upload_csv_async(
             self.spark, tmp, table=table, database=database, actor=actor
         )
         self.tasks[task.task_id] = task
+        self._watch_task(task, tmp)
 
         db_path = quote_plus(database or "default")
         payload = {
@@ -220,7 +317,7 @@ class UploadApp:
             "url": f"/{db_path}/{quote_plus(table)}",
             "database_path": db_path,
             "task_id": task.task_id,
-            "bytes_todo": os.path.getsize(tmp),
+            "bytes_todo": bytes_todo,
         }
         if (fields.get("xhr") or {}).get("value") == b"1":
             await self._respond(send, 200, payload)
@@ -229,7 +326,16 @@ class UploadApp:
                 send, 302, "", [(b"location", payload["url"].encode())]
             )
 
-    async def _get_progress(self, path, query, send):
+    async def _get_progress(self, scope, path, query, send):
+        # same permission gate as the form and POST routes: in the
+        # reference the poll goes through Datasette's permission-
+        # checked JSON API, so progress rows (filename, table name,
+        # error text) are never world-readable
+        try:
+            ingest._check_allowed(self.actor_from_scope(scope))
+        except ingest.Forbidden as ex:
+            await self._respond(send, 403, str(ex))
+            return
         task_id = (query.get("id") or [""])[0]
         database = unquote(path.split("/")[1]) or None
         if database == "default":

@@ -158,6 +158,83 @@ def test_table_name_falls_back_to_filename(app, spark):
     spark.sql(f"DROP TABLE IF EXISTS {res.table}")
 
 
+def test_form_ships_working_poll_script(app):
+    """The served form's <script> must actually drive the upload +
+    poll protocol (reference upload_csv.html:188-204), not describe
+    it: fetch-submit with xhr=1, a 1 Hz setInterval poll of
+    _csv_progress_.json?_shape=array, progress-bar updates, and
+    navigation to the table url on completion."""
+    _, _, body = call(app, "GET", "/-/upload-csvs")
+    text = body.decode()
+    assert "fetch(form.action" in text
+    assert 'data.append("xhr", "1")' in text
+    assert "setInterval" in text and "1000" in text
+    assert "_csv_progress_.json?id=" in text and "_shape=array" in text
+    assert "window.location = info.url" in text
+    assert "bytes_done" in text and "bytes_todo" in text
+    # drag-and-drop (reference :51-75)
+    assert 'addEventListener("drop"' in text
+    # and it's real JS, not a comment: braces balanced outside comments
+    assert text.count("{") == text.count("}")
+
+
+def test_upload_temp_file_deleted_after_ingest(app, spark, tmp_path):
+    """The spooled upload file must be unlinked once the detached
+    ingest finishes (ADVICE: mkstemp files previously accumulated
+    for the life of the process)."""
+    import os
+    import time
+
+    body = multipart_body(
+        {
+            "csv": ("cleanup_web.csv", b"a,b\n1,2\n"),
+            "table_name": (None, b"cleanup_web"),
+            "xhr": (None, b"1"),
+        }
+    )
+    status, _, payload = call(
+        app, "POST", "/-/upload-csvs", body=body,
+        ctype=f"multipart/form-data; boundary={BOUNDARY}",
+    )
+    assert status == 200
+    data = json.loads(payload)
+    res = app.tasks[data["task_id"]].result(timeout=120)
+    assert res.error is None
+    # cleanup runs on a watcher thread right after the join returns
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        leftovers = [
+            p for p in os.listdir(app.upload_dir)
+            if p.startswith("upload_") and p.endswith(".csv")
+        ]
+        if not leftovers:
+            break
+        time.sleep(0.2)
+    assert not leftovers
+    spark.sql(f"DROP TABLE IF EXISTS {res.table}")
+
+
+def test_progress_route_respects_permission_gate(app):
+    """_csv_progress_.json goes through the same permission hook as
+    the form and POST routes (in the reference the poll runs through
+    Datasette's permission-gated JSON API)."""
+    ingest.set_allow_hook(lambda actor, action: actor == "root")
+    try:
+        status, _, _ = call(
+            app, "GET", "/default/_csv_progress_.json", query="id=xyz"
+        )
+        assert status == 403
+        app.actor_from_scope = lambda scope: "root"
+        status, _, payload = call(
+            app, "GET", "/default/_csv_progress_.json", query="id=xyz"
+        )
+        assert status == 404  # allowed; unknown task is empty, not 403
+        assert json.loads(payload) == []
+    finally:
+        ingest.set_allow_hook(None)
+        app.actor_from_scope = lambda scope: None
+
+
 def test_permission_gate_denies_before_work(app):
     ingest.set_allow_hook(lambda actor, action: actor == "root")
     try:
