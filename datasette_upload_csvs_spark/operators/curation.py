@@ -71,6 +71,13 @@ def repetition_stats(
     most of the work; no per-doc nested-loop HOFs in the hot path.
     The word and bigram branches share the doc_id shuffle key, so
     the final join is co-partitioned.
+
+    Every input doc gets exactly one output row — including empty /
+    whitespace-only docs, which explode would otherwise drop: they
+    come back with n_words=0, all fractions 0.0, keep=true
+    (repetition evidence is vacuous on an empty doc; minimum-length
+    screening is quality_scores' job). This keeps curate_corpus's
+    semi-join and curation_stream's one-row-per-doc contract honest.
     """
     t = tokens(F.col(text_col))
     base = docs.select(F.col(id_col), t.alias("t"))
@@ -97,16 +104,22 @@ def repetition_stats(
         )
     )
 
-    dup_w = 1.0 - F.col("n_distinct_words") / F.col("n_words")
-    top_w = F.col("top_cnt") / F.col("n_words")
+    dup_w = F.when(
+        F.coalesce(F.col("n_words"), F.lit(0)) == 0, 0.0
+    ).otherwise(1.0 - F.col("n_distinct_words") / F.col("n_words"))
+    top_w = F.when(
+        F.coalesce(F.col("n_words"), F.lit(0)) == 0, 0.0
+    ).otherwise(F.col("top_cnt") / F.col("n_words"))
     dup_b = F.when(F.col("n_bigrams").isNull() | (F.col("n_bigrams") == 0), 0.0).otherwise(
         1.0 - F.col("n_distinct_bigrams") / F.col("n_bigrams")
     )
     return (
-        words.join(bigrams, id_col, "left")
+        base.select(id_col)
+        .join(words, id_col, "left")
+        .join(bigrams, id_col, "left")
         .select(
             F.col(id_col),
-            F.col("n_words"),
+            F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
             F.round(dup_w, 6).alias("dup_word_frac"),
             F.round(top_w, 6).alias("top_word_frac"),
             F.round(dup_b, 6).alias("dup_bigram_frac"),
@@ -265,17 +278,20 @@ def rebalance_to_uniform(
     Returns per-stratum (n_docs, n_kept) so the mixture is auditable;
     compose with the same filter to materialize the kept rows.
     """
-    # counts feeds both the rates join and the global min: persist the
-    # (one row per stratum) aggregate so the corpus isn't scanned once
-    # per consumer.
-    counts = (
-        docs.groupBy(strata_col).agg(F.count("*").alias("n_docs")).persist()
+    # the global min is a window over the one-row-per-stratum
+    # aggregate, so `counts` has a single consumer and the corpus is
+    # scanned once — no persist (and no executor-storage leak; the
+    # round-4 advice flagged a persist here that nothing unpersisted)
+    counts = docs.groupBy(strata_col).agg(F.count("*").alias("n_docs"))
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    min_n = counts.agg(F.min("n_docs").alias("min_n"))
-    rates = counts.crossJoin(F.broadcast(min_n)).select(
+    rates = counts.select(
         strata_col,
         "n_docs",
-        (F.col("min_n").cast("double") / F.col("n_docs")).alias("rate"),
+        (
+            F.min("n_docs").over(w).cast("double") / F.col("n_docs")
+        ).alias("rate"),
     )
     u = (md5_low64(F.col(id_col)) / F.lit(float(1 << 64))).cast("double")
     return (

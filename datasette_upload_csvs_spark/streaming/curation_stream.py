@@ -8,10 +8,18 @@ once per document, the moment the document lands. All three
 annotators are per-doc (no cross-doc state), so the stream is
 embarrassingly incremental — the interesting part is the contract:
 
-  - exactly-once per doc_id across restarts (checkpointed source
-    offsets; the sink table never sees a batch twice),
-  - stream == batch: after draining, the annotations table must
-    equal the batch operators run over the full corpus, bit for bit.
+  - exactly-once TABLE CONTENTS per doc_id across restarts.
+    foreachBatch delivery is at-least-once (a crash after the sink
+    write but before the offset commit replays the batch on
+    restart), so the sink itself must be idempotent: every batch
+    lands in its own `_batch_id` partition via dynamic partition
+    overwrite, and a replayed batch OVERWRITES its partition instead
+    of appending a duplicate. At-least-once delivery + idempotent
+    write = exactly-once contents — the same recovery grain
+    near_dup_stream.py documents.
+  - stream == batch: after draining, the annotations table (minus
+    the `_batch_id` bookkeeping column) must equal the batch
+    operators run over the full corpus, bit for bit.
 
 foreachBatch (not a plain writeStream sink) keeps the door open for
 batch-local joins; Trigger.AvailableNow drains deterministically.
@@ -43,6 +51,27 @@ def annotate(batch: DataFrame) -> DataFrame:
     )
 
 
+def _write_batch(out: DataFrame, annotations_table: str) -> None:
+    """Idempotent batch write: rows land in their `_batch_id`
+    partition under dynamic partition overwrite, so a foreachBatch
+    REPLAY (at-least-once delivery: crash after the write, before the
+    offset commit) overwrites the identical partition rather than
+    appending a duplicate. Epoch ids are stable across restarts, which
+    is what makes the partition the correct idempotency key."""
+    spark = out.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if not spark.catalog.tableExists(annotations_table):
+        (
+            out.write.mode("overwrite")
+            .partitionBy("_batch_id")
+            .saveAsTable(annotations_table)
+        )
+    else:
+        # insertInto is positional: align to the table's column order
+        cols = spark.table(annotations_table).columns
+        out.select(*cols).write.mode("overwrite").insertInto(annotations_table)
+
+
 def annotate_stream(
     spark: SparkSession,
     source_dir: str,
@@ -54,13 +83,17 @@ def annotate_stream(
     table via foreachBatch + Trigger.AvailableNow. Returns the number
     of micro-batches processed. Re-running with the same checkpoint
     resumes from stored offsets — already-annotated files are never
-    re-read (the exactly-once half of the contract)."""
+    re-read, and a replayed epoch overwrites its own partition
+    (_write_batch), so table contents stay exactly-once."""
     n_batches = 0
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
         n_batches += 1
-        annotate(batch).write.mode("append").saveAsTable(annotations_table)
+        _write_batch(
+            annotate(batch).withColumn("_batch_id", F.lit(batch_id)),
+            annotations_table,
+        )
 
     stream = (
         spark.readStream.schema(schema)

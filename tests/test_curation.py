@@ -117,4 +117,38 @@ def test_shuffle_order_single_exchange(spark, sf_dir):
 
 def test_repetition_reads_only_needed_columns(spark, sf_dir):
     df = curation.repetition_stats(docs(spark, sf_dir))
-    assert set(plans.read_schema_columns(df)) == {"doc_id", "text"}
+    # the all-docs anchor scan (empty-doc rows) prunes to doc_id
+    # alone; the token-stat scans read exactly (doc_id, text); no
+    # scan reads anything else
+    txt = plans.formatted_plan(df)
+    scans = []
+    for line in txt.splitlines():
+        if "ReadSchema" in line:
+            inner = line.split("ReadSchema:", 1)[1].strip()
+            inner = inner[inner.find("<") + 1 : inner.rfind(">")]
+            scans.append(
+                {c.split(":")[0].strip() for c in inner.split(",") if c}
+            )
+    assert scans
+    assert all(s <= {"doc_id", "text"} for s in scans)
+    assert any("text" in s for s in scans)
+
+
+def test_repetition_keeps_empty_docs(spark):
+    """Empty/whitespace docs must not vanish (ADVICE: explode dropped
+    them before the aggregate, silently removing them downstream):
+    they get n_words=0, zero fractions, keep=true."""
+    healthy = " ".join(f"w{i}" for i in range(20))  # top_word_frac 0.05
+    df = spark.createDataFrame(
+        [(1, healthy), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.repetition_stats(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    for d in (2, 3, 4):
+        r = out[d]
+        assert r["n_words"] == 0
+        assert r["dup_word_frac"] == r["top_word_frac"] == 0.0
+        assert r["dup_bigram_frac"] == 0.0
+        assert r["keep"] is True
+    assert out[1]["n_words"] == 20 and out[1]["keep"] is True

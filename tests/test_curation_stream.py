@@ -43,7 +43,8 @@ def test_stream_annotations_equal_batch(spark, sf_dir, tmp_path):
     )
     assert n == 3  # maxFilesPerTrigger=1 → one batch per arrival file
 
-    got = {tuple(r) for r in spark.table("curation_ann").collect()}
+    ann = spark.table("curation_ann").drop("_batch_id")
+    got = {tuple(r) for r in ann.collect()}
     want = {tuple(r) for r in annotate(docs).collect()}
     assert got == want and got
     # exactly one row per doc
@@ -57,3 +58,34 @@ def test_stream_annotations_equal_batch(spark, sf_dir, tmp_path):
     )
     assert spark.table("curation_ann").count() == docs.count(), n2
     spark.sql("DROP TABLE IF EXISTS curation_ann")
+
+
+def test_replayed_batch_does_not_duplicate(spark, sf_dir):
+    """foreachBatch is at-least-once: simulate the crash-after-write-
+    before-offset-commit recovery by writing the SAME epoch twice.
+    The _batch_id dynamic partition overwrite must leave table
+    contents identical, not doubled."""
+    from datasette_upload_csvs_spark.streaming.curation_stream import (
+        _write_batch,
+    )
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(40)
+    )
+    spark.sql("DROP TABLE IF EXISTS curation_ann_replay")
+    out = annotate(docs).withColumn("_batch_id", F.lit(7))
+    _write_batch(out, "curation_ann_replay")
+    first = spark.table("curation_ann_replay").count()
+    _write_batch(out, "curation_ann_replay")  # the replay
+    assert spark.table("curation_ann_replay").count() == first == 40
+    # a LATER epoch still appends normally
+    out2 = (
+        annotate(docs)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("_batch_id", F.lit(8))
+    )
+    _write_batch(out2, "curation_ann_replay")
+    assert spark.table("curation_ann_replay").count() == 80
+    spark.sql("DROP TABLE IF EXISTS curation_ann_replay")
