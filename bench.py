@@ -43,6 +43,14 @@ HEADLINE = [
     # two-phase prefix sum (packing)
     "curation_repetition_stats",
     "curation_pack_chunks",
+    # expensive dedup/graph tier (round 5): the 5-8-shuffle pipelines
+    # a real 100 TB curation run executes end-to-end — capped-edge
+    # clustering, the cluster-keyed split, and the per-source
+    # MinHash redundancy audit. These were the costliest unbenched
+    # workloads; the cap's cost/benefit is measured here.
+    "dedup_groups",
+    "split_cluster_safe",
+    "dedup_rate_by_source",
 ]
 
 
@@ -70,24 +78,34 @@ def main() -> None:
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
-        # best of 2 timed runs: a single sample conflates query cost
-        # with whatever else the host is doing; the min is the
-        # steady-state number a warm cluster would reproduce.
-        best, n = None, 0
-        for _ in range(2):
+        # min of 3 timed runs after one discarded per-query warmup
+        # (on top of the global warmup pass above): sub-half-second
+        # queries moved ±20-34% under the old min-of-2 protocol —
+        # real regressions would hide inside that noise. The min is
+        # the steady-state number; max-min is reported as the spread
+        # so a plan regression is distinguishable from host jitter.
+        samples, n = [], 0
+        for i in range(4):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()  # full pipeline materialization
             el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
+            if i > 0:  # sample 0 is the discarded warmup
+                samples.append(el)
         # drop persisted frames a query left behind (e.g. minhash's
         # signature cache): accumulated blocks inflate GC for every
         # later query and make run N slower than run 1.
         spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        timings[name] = round(min(samples), 3)
+        spreads[name] = round(max(samples) - min(samples), 3)
+        print(
+            f"# {name}: {timings[name]:.3f}s "
+            f"(+{spreads[name]:.3f} spread) rows={n}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -98,6 +116,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
