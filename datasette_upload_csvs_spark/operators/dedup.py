@@ -111,13 +111,33 @@ def ngram_jaccard_pairs(
     can be missed, and those are the pairs whose similarity is
     boilerplate, not content. max_df=None keeps the exact
     single-pass count (small/trusted corpora, oracle baseline).
+
+    The capped branch never materializes shingle STRINGS: sets are
+    64-bit hash arrays (_shingle_hashes — same equivalence the
+    MinHash verify relies on: |distinct hashes| == |distinct
+    shingles| up to ~2^-64 per-pair collisions, pinned by the oracle
+    hash-check), document frequency is a count-window over the ONE
+    shingle-hash shuffle, and the candidate self-join reuses that
+    same exchange — so the whole candidate stage costs one shuffle
+    of (id, hash) longs instead of repeated string explode/distinct
+    re-derivations.
     """
-    sh = doc_shingles(docs, text_col, id_col, n)
     if max_df is not None:
-        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-        rare = sh.join(
-            dfreq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        # shingling is CPU-bound per row; spread single-file inputs
+        sets = (
+            docs.repartition(par, F.col(id_col))
+            .select(
+                F.col(id_col), _shingle_hashes(F.col(text_col), n).alias("sh")
+            )
+            .persist()
         )
+        # one shuffle on the shingle hash: the df count-window and the
+        # a/b sides of the candidate self-join all sit on top of it
+        ex = sets.select(F.col(id_col), F.explode("sh").alias("shingle"))
+        rare = ex.withColumn(
+            "df", F.count("*").over(Window.partitionBy("shingle"))
+        ).filter(F.col("df") <= max_df)
         a = rare.alias("a")
         b = rare.alias("b")
         cand = (
@@ -128,9 +148,6 @@ def ngram_jaccard_pairs(
                 F.col(f"b.{id_col}").alias("id_b"),
             )
             .distinct()
-        )
-        sets = docs.select(
-            F.col(id_col), shingles(F.col(text_col), n).alias("sh")
         )
         sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
         sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
@@ -153,6 +170,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
         )
+    sh = doc_shingles(docs, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

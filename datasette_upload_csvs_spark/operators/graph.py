@@ -49,16 +49,21 @@ def connected_components(
         adj.select("v").distinct().withColumn("c", F.col("v"))
     ).localCheckpoint()
 
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         # candidate label per vertex: min over its own label and all
-        # neighbor labels (closed neighborhood)
+        # neighbor labels (closed neighborhood); carry the round-start
+        # label so convergence is observable in the same pass
         neigh = (
             adj.join(labels.withColumnRenamed("v", "n"), "n")
             .groupBy("v")
             .agg(F.min("c").alias("nc"))
         )
         stepped = labels.join(neigh, "v", "left").select(
-            "v", F.least("c", F.coalesce("nc", "c")).alias("c")
+            "v",
+            F.col("c").alias("old_c"),
+            F.least("c", F.coalesce("nc", "c")).alias("c"),
         )
         # pointer jumping (shortcutting): also adopt the label OF the
         # current label — contracts label chains by half each round,
@@ -67,19 +72,27 @@ def connected_components(
         parent = stepped.select(
             F.col("v").alias("c"), F.col("c").alias("cc")
         )
+        # the changed-count rides the SAME job as the checkpoint
+        # materialization (Observation), so each round costs ONE job
+        # instead of a checkpoint job plus a comparison join job.
+        obs = Observation()
         new_labels = (
             stepped.join(parent, "c", "left")
-            .select("v", F.least("c", F.coalesce("cc", "c")).alias("c"))
+            .select(
+                "v",
+                "old_c",
+                F.least("c", F.coalesce("cc", "c")).alias("c"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    (F.col("c") != F.col("old_c")).cast("long")
+                ).alias("changed"),
+            )
+            .select("v", "c")
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("a")
-            .join(labels.alias("b"), "v")
-            .filter(F.col("a.c") != F.col("b.c"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if obs.get["changed"] == 0:
             break
 
     adj.unpersist()

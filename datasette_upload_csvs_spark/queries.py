@@ -1853,13 +1853,14 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared CTE chain for the two cluster-consuming queries: max_df-capped
-# candidate generation (frequent-item cut — shingles in > max_df docs are
-# excluded from the inverted-index self-join, killing the O(df²)
-# hot-shingle bucket), exact-Jaccard verify over FULL shingle sets,
-# then recursive-CTE transitive closure. Mirrors the Spark side's
-# ngram_jaccard_pairs(max_df=...) + connected_components exactly.
-_CAPPED_CLUSTER_CTES = """
+# Shared CTE chain for the two cluster-consuming queries: exact-Jaccard
+# ≥ 0.7 edges (all pairs sharing ≥1 shingle, exact counts), then
+# recursive-CTE transitive closure. The Spark side generates the SAME
+# edge set sub-quadratically via MinHash+LSH banded candidates + exact
+# verify (recall 0.9998 at j=0.7, no false positives — identical pair
+# sets at every tested SF, the same equivalence dedup_minhash_lsh and
+# dedup_rate_by_source are driver-green under).
+_CLUSTER_CTES = """
     WITH RECURSIVE toks AS (
       SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
                                  x -> x <> '') AS t
@@ -1867,21 +1868,11 @@ _CAPPED_CLUSTER_CTES = """
     ), sh AS (
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
       FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)
-    ), dfreq AS (
-      SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
-    ), rare AS (
-      SELECT s.doc_id, s.shingle
-      FROM sh s JOIN dfreq d ON s.shingle = d.shingle
-      WHERE d.df <= {max_df}
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
     ), pr AS (
-      SELECT c.id_a, c.id_b, COUNT(*) AS shared
-      FROM cand c JOIN sh a ON a.doc_id = c.id_a
-                  JOIN sh b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ), good AS (
       SELECT id_a, id_b
@@ -1901,12 +1892,14 @@ _CAPPED_CLUSTER_CTES = """
     )
 """
 
+# df cap for the EXACT (non-LSH) capped shingle paths that still need
+# it: dedup_containment, dedup_ngram_jaccard_capped, incremental splits
 _CLUSTER_MAX_DF = 20
 
 
 @q(
     "dedup_groups",
-    _CAPPED_CLUSTER_CTES.format(max_df=_CLUSTER_MAX_DF)
+    _CLUSTER_CTES
     + """
     SELECT d.doc_id,
            COALESCE(c.component, d.doc_id) AS group_id,
@@ -1921,18 +1914,20 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     never emitted. group_id = min doc_id of the cluster (the keeper
     convention), singletons are their own group.
 
-    Edge generation is max_df-capped (frequent-item cut + exact
-    verify, same recipe as dedup_containment) so a boilerplate
-    shingle present in df documents can never create an O(df²)
-    candidate bucket — the scale guard a 100 TB corpus needs. Oracle
-    = recursive CTE transitive closure over the identically-capped
-    exact-Jaccard ≥ 0.7 edge set."""
+    Edges come from the MinHash+LSH pipeline (banded signature
+    candidates + exact-Jaccard verify) — sub-quadratic candidate
+    generation with NO shingle-frequency failure mode: a boilerplate
+    shingle present in df documents never creates an O(df²) bucket
+    because candidates come from signature bands, not shingle
+    buckets. This is the 100 TB recipe (round-4 verdict's preferred
+    fix over the max_df cap). Oracle = recursive CTE transitive
+    closure over the exact-Jaccard ≥ 0.7 edge set."""
     from datasette_upload_csvs_spark.operators import graph
 
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, threshold=0.7, max_df=_CLUSTER_MAX_DF
-    ).select("id_a", "id_b")
+    pairs = dedup.minhash_near_dup_pairs(docs, threshold=0.7).select(
+        "id_a", "id_b"
+    )
     cc = graph.connected_components(pairs)
     return (
         docs.select("doc_id")
@@ -7920,7 +7915,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "split_cluster_safe",
-    _CAPPED_CLUSTER_CTES.format(max_df=_CLUSTER_MAX_DF).rstrip()
+    _CLUSTER_CTES.rstrip()
     + """, assigned AS (
       SELECT d.doc_id,
              COALESCE(c.component, d.doc_id) AS g,
@@ -7940,17 +7935,18 @@ def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     CLUSTER id, not the doc id, so two near-duplicate documents can
     never land on opposite sides of the split (the eval-contamination
     mode a doc-keyed hash split silently permits). Clusters come from
-    the same connected components dedup_groups verifies — including
-    its max_df-capped edge generation, so the full-corpus split run
-    never hits an O(df²) hot-shingle bucket; membership is
-    md5(cluster) — deterministic, engine-portable. Output audits
-    docs and clusters per split."""
+    the same connected components dedup_groups verifies — edges from
+    the MinHash+LSH banded pipeline (exact-verified, sub-quadratic,
+    immune to hot-shingle O(df²) buckets), so the full-corpus split
+    run is the 100 TB-shaped job; membership is md5(cluster) —
+    deterministic, engine-portable. Output audits docs and clusters
+    per split."""
     from datasette_upload_csvs_spark.operators import graph
 
     docs = load(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(
-        docs, threshold=0.7, max_df=_CLUSTER_MAX_DF
-    ).select("id_a", "id_b")
+    pairs = dedup.minhash_near_dup_pairs(docs, threshold=0.7).select(
+        "id_a", "id_b"
+    )
     cc = graph.connected_components(pairs)
     g = F.coalesce("component", "doc_id")
     split = F.when(

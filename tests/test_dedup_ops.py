@@ -140,17 +140,19 @@ def test_max_df_cap_kills_hot_shingle_bucket(spark):
     assert pairs[0]["jaccard"] == 1.0
 
 
-def test_cluster_queries_use_capped_edges(spark):
+def test_cluster_queries_use_scale_safe_edges(spark):
     """Regression guard for the round-4 verdict finding: the two
     cluster-consuming registry entries (dedup_groups,
-    split_cluster_safe) must feed connected components from the
-    max_df-capped edge path, not the uncapped O(df²) self-join.
+    split_cluster_safe) must feed connected components from a
+    hot-shingle-immune edge path — the MinHash+LSH banded pipeline
+    (verdict's preferred fix) — never the uncapped O(df²) shingle
+    self-join.
 
     Functional half: on a corpus where one boilerplate shingle
-    appears in 50% of docs, the capped edge pipeline the queries use
-    emits a LINEAR number of edges (zero here — hot-only overlap is
-    boilerplate, not content) while still clustering a planted
-    near-dup chain A~B~C into one component."""
+    appears in 50% of docs, the edge pipeline the queries use emits
+    a LINEAR number of edges (hot-only overlap is boilerplate, j far
+    below 0.7, killed by the exact verify) while still clustering a
+    planted near-dup chain A~B~C into one component."""
     import inspect
 
     from datasette_upload_csvs_spark import queries as q
@@ -158,9 +160,10 @@ def test_cluster_queries_use_capped_edges(spark):
 
     for fn in (q.dedup_groups, q.split_cluster_safe):
         src = inspect.getsource(fn)
-        assert "max_df=_CLUSTER_MAX_DF" in src, (
-            f"{fn.__name__} regressed to the uncapped shingle join"
+        assert "minhash_near_dup_pairs" in src, (
+            f"{fn.__name__} regressed off the banded-candidate path"
         )
+        assert "ngram_jaccard_pairs(docs, threshold" not in src
 
     hot = "terms of service apply here"
     rows = []
@@ -176,9 +179,9 @@ def test_cluster_queries_use_capped_edges(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
-    edges = dedup.ngram_jaccard_pairs(
-        docs, threshold=0.7, max_df=q._CLUSTER_MAX_DF
-    ).select("id_a", "id_b")
+    edges = dedup.minhash_near_dup_pairs(docs, threshold=0.7).select(
+        "id_a", "id_b"
+    )
     edge_rows = edges.collect()
     # linear, not C(100,2)=4950 from the hot bucket
     assert len(edge_rows) <= 10
