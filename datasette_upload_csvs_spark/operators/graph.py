@@ -45,8 +45,12 @@ def connected_components(
     ).unionByName(edges.select(F.col(dst).alias("v"), F.col(src).alias("n")))
     # adjacency is reused every round: materialize once
     adj = sym.distinct().persist()
+    # seed labels with the first propagation round folded in: the
+    # min of the closed neighborhood costs the same shuffle a plain
+    # distinct-vertices init would, and dense near-dup clumps
+    # (diameter 1-2) then converge on the first loop pass.
     labels = (
-        adj.select("v").distinct().withColumn("c", F.col("v"))
+        adj.groupBy("v").agg(F.least(F.col("v"), F.min("n")).alias("c"))
     ).localCheckpoint()
 
     from pyspark.sql import Observation
