@@ -46,8 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datasette_upload_csvs_spark.functions.text import shingles
-from datasette_upload_csvs_spark.operators.dedup import doc_shingles
+from datasette_upload_csvs_spark.operators.dedup import _shingle_hashes
 from datasette_upload_csvs_spark.operators.graph import connected_components
 
 VAL_HEX = ("0", "1", "2")
@@ -103,11 +102,18 @@ def _incremental_edges(
 ) -> DataFrame:
     """Verified near-dup edges (id_a, id_b) with ≥1 NEW endpoint.
 
-    Same capped candidate recipe as dedup.ngram_jaccard_pairs, but the
-    left side of the shingle-bucket join is restricted to new docs'
+    Same capped candidate recipe as dedup.ngram_jaccard_pairs
+    (including its hash-shingle representation — shingle strings are
+    never materialized; |distinct hashes| == |distinct shingles| up
+    to ~2^-64 per-pair collisions, the equivalence every verify path
+    here relies on and the oracle hash-check pins), but the left
+    side of the shingle-bucket join is restricted to new docs'
     shingles, so candidate volume scales with the batch, not the
     corpus."""
-    sh = doc_shingles(docs, text_col, id_col)
+    sets = docs.select(
+        F.col(id_col), _shingle_hashes(F.col(text_col)).alias("sh")
+    )
+    sh = sets.select(F.col(id_col), F.explode("sh").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     rare = sh.join(
         dfreq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
@@ -123,7 +129,6 @@ def _incremental_edges(
         )
         .distinct()
     )
-    sets = docs.select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     shared = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
