@@ -16,16 +16,18 @@ application over the Spark ingest engine:
     GET  /{db}/_csv_progress_.json?id=X  → [{...progress row...}]
          (the `_shape=array` SQLite view the template polls)
 
-No Starlette/Datasette dependency: the app is a plain ASGI callable,
-multipart parsing is stdlib (email.parser over the raw body), and
-permissions go through ingest.set_allow_hook — the same gate every
-programmatic entry point checks. The ingest itself is
-ingest.upload_csv_async: the request thread never blocks on Spark.
+No Starlette/Datasette dependency: the app is a plain ASGI callable;
+multipart file parts STREAM to disk as request chunks arrive
+(spool_multipart — the reference's SpooledTemporaryFile analogue, so
+a multi-GB CSV never sits in memory), part headers are parsed with
+the stdlib email parser, and permissions go through
+ingest.set_allow_hook — the same gate every programmatic entry point
+checks. The ingest itself is ingest.upload_csv_async: the request
+thread never blocks on Spark.
 """
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import tempfile
@@ -144,6 +146,111 @@ def _database_select(databases: list[str], selected: str | None) -> str:
     )
 
 
+async def spool_multipart(
+    content_type: str, receive, upload_dir: str | None = None
+) -> dict[str, dict]:
+    """Incrementally parse a multipart/form-data request, streaming
+    FILE parts to disk as chunks arrive (the reference spools into a
+    SpooledTemporaryFile via Starlette; a surface meant to accept
+    multi-GB CSVs must never hold the payload in memory, let alone
+    twice). Non-file fields buffer in memory (they are tiny).
+
+    Returns {field_name: {"value": bytes | None,
+                          "filename": str | None,
+                          "path": str | None,   # file parts only
+                          "size": int}}.
+    The caller owns (and must eventually delete) returned paths.
+    """
+    import re as _re
+
+    m = _re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        raise ValueError("multipart body without boundary")
+    delim = b"\r\n--" + m.group(1).encode()
+    fields: dict[str, dict] = {}
+
+    buf = b""
+    done = False
+
+    async def more() -> bool:
+        nonlocal buf, done
+        if done:
+            return False
+        msg = await receive()
+        buf += msg.get("body", b"")
+        done = not msg.get("more_body")
+        return True
+
+    # normalize so every boundary — including the first — is
+    # preceded by CRLF, then skip the preamble
+    buf = b"\r\n"
+    first = True
+    while True:
+        # find the next delimiter (start of a part or the terminator)
+        while delim not in buf:
+            if not await more():
+                if first:
+                    return fields
+                raise ValueError("truncated multipart body")
+        if first:
+            first = False
+        start = buf.index(delim) + len(delim)
+        buf = buf[start:]
+        while len(buf) < 2 and not done:
+            await more()
+        if buf[:2] == b"--":  # closing delimiter
+            return fields
+        # part headers run to the blank line
+        while b"\r\n\r\n" not in buf:
+            if not await more():
+                raise ValueError("truncated part headers")
+        raw_head, buf = buf.split(b"\r\n\r\n", 1)
+        head = BytesParser(policy=HTTP).parsebytes(
+            raw_head.lstrip(b"\r\n") + b"\r\n\r\n"
+        )
+        name = head.get_param("name", header="content-disposition")
+        filename = head.get_filename()
+
+        if filename is not None:
+            fd, path = tempfile.mkstemp(
+                suffix=".csv", prefix="upload_", dir=upload_dir
+            )
+            size = 0
+            with os.fdopen(fd, "wb") as out:
+                # stream until the delimiter, always retaining a
+                # tail that could be a delimiter prefix
+                while delim not in buf:
+                    flushable = max(0, len(buf) - len(delim))
+                    if flushable:
+                        out.write(buf[:flushable])
+                        size += flushable
+                        buf = buf[flushable:]
+                    if not await more():
+                        raise ValueError("truncated file part")
+                cut = buf.index(delim)
+                out.write(buf[:cut])
+                size += cut
+            buf = buf[cut:]
+            if name:
+                fields[name] = {
+                    "value": None, "filename": filename,
+                    "path": path, "size": size,
+                }
+            else:
+                os.unlink(path)
+        else:
+            while delim not in buf:
+                if not await more():
+                    raise ValueError("truncated field part")
+            cut = buf.index(delim)
+            value, buf = buf[:cut], buf[cut:]
+            if name:
+                fields[name] = {
+                    "value": value, "filename": None,
+                    "path": None, "size": len(value),
+                }
+
+
 def parse_multipart(content_type: str, body: bytes) -> dict[str, dict]:
     """Parse a multipart/form-data body into
     {field_name: {"value": bytes, "filename": str|None}} using the
@@ -247,14 +354,6 @@ class UploadApp:
              if isinstance(body, str) else body}
         )
 
-    async def _read_body(self, receive) -> bytes:
-        buf = io.BytesIO()
-        while True:
-            msg = await receive()
-            buf.write(msg.get("body", b""))
-            if not msg.get("more_body"):
-                return buf.getvalue()
-
     # -- handlers -----------------------------------------------------
 
     async def _get_form(self, scope, query, send):
@@ -283,8 +382,18 @@ class UploadApp:
         ctype = dict(
             (k.decode().lower(), v.decode()) for k, v in scope.get("headers", [])
         ).get("content-type", "")
-        fields = parse_multipart(ctype, await self._read_body(receive))
-        if "csv" not in fields:
+        # file parts stream to disk as chunks arrive — the request
+        # body is never held in memory (reference: Starlette's
+        # SpooledTemporaryFile)
+        try:
+            fields = await spool_multipart(ctype, receive, self.upload_dir)
+        except ValueError as ex:
+            await self._respond(send, 400, f"bad multipart body: {ex}")
+            return
+        if "csv" not in fields or fields["csv"]["path"] is None:
+            for f in fields.values():  # drop any stray spooled files
+                if f["path"]:
+                    os.unlink(f["path"])
             await self._respond(send, 400, "missing csv file field")
             return
 
@@ -292,18 +401,22 @@ class UploadApp:
         # reference __init__.py:119-124: table name falls back to the
         # filename minus .csv; collision suffixes happen in catalog.py
         table = (fields.get("table_name") or fields.get("table") or {}).get(
-            "value", b""
-        ).decode() or (filename[:-4] if filename.endswith(".csv") else filename)
-        database = (fields.get("database") or {}).get("value", b"").decode() or None
+            "value"
+        ) or b""
+        table = table.decode() or (
+            filename[:-4] if filename.endswith(".csv") else filename
+        )
+        database = (
+            (fields.get("database") or {}).get("value") or b""
+        ).decode() or None
         if database is None and self.databases:
             database = self.databases[0]
 
-        fd, tmp = tempfile.mkstemp(
-            suffix=".csv", prefix="upload_", dir=self.upload_dir
-        )
-        with os.fdopen(fd, "wb") as f:
-            f.write(fields["csv"]["value"])
-        bytes_todo = os.path.getsize(tmp)
+        tmp = fields["csv"]["path"]
+        bytes_todo = fields["csv"]["size"]
+        for name, f in fields.items():  # only the csv spool survives
+            if f["path"] and name != "csv":
+                os.unlink(f["path"])
 
         task = ingest.upload_csv_async(
             self.spark, tmp, table=table, database=database, actor=actor

@@ -27,9 +27,10 @@ def multipart_body(fields: dict[str, tuple[str | None, bytes]]) -> bytes:
     return out + f"--{BOUNDARY}--\r\n".encode()
 
 
-def call(app, method, path, query="", body=b"", ctype=""):
+def call(app, method, path, query="", body=b"", ctype="", chunk=None):
     """Run one request through the ASGI callable; returns
-    (status, headers, body_bytes)."""
+    (status, headers, body_bytes). chunk=N delivers the body as
+    N-byte http.request messages (exercises the streaming parser)."""
     scope = {
         "type": "http",
         "method": method,
@@ -38,12 +39,21 @@ def call(app, method, path, query="", body=b"", ctype=""):
         "headers": [(b"content-type", ctype.encode())] if ctype else [],
     }
     sent = []
-    received = False
+    pieces = (
+        [body[i : i + chunk] for i in range(0, max(len(body), 1), chunk)]
+        if chunk
+        else [body]
+    )
+    state = {"i": 0}
 
     async def receive():
-        nonlocal received
-        received = True
-        return {"type": "http.request", "body": body, "more_body": False}
+        i = min(state["i"], len(pieces) - 1)
+        state["i"] += 1
+        return {
+            "type": "http.request",
+            "body": pieces[i] if state["i"] - 1 < len(pieces) else b"",
+            "more_body": state["i"] < len(pieces),
+        }
 
     async def send(msg):
         sent.append(msg)
@@ -155,6 +165,78 @@ def test_table_name_falls_back_to_filename(app, spark):
     assert data["url"].endswith("/from_filename")
     res = app.tasks[data["task_id"]].result(timeout=120)
     assert res.error is None
+    spark.sql(f"DROP TABLE IF EXISTS {res.table}")
+
+
+def test_streaming_multipart_chunked_delivery(app, spark):
+    """The spooling parser must survive the body arriving in tiny
+    http.request messages that split the boundary, headers, and
+    payload at arbitrary byte positions — and the payload must land
+    on disk byte-identical (binary-safe: content contains CRLFs and
+    near-boundary prefixes)."""
+    payload = (
+        b"a,b\r\n" + b"--almost\r\n" + bytes(range(32, 127)) + b"\r\n1,2\n"
+    )
+    body = multipart_body(
+        {
+            "csv": ("chunked.csv", payload),
+            "table_name": (None, b"chunked_stream"),
+            "xhr": (None, b"1"),
+        }
+    )
+    for chunk in (1, 7, len(body)):
+        from datasette_upload_csvs_spark.web import spool_multipart
+        import asyncio as _a
+
+        pieces = [body[i : i + chunk] for i in range(0, len(body), chunk)]
+        state = {"i": 0}
+
+        async def receive():
+            i = state["i"]
+            state["i"] += 1
+            return {
+                "type": "http.request",
+                "body": pieces[i] if i < len(pieces) else b"",
+                "more_body": state["i"] < len(pieces),
+            }
+
+        fields = _a.run(
+            spool_multipart(
+                f"multipart/form-data; boundary={BOUNDARY}", receive,
+                str(app.upload_dir),
+            )
+        )
+        assert set(fields) == {"csv", "table_name", "xhr"}
+        assert fields["table_name"]["value"] == b"chunked_stream"
+        assert fields["csv"]["filename"] == "chunked.csv"
+        assert fields["csv"]["size"] == len(payload)
+        with open(fields["csv"]["path"], "rb") as f:
+            assert f.read() == payload
+        import os
+
+        os.unlink(fields["csv"]["path"])
+
+
+def test_upload_end_to_end_with_chunked_body(app, spark):
+    """Full POST route with a 3-byte-chunked body: the upload must
+    ingest correctly through the streaming path."""
+    csv_bytes = b"name,age\nalice,30\nbob,25\n"
+    body = multipart_body(
+        {
+            "csv": ("chunk_e2e.csv", csv_bytes),
+            "table_name": (None, b"chunk_e2e"),
+            "xhr": (None, b"1"),
+        }
+    )
+    status, _, payload = call(
+        app, "POST", "/-/upload-csvs", body=body,
+        ctype=f"multipart/form-data; boundary={BOUNDARY}", chunk=3,
+    )
+    assert status == 200
+    data = json.loads(payload)
+    assert data["bytes_todo"] == len(csv_bytes)
+    res = app.tasks[data["task_id"]].result(timeout=120)
+    assert res.error is None and res.rows == 2
     spark.sql(f"DROP TABLE IF EXISTS {res.table}")
 
 
