@@ -2217,6 +2217,75 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.quality_scores(load(spark, sf_dir, "documents"))
 
 
+@q(
+    "dedup_keep_best",
+    _CLUSTER_CTES.rstrip()
+    + f""", qual AS (
+      SELECT doc_id,
+             round(CASE WHEN len(t) BETWEEN 5 AND 100000
+                        THEN 0.5 ELSE 0.0 END
+                   + least(2.0 * CAST(len(list_filter(t,
+                         x -> list_contains([{_STOP_SQL}], x))) AS DOUBLE)
+                       / greatest(len(t), 1), 0.3)
+                   + CASE WHEN CAST(length(text)
+                              - length(regexp_replace(text, '[.,!?;:]',
+                                                      '', 'g')) AS DOUBLE)
+                              / greatest(length(text), 1) <= 0.1
+                          THEN 0.2 ELSE 0.0 END, 6) AS q
+      FROM toks JOIN documents USING (doc_id)
+    ), assigned AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+    ), ranked AS (
+      SELECT a.doc_id, a.group_id, q.q,
+             ROW_NUMBER() OVER (PARTITION BY a.group_id
+                                ORDER BY q.q DESC, a.doc_id) AS rk
+      FROM assigned a JOIN qual q ON a.doc_id = q.doc_id
+    )
+    SELECT doc_id, group_id, q AS quality_score, rk = 1 AS is_keeper
+    FROM ranked
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-canonical cluster dedup: the keeper of each near-dup
+    cluster is the HIGHEST-QUALITY member (ties → min doc_id), not
+    the min-id — what a real curation pipeline keeps (dedup_groups'
+    min-id convention is the audit view; this is the selection view).
+    Clusters come from the same banded MinHash edge pipeline; the
+    rank is a window partitioned by group_id — near-dup clusters are
+    small by construction (LSH bucket caps), so the window never sees
+    a hot partition. Ranking uses the ROUNDED quality score on both
+    engines so sub-ulp double drift can't flip a tie."""
+    from datasette_upload_csvs_spark.operators import graph
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dup_pairs(docs, threshold=0.7).select(
+        "id_a", "id_b"
+    )
+    cc = graph.connected_components(pairs)
+    assigned = (
+        docs.select("doc_id")
+        .join(cc, F.col("doc_id") == F.col("vertex"), "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("group_id")
+        )
+    )
+    qual = textstats.quality_scores(docs).select("doc_id", "quality_score")
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        assigned.join(qual, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "group_id",
+            "quality_score",
+            (F.col("rk") == 1).alias("is_keeper"),
+        )
+    )
+
+
 _LANG_COUNTS_SQL = ",\n             ".join(
     "CAST(len(list_filter(t, x -> list_contains(["
     + ", ".join(f"'{w}'" for w in words)
