@@ -121,6 +121,14 @@ def ngram_jaccard_pairs(
     same exchange — so the whole candidate stage costs one shuffle
     of (id, hash) longs instead of repeated string explode/distinct
     re-derivations.
+
+    Caching contract (same as minhash_near_dup_pairs): the capped
+    branch persists the per-doc hash-set frame, which the RETURNED
+    lazy plan references from three consumers — it cannot unpersist
+    before the caller materializes. Long-lived sessions issuing many
+    calls should spark.catalog.clearCache() between jobs (bench.py
+    and the driver harness do); the cached frame is one row per doc
+    of ~8·|shingles| bytes, not corpus text.
     """
     if max_df is not None:
         par = docs.sparkSession.sparkContext.defaultParallelism

@@ -89,8 +89,12 @@ def connected_components(
             )
             .observe(
                 obs,
-                F.sum(
-                    (F.col("c") != F.col("old_c")).cast("long")
+                # coalesce: sum over ZERO rows is NULL, and a None
+                # changed-count must read as converged (an empty edge
+                # relation would otherwise loop max_iter times)
+                F.coalesce(
+                    F.sum((F.col("c") != F.col("old_c")).cast("long")),
+                    F.lit(0),
                 ).alias("changed"),
             )
             .select("v", "c")

@@ -67,14 +67,21 @@ def q(name: str, oracle: str | None = None):
 # driver sample (r1∪r2∪r3∪r4 = 147 of 191); 46 ≤ the driver's
 # 50-name prefix, so round 5 completes the rotation.
 _DRIVER_PRIORITY = [
-    # round-5 changes first (impl and/or oracle changed after their
-    # last driver check), then the 44 never-sampled names = exactly
-    # the 50-name sample. dedup_graph_triangles (unpersist-only
-    # change, output identical to its r4-green run) deliberately
-    # sits 51st — first in line for round 6.
+    # Round-5 changed/new queries first, then the 44 never-sampled
+    # names = the 50-name sample. Ten queries changed or appeared
+    # this round but only six prefix slots remain, so the four
+    # lowest-risk changes queue at positions 51-54 for round 6 —
+    # none of them is listed in _DRIVER_CHECKED, and all pass the
+    # identical local DuckDB hash gate at sf0.001 AND sf0.01:
+    #   dedup_containment / dedup_ngram_jaccard_capped (shared capped
+    #     branch rewritten to hash shingles — output equality pinned
+    #     locally at both SFs),
+    #   curation_mixture_rebalance (plan-only change: window min
+    #     replaced the persisted crossJoin; output identical),
+    #   dedup_graph_triangles (unpersist-only change).
     "dedup_groups", "split_cluster_safe", "export_balanced_shards",
-    "curation_repetition_stats", "curation_mixture_rebalance",
-    "split_incremental_stable",
+    "curation_repetition_stats", "split_incremental_stable",
+    "dedup_keep_best",
     "group_by_all_sql",
     "export_shard_assignment", "embedding_quantize_int8",
     "corr_regression_qty_price", "array_agg_region_nations",
@@ -95,7 +102,10 @@ _DRIVER_PRIORITY = [
     "dq_check_orders", "snapshot_diff_orders", "benford_first_digit",
     "not_in_null_semantics", "histogram2d_qty_price",
     "monthly_trend_by_nation", "price_percentiles_by_status",
-    "robust_dispersion_mad"
+    "robust_dispersion_mad",
+    # positions 51+: round-5 changes deferred to the round-6 sample
+    "dedup_containment", "dedup_ngram_jaccard_capped",
+    "curation_mixture_rebalance",
 ]
 
 _DRIVER_CHECKED = frozenset({
@@ -108,10 +118,9 @@ _DRIVER_CHECKED = frozenset({
     "cube_flag_status", "curation_pack_chunks", "curation_pii_redact",
     "curation_shuffle_order",
     "curation_strip_boilerplate", "date_format_funcs", "date_funcs",
-    "dedup_containment", "dedup_embedding_cosine", "dedup_exact_ranks",
+    "dedup_embedding_cosine", "dedup_exact_ranks",
     "dedup_minhash_lsh", "dedup_ngram_coverage",
-    "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
-    "dedup_rate_by_source", "dedup_simhash", "disjunctive_filter_join",
+    "dedup_ngram_jaccard", "dedup_rate_by_source", "dedup_simhash", "disjunctive_filter_join",
     "distinct_status_priority", "doc_keywords",
     "embedding_centroid_distance", "events_anomaly_mad_daily",
     "events_funnel", "events_resample_gapfill", "events_session_window",

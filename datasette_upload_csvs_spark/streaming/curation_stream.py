@@ -59,17 +59,29 @@ def _write_batch(out: DataFrame, annotations_table: str) -> None:
     appending a duplicate. Epoch ids are stable across restarts, which
     is what makes the partition the correct idempotency key."""
     spark = out.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    if not spark.catalog.tableExists(annotations_table):
-        (
-            out.write.mode("overwrite")
-            .partitionBy("_batch_id")
-            .saveAsTable(annotations_table)
-        )
-    else:
-        # insertInto is positional: align to the table's column order
-        cols = spark.table(annotations_table).columns
-        out.select(*cols).write.mode("overwrite").insertInto(annotations_table)
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        if not spark.catalog.tableExists(annotations_table):
+            (
+                out.write.mode("overwrite")
+                .partitionBy("_batch_id")
+                .saveAsTable(annotations_table)
+            )
+        else:
+            # insertInto is positional: align to the table column order
+            cols = spark.table(annotations_table).columns
+            out.select(*cols).write.mode("overwrite").insertInto(
+                annotations_table
+            )
+    finally:
+        # restore the session's overwrite semantics: leaking
+        # "dynamic" would silently change unrelated overwrite writes
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def annotate_stream(

@@ -147,30 +147,64 @@ def _database_select(databases: list[str], selected: str | None) -> str:
 
 
 async def spool_multipart(
-    content_type: str, receive, upload_dir: str | None = None
+    content_type: str,
+    receive,
+    upload_dir: str | None = None,
+    max_field_bytes: int = 1 << 20,
 ) -> dict[str, dict]:
     """Incrementally parse a multipart/form-data request, streaming
     FILE parts to disk as chunks arrive (the reference spools into a
     SpooledTemporaryFile via Starlette; a surface meant to accept
     multi-GB CSVs must never hold the payload in memory, let alone
-    twice). Non-file fields buffer in memory (they are tiny).
+    twice). Non-file fields buffer in memory, capped at
+    ``max_field_bytes`` (part headers share the cap) so a crafted
+    no-filename part can't force the payload into RAM anyway.
 
     Returns {field_name: {"value": bytes | None,
                           "filename": str | None,
                           "path": str | None,   # file parts only
                           "size": int}}.
-    The caller owns (and must eventually delete) returned paths.
+    The caller owns (and must eventually delete) returned paths. On
+    ANY parse error every spooled file — completed parts and the one
+    in progress — is deleted before the ValueError propagates, so an
+    aborted 2 GB upload never orphans its temp file.
     """
     import re as _re
 
     m = _re.search(r'boundary="?([^";]+)"?', content_type)
     if not m:
         raise ValueError("multipart body without boundary")
-    delim = b"\r\n--" + m.group(1).encode()
+    try:
+        return await _spool_multipart_inner(
+            b"\r\n--" + m.group(1).encode(), receive, upload_dir,
+            max_field_bytes,
+        )
+    except _SpoolError as ex:
+        for p in ex.paths:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        raise ValueError(str(ex)) from None
+
+
+class _SpoolError(ValueError):
+    def __init__(self, msg: str, paths: list[str]):
+        super().__init__(msg)
+        self.paths = paths
+
+
+async def _spool_multipart_inner(
+    delim: bytes, receive, upload_dir, max_field_bytes
+) -> dict[str, dict]:
     fields: dict[str, dict] = {}
+    spooled: list[str] = []  # every temp path created so far
 
     buf = b""
     done = False
+
+    def fail(msg: str):
+        raise _SpoolError(msg, spooled)
 
     async def more() -> bool:
         nonlocal buf, done
@@ -188,10 +222,12 @@ async def spool_multipart(
     while True:
         # find the next delimiter (start of a part or the terminator)
         while delim not in buf:
+            if len(buf) > max_field_bytes:
+                fail("preamble exceeds max_field_bytes")
             if not await more():
                 if first:
                     return fields
-                raise ValueError("truncated multipart body")
+                fail("truncated multipart body")
         if first:
             first = False
         start = buf.index(delim) + len(delim)
@@ -202,9 +238,13 @@ async def spool_multipart(
             return fields
         # part headers run to the blank line
         while b"\r\n\r\n" not in buf:
+            if len(buf) > max_field_bytes:
+                fail("part headers exceed max_field_bytes")
             if not await more():
-                raise ValueError("truncated part headers")
+                fail("truncated part headers")
         raw_head, buf = buf.split(b"\r\n\r\n", 1)
+        if len(raw_head) > max_field_bytes:
+            fail("part headers exceed max_field_bytes")
         head = BytesParser(policy=HTTP).parsebytes(
             raw_head.lstrip(b"\r\n") + b"\r\n\r\n"
         )
@@ -215,6 +255,7 @@ async def spool_multipart(
             fd, path = tempfile.mkstemp(
                 suffix=".csv", prefix="upload_", dir=upload_dir
             )
+            spooled.append(path)
             size = 0
             with os.fdopen(fd, "wb") as out:
                 # stream until the delimiter, always retaining a
@@ -226,7 +267,7 @@ async def spool_multipart(
                         size += flushable
                         buf = buf[flushable:]
                     if not await more():
-                        raise ValueError("truncated file part")
+                        fail("truncated file part")
                 cut = buf.index(delim)
                 out.write(buf[:cut])
                 size += cut
@@ -238,11 +279,16 @@ async def spool_multipart(
                 }
             else:
                 os.unlink(path)
+                spooled.remove(path)
         else:
             while delim not in buf:
+                if len(buf) > max_field_bytes:
+                    fail("non-file part exceeds max_field_bytes")
                 if not await more():
-                    raise ValueError("truncated field part")
+                    fail("truncated field part")
             cut = buf.index(delim)
+            if cut > max_field_bytes:
+                fail("non-file part exceeds max_field_bytes")
             value, buf = buf[:cut], buf[cut:]
             if name:
                 fields[name] = {

@@ -140,6 +140,24 @@ def test_max_df_cap_kills_hot_shingle_bucket(spark):
     assert pairs[0]["jaccard"] == 1.0
 
 
+def test_connected_components_empty_edges_converges_fast(spark):
+    """Zero edges (the common append_splits case: a batch with no
+    near-dups) must converge immediately — the Observation sum over
+    zero rows is NULL and must read as 'no change', not loop
+    max_iter rounds of empty jobs."""
+    import time
+
+    from datasette_upload_csvs_spark.operators import graph
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    t0 = time.perf_counter()
+    out = graph.connected_components(empty, max_iter=20).collect()
+    elapsed = time.perf_counter() - t0
+    assert out == []
+    # one seeded round, not 20: generous wall bound to avoid flakes
+    assert elapsed < 10, f"empty-graph CC took {elapsed:.1f}s"
+
+
 def test_cluster_queries_use_scale_safe_edges(spark):
     """Regression guard for the round-4 verdict finding: the two
     cluster-consuming registry entries (dedup_groups,

@@ -240,6 +240,68 @@ def test_upload_end_to_end_with_chunked_body(app, spark):
     spark.sql(f"DROP TABLE IF EXISTS {res.table}")
 
 
+def test_spool_cleans_up_on_aborted_upload(app):
+    """A client disconnect mid-file (truncated body) must not orphan
+    the partially-spooled temp file — repeated aborts would otherwise
+    fill the disk."""
+    import asyncio as _a
+    import os
+
+    from datasette_upload_csvs_spark.web import spool_multipart
+
+    body = multipart_body({"csv": ("big.csv", b"x" * 4096)})
+    truncated = body[: len(body) // 2]
+    state = {"sent": False}
+
+    async def receive():
+        if not state["sent"]:
+            state["sent"] = True
+            return {
+                "type": "http.request", "body": truncated,
+                "more_body": False,
+            }
+        return {"type": "http.request", "body": b"", "more_body": False}
+
+    with pytest.raises(ValueError):
+        _a.run(
+            spool_multipart(
+                f"multipart/form-data; boundary={BOUNDARY}", receive,
+                str(app.upload_dir),
+            )
+        )
+    leftovers = [
+        p for p in os.listdir(app.upload_dir) if p.startswith("upload_")
+    ]
+    assert not leftovers
+
+
+def test_spool_caps_non_file_parts(app):
+    """A crafted no-filename part can't buffer the payload in RAM:
+    the parser rejects it at max_field_bytes."""
+    import asyncio as _a
+
+    from datasette_upload_csvs_spark.web import spool_multipart
+
+    body = multipart_body({"table_name": (None, b"y" * 4096)})
+    state = {"i": 0}
+
+    async def receive():
+        state["i"] += 1
+        return {
+            "type": "http.request",
+            "body": body if state["i"] == 1 else b"",
+            "more_body": False,
+        }
+
+    with pytest.raises(ValueError, match="max_field_bytes"):
+        _a.run(
+            spool_multipart(
+                f"multipart/form-data; boundary={BOUNDARY}", receive,
+                str(app.upload_dir), max_field_bytes=1024,
+            )
+        )
+
+
 def test_form_ships_working_poll_script(app):
     """The served form's <script> must actually drive the upload +
     poll protocol (reference upload_csv.html:188-204), not describe
