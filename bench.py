@@ -51,6 +51,9 @@ HEADLINE = [
     "dedup_groups",
     "split_cluster_safe",
     "dedup_rate_by_source",
+    # capped-exact representative: one shingle exchange, map-side
+    # pair expansion, exact verify over ~1M candidates
+    "dedup_containment",
 ]
 
 

@@ -140,21 +140,35 @@ def ngram_jaccard_pairs(
             )
             .persist()
         )
-        # one shuffle on the shingle hash: the df count-window and the
-        # a/b sides of the candidate self-join all sit on top of it
+        # ONE shuffle on the shingle hash. The df cap rides a
+        # count-window (counts only — a hot shingle is dropped before
+        # any per-shingle array exists, so boilerplate can never
+        # build a giant aggregation buffer), then the surviving
+        # ≤ max_df doc-lists expand to candidate pairs MAP-SIDE with
+        # a bounded nested transform (≤ C(max_df,2) structs per
+        # shingle) — no self-join, no second shingle exchange.
         ex = sets.select(F.col(id_col), F.explode("sh").alias("shingle"))
         rare = ex.withColumn(
             "df", F.count("*").over(Window.partitionBy("shingle"))
         ).filter(F.col("df") <= max_df)
-        a = rare.alias("a")
-        b = rare.alias("b")
-        cand = (
-            a.join(b, on="shingle")
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
+        ds = F.col("ds")
+        pair_structs = F.flatten(
+            F.transform(
+                ds,
+                lambda x, i: F.transform(
+                    F.slice(ds, i + F.lit(2), F.size(ds)),
+                    lambda y: F.struct(
+                        F.least(x, y).alias("id_a"),
+                        F.greatest(x, y).alias("id_b"),
+                    ),
+                ),
             )
+        )
+        cand = (
+            rare.groupBy("shingle")
+            .agg(F.collect_list(F.col(id_col)).alias("ds"))
+            .select(F.explode(pair_structs).alias("p"))
+            .select("p.id_a", "p.id_b")
             .distinct()
         )
         sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))

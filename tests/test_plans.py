@@ -154,3 +154,50 @@ def test_balanced_shards_no_global_data_window(spark, sf_dir):
     # per distinct size, never the doc stream
     assert txt.count("Exchange SinglePartition") <= 2
     assert plans.uses_broadcast_join(df)
+
+
+def test_cluster_edge_generation_is_banded(spark, sf_dir):
+    """dedup_groups' edge source must stay the MinHash band pipeline:
+    no full-data Window (the capped path's df count-window would show
+    one), no string shingles (xxhash64 on token slots only), and the
+    pre-closure plan must contain the band-bucket join keyed on the
+    (band, slice) struct — the sub-quadratic candidate property."""
+    from datasette_upload_csvs_spark.operators import dedup
+    from datasette_upload_csvs_spark.sources.parquet import read_table
+
+    pairs = dedup.minhash_near_dup_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=0.7
+    )
+    txt = plans.executed_plan(pairs)
+    assert "xxhash64" in txt
+    assert "array_join" not in txt  # shingle strings never built
+    assert "Window" not in txt      # no df count-window on this path
+    pairs.unpersist()
+    spark.catalog.clearCache()
+
+
+def test_capped_jaccard_single_shingle_shuffle(spark, sf_dir):
+    """The capped exact path must pay exactly ONE shingle-keyed
+    exchange: the df count-window caps hot shingles (counts only, no
+    arrays), the bounded doc-lists expand to candidate pairs
+    map-side (nested transform, ≤ C(max_df,2) per shingle) — there
+    is no shingle self-join at all."""
+    from datasette_upload_csvs_spark.operators import dedup
+    from datasette_upload_csvs_spark.sources.parquet import read_table
+
+    df = dedup.ngram_jaccard_pairs(
+        read_table(spark, sf_dir, "documents"), threshold=0.3, max_df=20
+    )
+    txt = plans.executed_plan(df)
+    assert "array_join" not in txt  # hash shingles, not strings
+    # the initial (pre-AQE) plan carries every exchange explicitly:
+    # exactly one hashes on the shingle column
+    shingle_exchanges = [
+        ln for ln in txt.splitlines()
+        if "Exchange hashpartitioning(shingle" in ln
+    ]
+    assert len(shingle_exchanges) == 1, txt
+    # pair expansion is an explode over the grouped doc-lists, not a
+    # join keyed on the shingle
+    assert "Join [shingle" not in txt and "Join shingle" not in txt
+    spark.catalog.clearCache()
