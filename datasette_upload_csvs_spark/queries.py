@@ -8178,6 +8178,298 @@ def split_incremental_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# B37/B39 extensions (round 5, late): published-method curation ops —
+# exact n-gram decontamination (GPT-3/Gopher recipe), SemDeDup-style
+# semantic pruning (Abbas et al. '23), DSIR importance weights
+# (Xie et al. '23). Each is the Spark-shaped version of the method a
+# real 100 TB pretraining pipeline runs, with a DuckDB oracle twin.
+# ====================================================================
+
+
+@q(
+    "decontaminate_exact_ngram",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, UNNEST(range(1, greatest(len(t) - 6, 2))) AS u(i)
+    ), bench AS (
+      SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0
+    )
+    SELECT s.doc_id, d.source, CAST(COUNT(*) AS BIGINT) AS n_overlap_grams
+    FROM sh s JOIN bench USING (g)
+              JOIN documents d ON d.doc_id = s.doc_id
+    WHERE s.doc_id % 10 <> 0
+    GROUP BY 1, 2
+    """,
+)
+def decontaminate_exact_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination by exact 8-gram overlap — the
+    published GPT-3/Gopher recipe (13-gram there; 8 here to suit the
+    short synthetic docs): a train document is contaminated when it
+    shares ANY n-gram with the held-out benchmark set (doc_id%10=0
+    stands in for the benchmark, as in contamination_overlap).
+    Returns one row per contaminated doc with its overlap count —
+    the removal list plus the evidence an audit wants.
+
+    Scale shape: benchmark n-gram sets are tiny relative to a 100 TB
+    corpus (benchmarks are MBs), so the distinct benchmark grams
+    BROADCAST and the train side stays map-only until the single
+    per-doc count shuffle. No shuffle touches the corpus-sized gram
+    relation. Compare bloom_contamination_screen (whole-doc
+    fingerprints through a constant-size filter, superset semantics);
+    this is the sharper n-gram-level exact screen."""
+    from datasette_upload_csvs_spark.functions.text import shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", "source", F.explode(shingles(F.col("text"), 8)).alias("g")
+    )
+    bench = (
+        sh.filter(F.pmod("doc_id", F.lit(10)) == 0).select("g").distinct()
+    )
+    return (
+        sh.filter(F.pmod("doc_id", F.lit(10)) != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_overlap_grams"))
+    )
+
+
+@q(
+    "semdedup_prune",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), anchors AS (
+      SELECT vec_id AS anchor_id, v AS av FROM v WHERE vec_id < 32
+    ), scored AS (
+      SELECT x.vec_id, a.anchor_id,
+             list_sum(list_transform(range(1, len(x.v) + 1),
+                      i -> x.v[i] * a.av[i]))
+               / (sqrt(list_sum(list_transform(x.v, e -> e * e)))
+                  * sqrt(list_sum(list_transform(a.av, e -> e * e)))) AS ac
+      FROM v x CROSS JOIN anchors a
+    ), assign AS (
+      SELECT vec_id, anchor_id AS cluster_id, ac AS c2c FROM (
+        SELECT vec_id, anchor_id, ac,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ac DESC, anchor_id ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), m AS (
+      SELECT a.vec_id, a.cluster_id, a.c2c, x.v
+      FROM assign a JOIN v x USING (vec_id)
+    ), losers AS (
+      SELECT DISTINCT CASE
+               WHEN a.c2c > b.c2c THEN a.vec_id
+               WHEN b.c2c > a.c2c THEN b.vec_id
+               ELSE b.vec_id END AS vec_id
+      FROM m a JOIN m b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(range(1, len(a.v) + 1),
+                     i -> a.v[i] * b.v[i]))
+              / (sqrt(list_sum(list_transform(a.v, e -> e * e)))
+                 * sqrt(list_sum(list_transform(b.v, e -> e * e)))) >= 0.4
+    )
+    SELECT s.vec_id, CAST(s.cluster_id AS BIGINT) AS cluster_id,
+           round(s.c2c, 6) AS centroid_cos,
+           (l.vec_id IS NOT NULL) AS pruned
+    FROM assign s LEFT JOIN losers l ON s.vec_id = l.vec_id
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. '23) semantic pruning: cluster
+    embeddings with a coarse quantizer, compute pairwise cosine
+    WITHIN each cluster only, and for every semantic-duplicate pair
+    (cos >= 0.4) prune the member CLOSER to its centroid — the
+    paper's keep-the-outlier rule, which preserves cluster diversity
+    while dropping redundant interior points. Every vector gets a
+    verdict row (vec_id, cluster_id, centroid_cos, pruned).
+
+    The quantizer is the deterministic anchor stand-in used by
+    dedup_embedding_cosine (32 smallest-id vectors, nearest-anchor
+    assignment = one k-means E-step) so the oracle reproduces the
+    exact clustering; a production run swaps in the sample-trained
+    IVF centroids from operators/similarity.py — the plan shape is
+    identical. Scale: anchors broadcast (k rows), assignment is a
+    k-row-per-key window (no skew), and the only quadratic work is
+    Σ bucket² over clusters — linear in n when k grows with the
+    corpus (the IVF rule), exactly how SemDeDup scales to LAION-5B.
+    Tie-break: equal centroid distance prunes the larger vec_id."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    from datasette_upload_csvs_spark.functions.vector import cosine
+
+    anchors = v.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("anchor_id"), F.col("v").alias("av")
+    )
+    scored = v.join(F.broadcast(anchors)).select(
+        "vec_id", "anchor_id", cosine(F.col("v"), F.col("av")).alias("ac")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ac").desc(), F.col("anchor_id").asc()
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("anchor_id").alias("cluster_id"),
+            F.col("ac").alias("c2c"),
+        )
+    )
+    m = assign.join(v, "vec_id")
+    a = m.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster_id"),
+        F.col("c2c").alias("c2c_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cluster_id"),
+        F.col("c2c").alias("c2c_b"),
+        F.col("v").alias("v_b"),
+    )
+    losers = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("v_a"), F.col("v_b")) >= 0.4)
+        .select(
+            F.when(F.col("c2c_a") > F.col("c2c_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return assign.join(losers, "vec_id", "left").select(
+        "vec_id",
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.round("c2c", 6).alias("centroid_cos"),
+        F.coalesce(F.col("_hit"), F.lit(False)).alias("pruned"),
+    )
+
+
+@q(
+    "dsir_importance_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, CAST(md5_number_lower(w) % 4096 AS BIGINT) AS b
+      FROM toks
+    ), q_cnt AS (
+      SELECT b, COUNT(*) AS qc FROM hashed GROUP BY b
+    ), t_cnt AS (
+      SELECT b, COUNT(*) AS tc FROM hashed WHERE doc_id % 10 = 0 GROUP BY b
+    ), tots AS (
+      SELECT (SELECT SUM(qc) FROM q_cnt) AS q_tot,
+             (SELECT COALESCE(SUM(tc), 0) FROM t_cnt) AS t_tot
+    ), lam AS (
+      SELECT q.b,
+             CAST(round(ln((1.0 * (COALESCE(t.tc, 0) + 1) / (tots.t_tot + 4096))
+                           / (1.0 * (q.qc + 1) / (tots.q_tot + 4096))), 10)
+                  AS DECIMAL(28,12)) AS lw
+      FROM q_cnt q LEFT JOIN t_cnt t USING (b), tots
+    ), per_doc AS (
+      SELECT doc_id, b, COUNT(*) AS c
+      FROM hashed WHERE doc_id % 10 <> 0 GROUP BY 1, 2
+    )
+    SELECT p.doc_id,
+           CAST(SUM(p.c) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(p.c * l.lw) AS DOUBLE), 6) AS log_weight
+    FROM per_doc p JOIN lam l USING (b)
+    GROUP BY p.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. '23) data selection via importance
+    resampling: represent each doc by hashed unigram counts (4096
+    buckets), fit target and raw bag-of-buckets distributions
+    (add-1 smoothed), and score every raw doc with its importance
+    log-weight sum_b c_doc(b)*ln(p_target(b)/p_raw(b)). The target
+    here is the doc_id%10=0 slice (the same held-out stand-in the
+    contamination queries use); a production run points it at the
+    high-quality domain sample. Downstream, docs are Gumbel-top-k
+    resampled by this weight — the weight table is the expensive
+    distributed part and what this query materializes.
+
+    Scale shape: the bucket vocabulary is FIXED at 4096 regardless
+    of corpus size (the point of hashing) — both distribution tables
+    and the λ = log-ratio table are 4096 rows, broadcast back onto
+    the per-doc bucket counts. Two corpus-sized shuffles total
+    (bucket count, per-doc agg); everything else is constant-size.
+    Portability: λ rounded to 10 places then decimal-summed
+    (order-free), exact-integer ratios inside ln on both engines."""
+    from datasette_upload_csvs_spark.functions.text import tokens as _toks
+
+    d = load(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", F.explode(_toks(F.col("text"))).alias("w")
+    ).select(
+        "doc_id",
+        F.pmod(_md5_low64(F.col("w")), F.lit(4096)).cast("bigint").alias("b"),
+    )
+    q_cnt = hashed.groupBy("b").agg(F.count("*").alias("qc"))
+    t_cnt = (
+        hashed.filter(F.pmod("doc_id", F.lit(10)) == 0)
+        .groupBy("b")
+        .agg(F.count("*").alias("tc"))
+    )
+    tots = q_cnt.agg(F.sum("qc").alias("q_tot")).crossJoin(
+        t_cnt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("t_tot"))
+    )
+    lam = (
+        q_cnt.join(t_cnt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            # decimal(18,12), NOT (28,12): the per-doc product
+            # c * lw must stay exact, and Spark's decimal-multiply
+            # rule (precision p1+p2+1 capped at 38) silently ROUNDS
+            # the product to scale 6 when the operand precisions are
+            # too wide — (8,0)x(18,12) -> (27,12) stays exact.
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("tc"), F.lit(0)) + 1)
+                     / (F.col("t_tot") + 4096))
+                    / ((F.col("qc") + 1) / (F.col("q_tot") + 4096))
+                ),
+                10,
+            )
+            .cast("decimal(18,12)")
+            .alias("lw"),
+        )
+    )
+    per_doc = (
+        hashed.filter(F.pmod("doc_id", F.lit(10)) != 0)
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_doc.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c").cast("decimal(8,0)") * F.col("lw"))
+                .cast("double"),
+                6,
+            ).alias("log_weight"),
+        )
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 

@@ -201,3 +201,43 @@ def test_capped_jaccard_single_shingle_shuffle(spark, sf_dir):
     # join keyed on the shingle
     assert "Join [shingle" not in txt and "Join shingle" not in txt
     spark.catalog.clearCache()
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
+    """The benchmark gram set (tiny at any corpus scale) must reach
+    the train side as a broadcast — the corpus-sized gram relation
+    never shuffles for the join, only for the final per-doc count."""
+    df = Q.decontaminate_exact_ngram(spark, sf_dir)
+    txt = plans.executed_plan(df)
+    assert "BroadcastExchange" in txt
+    assert "SortMergeJoin" not in txt
+    assert set(plans.read_schema_columns(df)) <= {"doc_id", "source", "text"}
+
+
+def test_semdedup_pairs_are_cluster_bucketed(spark, sf_dir):
+    """SemDeDup: the quantizer anchors broadcast for scoring (a
+    deliberate n x k broadcast cross join — the only
+    BroadcastNestedLoopJoins allowed are those anchor scans, built
+    from the tiny IdentityBroadcastMode anchor table), and pair
+    generation is the cluster-bucket EQUI-join — never an all-pairs
+    nested loop over the corpus against itself."""
+    df = Q.semdedup_prune(spark, sf_dir)
+    txt = plans.executed_plan(df)
+    # pair join is keyed on cluster_id
+    assert "Join [cluster_id" in txt or "SortMergeJoin [cluster_id" in txt
+    # every nested-loop join is an anchor-broadcast scoring join:
+    # k-row build side, identity mode (crossJoin of the broadcast
+    # anchors) — the corpus is never the build side of an NLJ
+    assert txt.count("BroadcastNestedLoopJoin") == txt.count(
+        "BroadcastExchange IdentityBroadcastMode"
+    )
+
+
+def test_dsir_lambda_table_broadcasts(spark, sf_dir):
+    """DSIR: the 4096-bucket λ table is constant-size and must
+    broadcast onto the per-doc counts; the corpus pays exactly its
+    two algorithmic shuffles (bucket count, per-doc agg)."""
+    df = Q.dsir_importance_weights(spark, sf_dir)
+    txt = plans.executed_plan(df)
+    assert "BroadcastExchange" in txt
+    assert set(plans.read_schema_columns(df)) <= {"doc_id", "text"}
