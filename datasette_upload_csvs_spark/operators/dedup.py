@@ -92,6 +92,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.3,
     max_df: int | None = None,
+    prune_ub: tuple[str, float] | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -129,6 +130,19 @@ def ngram_jaccard_pairs(
     calls should spark.catalog.clearCache() between jobs (bench.py
     and the driver harness do); the cached frame is one row per doc
     of ~8·|shingles| bytes, not corpus text.
+
+    `prune_ub=(measure, tau)` (capped branch only) adds PPJoin-style
+    count filtering between candidate generation and the exact
+    verify: the pair expansion already yields c = |shared RARE
+    shingles|, and shared ≤ c + min(hot_a, hot_b) where
+    hot_x = |full set| − |rare subset| — so an upper bound on
+    jaccard (shared/(n_a+n_b−shared), increasing in shared) or
+    containment (shared/min(n_a,n_b)) is available from three
+    integers per pair BEFORE touching the hash arrays. Pairs whose
+    bound is < tau cannot pass the caller's exact filter, so pruning
+    them is output-invariant (the oracles need no mirror) — it only
+    skips the expensive array-intersect verify for hopeless pairs.
+    Defaults to ("jaccard", threshold) when threshold > 0.
     """
     if max_df is not None:
         par = docs.sparkSession.sparkContext.defaultParallelism
@@ -164,13 +178,75 @@ def ngram_jaccard_pairs(
                 ),
             )
         )
-        cand = (
-            rare.groupBy("shingle")
-            .agg(F.collect_list(F.col(id_col)).alias("ds"))
-            .select(F.explode(pair_structs).alias("p"))
-            .select("p.id_a", "p.id_b")
-            .distinct()
+        if prune_ub is None and threshold > 0:
+            prune_ub = ("jaccard", threshold)
+        # grouping (not distinct) makes the same exchange also yield
+        # c = |shared rare shingles| — the count-filter input below.
+        # The grouped doc-lists (the capped inverted index) persist
+        # when pruning is on: the prune's per-doc rare counts read it
+        # instead of re-running the df window — the shingle exchange
+        # stays singular in the plan. Size is ≤ the postings already
+        # cached in `sets` (hash longs only), spillable.
+        grouped = rare.groupBy("shingle").agg(
+            F.collect_list(F.col(id_col)).alias("ds")
         )
+        if prune_ub is not None:
+            grouped = grouped.persist()
+        cand = (
+            grouped.select(F.explode(pair_structs).alias("p"))
+            .groupBy("p.id_a", "p.id_b")
+            .agg(F.count("*").alias("c_rare"))
+        )
+        if prune_ub is not None:
+            measure, tau = prune_ub
+            # per-doc stats are 3 ints/doc — the prune join moves no
+            # arrays; hot_x = full-set size − rare-subset size
+            stats = (
+                grouped.select(F.explode("ds").alias(id_col))
+                .groupBy(id_col)
+                .agg(F.count("*").alias("n_rare"))
+                .join(
+                    sets.select(
+                        F.col(id_col), F.size("sh").alias("n_full")
+                    ),
+                    id_col,
+                    "right",
+                )
+                .select(
+                    F.col(id_col),
+                    F.col("n_full"),
+                    (F.col("n_full") - F.coalesce("n_rare", F.lit(0)))
+                    .alias("n_hot"),
+                )
+            )
+            st_a = stats.select(
+                F.col(id_col).alias("id_a"),
+                F.col("n_full").alias("nf_a"),
+                F.col("n_hot").alias("nh_a"),
+            )
+            st_b = stats.select(
+                F.col(id_col).alias("id_b"),
+                F.col("n_full").alias("nf_b"),
+                F.col("n_hot").alias("nh_b"),
+            )
+            smax = F.least(
+                F.col("c_rare") + F.least("nh_a", "nh_b"),
+                F.least("nf_a", "nf_b"),
+            ).cast("double")
+            if measure == "containment":
+                ub = smax / F.least("nf_a", "nf_b").cast("double")
+            else:
+                ub = smax / (
+                    F.col("nf_a") + F.col("nf_b") - smax
+                ).cast("double")
+            cand = (
+                cand.join(st_a, "id_a")
+                .join(st_b, "id_b")
+                .filter(ub >= tau)
+                .select("id_a", "id_b")
+            )
+        else:
+            cand = cand.select("id_a", "id_b")
         sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
         sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
         shared = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -1639,7 +1639,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.ngram_jaccard_pairs(max_df=None) — the small/trusted-corpus
     baseline."""
     pairs = dedup.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), threshold=0.0, max_df=20
+        load(spark, sf_dir, "documents"),
+        threshold=0.0,
+        max_df=20,
+        # count-filter prune: pairs whose containment UPPER BOUND
+        # (from 3 ints, before any array work) is < 0.6 skip the
+        # exact verify — output-invariant vs the oracle
+        prune_ub=("containment", 0.6),
     )
     return (
         pairs.withColumn(
