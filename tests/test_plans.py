@@ -245,3 +245,47 @@ def test_dsir_lambda_table_broadcasts(spark, sf_dir):
     txt = plans.executed_plan(df)
     assert "BroadcastExchange" in txt
     assert set(plans.read_schema_columns(df)) <= {"doc_id", "text"}
+
+
+def test_dsir_resample_is_partial_topk(spark, sf_dir):
+    """The Gumbel-top-k selection must compile to
+    TakeOrderedAndProject (per-partition partial top-k, driver heap
+    merge) — never a global sort of the weight table; the rank
+    window runs after the 200-row limit, so its single partition
+    holds exactly k rows."""
+    df = Q.dsir_resample_topk(spark, sf_dir)
+    txt = plans.executed_plan(df)
+    assert "TakeOrderedAndProject" in txt
+    assert "Sort [k" not in txt  # no standalone global sort of keys
+
+
+def test_ccnet_buckets_use_banded_rank(spark, sf_dir):
+    """CCNet terciles must use the two-phase distributed rank: the
+    doc-stream window partitions on (lang, band) — many partitions —
+    and the per-language windows touch only the tiny band-count and
+    language-count aggregates, which broadcast back. A plain
+    per-language window over the docs (5 giant partitions) would
+    show Exchange hashpartitioning(predicted_lang) feeding a Window
+    over the doc stream."""
+    df = Q.ccnet_perplexity_buckets(spark, sf_dir)
+    txt = plans.executed_plan(df)
+    # every row_number over the doc stream is keyed on (lang, band)
+    doc_windows = [
+        ln
+        for ln in txt.splitlines()
+        if "Window" in ln and "row_number" in ln
+    ]
+    assert doc_windows and all("_band" in ln for ln in doc_windows), txt
+    # band prefixes and language counts reach the docs as broadcasts
+    assert txt.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in txt
+
+
+def test_quality_classifier_single_shuffle(spark, sf_dir):
+    """Hashed-feature scoring is map-side until the one per-doc
+    aggregation: no feature-keyed shuffle, no weight-table join —
+    the entire point of the hashing trick at corpus scale."""
+    df = Q.quality_classifier_score(spark, sf_dir)
+    assert plans.shuffle_count(df) == 1
+    assert "Join" not in plans.executed_plan(df)
+    assert set(plans.read_schema_columns(df)) <= {"doc_id", "text"}
