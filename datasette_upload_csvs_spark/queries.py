@@ -62,25 +62,26 @@ def q(name: str, oracle: str | None = None):
 # changed AFTER its last driver check must NOT appear here — it goes
 # in _DRIVER_PRIORITY so the independent check re-runs on the new
 # code. Round-5 priority = every query that changed or appeared this
-# round (17 names), then the names never yet included in a driver
-# sample (r1∪r2∪r3∪r4 = 139 of 199 checked). Ten low-risk,
+# round (18 names), then the names never yet included in a driver
+# sample (r1∪r2∪r3∪r4 = 139 of 200 checked). Eleven low-risk,
 # long-unchanged names overflow the 50-name prefix and defer to the
 # round-6 sample.
 _DRIVER_PRIORITY = [
     # Round-5 changed/new queries first, then the never-sampled
-    # names = the 50-name sample. Seventeen queries changed or
+    # names = the 50-name sample. Eighteen queries changed or
     # appeared this round; every one of them sits in the 50-name
     # prefix, so the independent check covers ALL round-5 code. That
-    # pushes ten of the never-yet-sampled names to positions 51+ for
-    # the round-6 sample — all ten are low-risk Catalyst-only
+    # pushes eleven of the never-yet-sampled names to positions 51+
+    # for the round-6 sample — all are low-risk Catalyst-only
     # queries unchanged since round ≤4 that pass the identical local
     # DuckDB hash gate at sf0.001 AND sf0.01
     # (tests/test_oracle_parity.py).
     #
     # Round-5 new: semdedup_prune, dsir_importance_weights,
     #   dsir_resample_topk, ccnet_perplexity_buckets,
-    #   quality_classifier_score, decontaminate_exact_ngram,
-    #   dedup_keep_best, split_incremental_stable, group_by_all_sql.
+    #   quality_classifier_score, dedup_exact_substr_spans,
+    #   decontaminate_exact_ngram, dedup_keep_best,
+    #   split_incremental_stable, group_by_all_sql.
     # Round-5 changed impl (oracle mirrored): dedup_groups,
     #   split_cluster_safe (edge source → minhash bands),
     #   dedup_containment / dedup_ngram_jaccard_capped (capped branch
@@ -92,6 +93,7 @@ _DRIVER_PRIORITY = [
     "dedup_groups", "split_cluster_safe",
     "semdedup_prune", "dsir_importance_weights", "dsir_resample_topk",
     "ccnet_perplexity_buckets", "quality_classifier_score",
+    "dedup_exact_substr_spans",
     "decontaminate_exact_ngram",
     "dedup_containment", "dedup_ngram_jaccard_capped",
     "export_balanced_shards",
@@ -8763,6 +8765,95 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(1.0 / (1.0 + F.exp(-score)), 6).alias("prob"),
         (F.col("sw") >= 0).alias("keep"),
     )
+
+
+@q(
+    "dedup_exact_substr_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), win AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             md5(array_to_string(t[i:i+15], ' ')) AS h
+      FROM toks, UNNEST(range(1, greatest(len(t) - 14, 1))) AS u(i)
+    ), dup AS (
+      SELECT h FROM win GROUP BY h HAVING COUNT(*) >= 2
+    ), dupw AS (
+      SELECT w.doc_id, w.i FROM win w JOIN dup USING (h)
+    ), flagged AS (
+      SELECT doc_id, i,
+             CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                       > 15 THEN 1 ELSE 0 END AS brk
+      FROM dupw
+    ), grouped AS (
+      SELECT doc_id, i,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS grp
+      FROM flagged
+    )
+    SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+           CAST(MAX(i) + 16 - MIN(i) AS BIGINT) AS span_len
+    FROM grouped
+    GROUP BY doc_id, grp
+    """,
+)
+def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span extraction (Lee et al. '22 §4.1): the actual
+    REMOVAL artifact — for every document, the maximal token spans
+    covered by some 16-token window that occurs ≥2 times anywhere in
+    the corpus (their threshold is 50 tokens over a suffix array;
+    16 suits the short synthetic docs, same semantics at window
+    granularity). dedup_ngram_coverage reports the per-doc duplicated
+    FRACTION; this query emits the (span_start, span_len) cut list a
+    pipeline feeds to the actual text surgery.
+
+    Spark-shaped suffix-array substitute: hash every k-token window
+    (one md5 per position, map-side), count window-hash occurrences
+    (ONE corpus shuffle with map-side partial aggregation), semi-join
+    the ≥2 hashes back (1 row per key on the build side — a hot
+    boilerplate window skews nothing, AQE splits the probe), then
+    merge overlapping duplicated windows into maximal spans with the
+    gap-≤15 islands trick: two per-doc-keyed windows (lag → running
+    sum of breaks) and a final (doc, island) aggregate. Per-doc
+    windows partition on doc_id — millions of small partitions, no
+    giant-key skew."""
+    d = load(spark, sf_dir, "documents")
+    t = _text_tokens(F.col("text"))
+    n = F.size(t)
+    idx = F.when(n >= 16, F.sequence(F.lit(1), n - 15)).otherwise(
+        F.array().cast("array<int>")
+    )
+    win = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.cast("bigint").alias("i"),
+                    F.md5(F.array_join(F.slice(t, i, 16), " ")).alias("h"),
+                ),
+            )
+        ).alias("w"),
+    ).select("doc_id", "w.i", "w.h")
+    dup = win.groupBy("h").count().filter(F.col("count") >= 2).select("h")
+    dupw = win.join(dup, "h").select("doc_id", "i")
+    w_ord = Window.partitionBy("doc_id").orderBy("i")
+    flagged = dupw.withColumn(
+        "brk",
+        F.when(F.col("i") - F.lag("i").over(w_ord) > 15, F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    grouped = flagged.withColumn(
+        "grp",
+        F.sum("brk").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return grouped.groupBy("doc_id", "grp").agg(
+        F.min("i").alias("span_start"),
+        (F.max("i") + 16 - F.min("i")).alias("span_len"),
+    ).select("doc_id", "span_start", "span_len")
 
 
 # ====================================================================

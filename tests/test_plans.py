@@ -289,3 +289,20 @@ def test_quality_classifier_single_shuffle(spark, sf_dir):
     assert plans.shuffle_count(df) == 1
     assert "Join" not in plans.executed_plan(df)
     assert set(plans.read_schema_columns(df)) <= {"doc_id", "text"}
+
+
+def test_exact_substr_windows_are_doc_keyed(spark, sf_dir):
+    """ExactSubstr spans: the islands merge must run in per-doc
+    windows (doc_id partitioning — no giant keys), the window-hash
+    count must keep partial (map-side) aggregation, and the scan
+    must read only {doc_id, text}."""
+    df = Q.dedup_exact_substr_spans(spark, sf_dir)
+    txt = plans.executed_plan(df)
+    seq_windows = [
+        ln
+        for ln in txt.splitlines()
+        if "Window" in ln and ("lag(" in ln or "sum(" in ln)
+    ]
+    assert seq_windows and all("doc_id" in ln for ln in seq_windows), txt
+    assert "partial_count" in txt or "partial" in txt.lower()
+    assert set(plans.read_schema_columns(df)) <= {"doc_id", "text"}
