@@ -85,6 +85,60 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def _count_prune(cand, stats, id_col, measure, tau, count_col):
+    """PPJoin-style count filter, shared by the capped branch and the
+    MinHash exact floor. `cand` carries per-pair `count_col` =
+    |shared shingles in the counted class|; `stats` carries per-doc
+    (id, n_full, n_hot) where n_hot = shingles OUTSIDE the counted
+    class that a pair could still share. shared ≤ count + min(n_hot)
+    and shared ≤ min(n_full), so an upper bound on jaccard or
+    containment is available from integers alone — pairs whose bound
+    is < tau cannot pass the exact verify, making the prune
+    output-invariant."""
+    st_a = stats.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n_full").alias("nf_a"),
+        F.col("n_hot").alias("nh_a"),
+    )
+    st_b = stats.select(
+        F.col(id_col).alias("id_b"),
+        F.col("n_full").alias("nf_b"),
+        F.col("n_hot").alias("nh_b"),
+    )
+    smax = F.least(
+        F.col(count_col) + F.least("nh_a", "nh_b"),
+        F.least("nf_a", "nf_b"),
+    ).cast("double")
+    if measure == "containment":
+        ub = smax / F.least("nf_a", "nf_b").cast("double")
+    else:
+        ub = smax / (F.col("nf_a") + F.col("nf_b") - smax).cast("double")
+    return (
+        cand.join(st_a, "id_a")
+        .join(st_b, "id_b")
+        .filter(ub >= tau)
+        .select("id_a", "id_b")
+    )
+
+
+def _doclist_pair_structs(ds):
+    """Map-side candidate expansion over a grouped doc-list column:
+    every unordered pair from `ds` as (id_a, id_b) structs — a
+    bounded nested transform (≤ C(|ds|, 2) structs), no self-join."""
+    return F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(
+                    F.least(x, y).alias("id_a"),
+                    F.greatest(x, y).alias("id_b"),
+                ),
+            ),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -93,6 +147,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.3,
     max_df: int | None = None,
     prune_ub: tuple[str, float] | None = None,
+    restrict_to_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -143,7 +198,15 @@ def ngram_jaccard_pairs(
     them is output-invariant (the oracles need no mirror) — it only
     skips the expensive array-intersect verify for hopeless pairs.
     Defaults to ("jaccard", threshold) when threshold > 0.
+
+    `restrict_to_ids` (capped branch only) keeps only candidate
+    pairs with ≥1 endpoint in the given single-column id frame —
+    the incremental-append contract (operators/splits.py): per-batch
+    edge work scales with the batch, not the corpus. The id set is
+    batch-sized, so it reaches both endpoint checks as a broadcast.
     """
+    if restrict_to_ids is not None and max_df is None:
+        raise ValueError("restrict_to_ids requires max_df (capped branch)")
     if max_df is not None:
         par = docs.sparkSession.sparkContext.defaultParallelism
         # shingling is CPU-bound per row; spread single-file inputs
@@ -165,19 +228,7 @@ def ngram_jaccard_pairs(
         rare = ex.withColumn(
             "df", F.count("*").over(Window.partitionBy("shingle"))
         ).filter(F.col("df") <= max_df)
-        ds = F.col("ds")
-        pair_structs = F.flatten(
-            F.transform(
-                ds,
-                lambda x, i: F.transform(
-                    F.slice(ds, i + F.lit(2), F.size(ds)),
-                    lambda y: F.struct(
-                        F.least(x, y).alias("id_a"),
-                        F.greatest(x, y).alias("id_b"),
-                    ),
-                ),
-            )
-        )
+        pair_structs = _doclist_pair_structs(F.col("ds"))
         if prune_ub is None and threshold > 0:
             prune_ub = ("jaccard", threshold)
         # grouping (not distinct) makes the same exchange also yield
@@ -197,6 +248,25 @@ def ngram_jaccard_pairs(
             .groupBy("p.id_a", "p.id_b")
             .agg(F.count("*").alias("c_rare"))
         )
+        if restrict_to_ids is not None:
+            rid = restrict_to_ids.select(
+                F.col(restrict_to_ids.columns[0]).alias("_rid")
+            )
+            ra = rid.select(
+                F.col("_rid").alias("id_a"), F.lit(True).alias("_a_new")
+            )
+            rb = rid.select(
+                F.col("_rid").alias("id_b"), F.lit(True).alias("_b_new")
+            )
+            cand = (
+                cand.join(F.broadcast(ra), "id_a", "left")
+                .join(F.broadcast(rb), "id_b", "left")
+                .filter(
+                    F.coalesce("_a_new", F.lit(False))
+                    | F.coalesce("_b_new", F.lit(False))
+                )
+                .drop("_a_new", "_b_new")
+            )
         if prune_ub is not None:
             measure, tau = prune_ub
             # per-doc stats are 3 ints/doc — the prune join moves no
@@ -219,32 +289,7 @@ def ngram_jaccard_pairs(
                     .alias("n_hot"),
                 )
             )
-            st_a = stats.select(
-                F.col(id_col).alias("id_a"),
-                F.col("n_full").alias("nf_a"),
-                F.col("n_hot").alias("nh_a"),
-            )
-            st_b = stats.select(
-                F.col(id_col).alias("id_b"),
-                F.col("n_full").alias("nf_b"),
-                F.col("n_hot").alias("nh_b"),
-            )
-            smax = F.least(
-                F.col("c_rare") + F.least("nh_a", "nh_b"),
-                F.least("nf_a", "nf_b"),
-            ).cast("double")
-            if measure == "containment":
-                ub = smax / F.least("nf_a", "nf_b").cast("double")
-            else:
-                ub = smax / (
-                    F.col("nf_a") + F.col("nf_b") - smax
-                ).cast("double")
-            cand = (
-                cand.join(st_a, "id_a")
-                .join(st_b, "id_b")
-                .filter(ub >= tau)
-                .select("id_a", "id_b")
-            )
+            cand = _count_prune(cand, stats, id_col, measure, tau, "c_rare")
         else:
             cand = cand.select("id_a", "id_b")
         sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
@@ -453,6 +498,7 @@ def minhash_near_dup_pairs(
     num_perm: int = 128,
     bands: int = 32,
     threshold: float = 0.7,
+    exact_floor_max_df: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
 
@@ -461,6 +507,31 @@ def minhash_near_dup_pairs(
     bounded join, and the output is exact (no LSH false positives).
     With bands=32/rows=4, P(candidate | j=0.7) ≈ 0.9998 — recall loss
     only matters within ~0.01 of the threshold.
+
+    `exact_floor_max_df` adds a deterministic candidate FLOOR for
+    consumers whose oracle is the exact edge set (the cluster/split
+    queries): every pair sharing ≥1 shingle with document frequency
+    in [2, floor_df] is unioned into the LSH candidate set before
+    the shared exact verify. The floor targets exactly the region
+    where LSH is weakest and covers it with what LSH lacks:
+
+    - a NEAR-THRESHOLD pair lives in a small near-dup cluster, so
+      its shared content shingles have df ≈ cluster size ≤ floor_df
+      → floored deterministically (band-collision probability for
+      such a pair is the ~1.5e-4 LSH recall gap);
+    - a pair inside a LARGE duplicate cluster shares only hot
+      shingles (df = cluster size > floor_df) → not floored, but its
+      jaccard is near 1, where band collision is essentially certain
+      (P(miss | j=0.9) < 1e-14 with 32×4 bands).
+
+    A miss therefore needs both failure modes at once. The floor is
+    cheap by construction: df counts are a hash-agg on the existing
+    hash-set frame (a hot shingle is dropped on counts alone, never
+    building a doc-list), and with df ≤ floor_df ≈ 5 the map-side
+    pair expansion is a few thousand structs, so the extra exact
+    verifies are noise. Keep the cap small — the capped-exact path
+    (ngram_jaccard_pairs(max_df=...)) is the right tool when you
+    want full coverage of mid-frequency shingles.
     """
     rows = num_perm // bands
     # Small-file inputs arrive as one partition; shingling is
@@ -494,6 +565,37 @@ def minhash_near_dup_pairs(
     # here; measured 1.4s vs 2.1s end-to-end.)
     sig = _signatures_from_hashes(hashed, id_col, num_perm).persist()
     cand = minhash_lsh_candidates(sig, id_col, bands, rows)
+    if exact_floor_max_df is not None:
+        # deterministic floor: low-df shingle candidates from the
+        # persisted hash-set frame (full 64-bit hashes — the pmod'd
+        # `hashed` relation would alias distinct shingles at corpus
+        # scale and misclassify rare ones as hot). Count-first: df=1
+        # shingles generate no pair and df > cap shingles are the
+        # LSH-covered high-similarity regime, so the pair stage sees
+        # only the 2 ≤ df ≤ cap hashes — a hash-agg (a hot shingle
+        # is dropped on counts alone, never building a doc-list),
+        # an AQE-broadcastable join back, and a bounded C(df,2)
+        # map-side expansion.
+        ex = sets.select(F.col(id_col), F.explode("sh").alias("h64"))
+        dup_hashes = (
+            ex.groupBy("h64")
+            .agg(F.count("*").alias("df"))
+            .filter(
+                (F.col("df") >= 2) & (F.col("df") <= exact_floor_max_df)
+            )
+            .select("h64")
+        )
+        grouped = ex.join(dup_hashes, "h64").groupBy("h64").agg(
+            F.collect_list(F.col(id_col)).alias("ds")
+        )
+        floor_cand = (
+            grouped.select(
+                F.explode(_doclist_pair_structs(F.col("ds"))).alias("p")
+            )
+            .select("p.id_a", "p.id_b")
+            .distinct()
+        )
+        cand = cand.select("id_a", "id_b").unionByName(floor_cand).distinct()
     # Verify ONLY the candidate pairs: join each side to its shingle
     # set and intersect arrays. Cost is O(candidates), not O(pairs
     # sharing a shingle) — the whole point of LSH at corpus scale.

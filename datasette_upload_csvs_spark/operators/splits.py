@@ -31,7 +31,10 @@ Append semantics (deterministic, engine-portable):
   them would migrate old docs, which the contract forbids; instead
   the new row is flagged ``bridged=true`` (it is near >1 old cluster,
   possibly on both sides of the split) so a hygiene-sensitive
-  pipeline can quarantine it.
+  pipeline can quarantine it. The flag is TRANSITIVE across appends:
+  a new doc whose component links any previously-bridged doc is also
+  flagged, even when it touches only one anchor cluster — otherwise
+  a later batch could attach to a known leakage bridge unflagged.
 - New docs reachable only from new docs form fresh clusters keyed by
   min new doc_id; membership is the same md5(cluster_id) rule as
   split_cluster_safe (first hex digit in {0,1,2} → val).
@@ -46,7 +49,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datasette_upload_csvs_spark.operators.dedup import _shingle_hashes
 from datasette_upload_csvs_spark.operators.graph import connected_components
 
 VAL_HEX = ("0", "1", "2")
@@ -102,43 +104,24 @@ def _incremental_edges(
 ) -> DataFrame:
     """Verified near-dup edges (id_a, id_b) with ≥1 NEW endpoint.
 
-    Same capped candidate recipe as dedup.ngram_jaccard_pairs
-    (including its hash-shingle representation — shingle strings are
-    never materialized; |distinct hashes| == |distinct shingles| up
-    to ~2^-64 per-pair collisions, the equivalence every verify path
-    here relies on and the oracle hash-check pins), but the left
-    side of the shingle-bucket join is restricted to new docs'
-    shingles, so candidate volume scales with the batch, not the
-    corpus."""
-    sets = docs.select(
-        F.col(id_col), _shingle_hashes(F.col(text_col)).alias("sh")
-    )
-    sh = sets.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    rare = sh.join(
-        dfreq.filter(F.col("df") <= max_df).select("shingle"), "shingle"
-    )
-    rare_new = rare.join(new_ids, on=id_col, how="left_semi")
-    cand = (
-        rare_new.alias("a")
-        .join(rare.alias("b"), on="shingle")
-        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
-        .select(
-            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
-            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
-        )
-        .distinct()
-    )
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    shared = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    denom = (F.size("sh_a") + F.size("sh_b")).cast("double") - shared
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(shared / denom >= threshold)
-        .select("id_a", "id_b")
-    )
+    Delegates to dedup.ngram_jaccard_pairs(max_df=…,
+    restrict_to_ids=new_ids) — ONE implementation of the capped
+    candidate recipe (hash shingles, counts-only df window, map-side
+    pair expansion, PPJoin count prune), so fixes to the dedup path
+    apply here automatically; the restriction keeps only pairs with
+    a new endpoint, making per-batch work O(batch × bucket). The
+    capped branch persists its hash-set frame; callers running many
+    jobs clearCache between them (same contract as the dedup ops)."""
+    from datasette_upload_csvs_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        docs,
+        text_col,
+        id_col,
+        threshold=threshold,
+        max_df=max_df,
+        restrict_to_ids=new_ids,
+    ).select("id_a", "id_b")
 
 
 def append_splits(
@@ -173,6 +156,11 @@ def append_splits(
             F.min("cluster_id").alias("anchor_cluster"),
             F.min_by("split", "cluster_id").alias("anchor_split"),
             F.count_distinct("cluster_id").alias("n_anchor_clusters"),
+            # transitive quarantine: linking through a doc that was
+            # itself flagged bridged inherits the flag — otherwise a
+            # later append could attach new docs to a known train/val
+            # leakage bridge with bridged=false
+            F.max(F.col("bridged")).alias("anchor_bridged"),
         )
     )
 
@@ -189,7 +177,10 @@ def append_splits(
             F.col(id_col).alias("doc_id"),
             g.alias("cluster_id"),
             F.coalesce("anchor_split", _split_of(g)).alias("split"),
-            (F.coalesce("n_anchor_clusters", F.lit(0)) >= 2).alias("bridged"),
+            (
+                (F.coalesce("n_anchor_clusters", F.lit(0)) >= 2)
+                | F.coalesce("anchor_bridged", F.lit(False))
+            ).alias("bridged"),
         )
     )
     return prev_cols.unionByName(new_rows)

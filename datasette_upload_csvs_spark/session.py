@@ -78,6 +78,21 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{cpus}]"
     )
+    # In local mode the driver JVM IS the cluster; the 1g default
+    # heap starves 32 executor threads (GCLocker retry warnings,
+    # broadcast-build OOMs on the dedup pipelines). Size it for the
+    # machine — PySpark passes builder confs to spark-submit before
+    # the JVM launches, so this takes effect in client mode.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+    )
+    # JVM unified logging defaults to STDOUT; under memory pressure a
+    # GC warning ("Retried waiting for GCLocker...") interleaves with
+    # bench.py's single machine-readable JSON line and corrupts it.
+    # Route all JVM log output to stderr instead.
+    builder = builder.config(
+        "spark.driver.extraJavaOptions", "-Xlog:all=warning:stderr"
+    )
     for k, v in ENGINE_CONFS.items():
         builder = builder.config(k, v)
     builder = builder.config(

@@ -273,6 +273,14 @@ async def _spool_multipart_inner(
                 size += cut
             buf = buf[cut:]
             if name:
+                # a repeated field name (crafted client, retry-mangled
+                # body) would orphan the earlier spool file: the dict
+                # overwrite drops the only reference the success-path
+                # cleanup walks, so unlink the loser now
+                old = fields.get(name)
+                if old and old.get("path"):
+                    os.unlink(old["path"])
+                    spooled.remove(old["path"])
                 fields[name] = {
                     "value": None, "filename": filename,
                     "path": path, "size": size,

@@ -267,3 +267,60 @@ def test_anchor_block_recall_and_plan_shape(spark, sf_dir):
     # BNLJ appears only for corpus × broadcast-anchors scoring —
     # O(n·k) — once per self-join side (the subplan is not reused)
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_exact_floor_recovers_band_missed_pairs(spark):
+    """The deterministic candidate floor (exact_floor_max_df): with
+    bands=1 × rows=128, LSH candidate probability for a j≈0.75 pair
+    is 0.75^128 ≈ 1e-16 — the banded path alone deterministically
+    misses it (fixed hash family, fixed data). The rare-shingle
+    floor must still surface the pair, because the two docs share
+    rare content shingles. This is the structural guarantee the
+    exact-oracle cluster queries rely on: a miss needs a band miss
+    AND all-hot shared shingles, simultaneously."""
+    base = " ".join(f"t{i}" for i in range(60))
+    rows = [
+        (1, base + " aa ab"),
+        (2, base + " ba bb"),
+    ] + [(i, " ".join(f"u{i}v{j}" for j in range(12))) for i in range(10, 30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    lsh_only = dedup.minhash_near_dup_pairs(
+        docs, threshold=0.7, num_perm=128, bands=1
+    )
+    spark.catalog.clearCache()
+    floored = dedup.minhash_near_dup_pairs(
+        docs, threshold=0.7, num_perm=128, bands=1, exact_floor_max_df=5
+    )
+    assert lsh_only.count() == 0  # the crippled bands miss the pair
+    got = {(r["id_a"], r["id_b"]) for r in floored.collect()}
+    assert (1, 2) in got
+    spark.catalog.clearCache()
+
+
+def test_restrict_to_ids_matches_full_edges_filtered(spark):
+    """ngram_jaccard_pairs(restrict_to_ids=...) must equal the full
+    capped pair set filtered to pairs with ≥1 listed endpoint."""
+    base = " ".join(f"c{i}" for i in range(40))
+    rows = [
+        (1, base + " xa"),
+        (2, base + " xb"),
+        (3, base + " xc"),
+    ] + [(i, " ".join(f"d{i}e{j}" for j in range(12))) for i in range(10, 20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = dedup.ngram_jaccard_pairs(docs, threshold=0.7, max_df=20)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] in (2, 3) or r["id_b"] in (2, 3)
+    }
+    spark.catalog.clearCache()
+    sub = dedup.ngram_jaccard_pairs(
+        docs,
+        threshold=0.7,
+        max_df=20,
+        restrict_to_ids=spark.createDataFrame([(2,), (3,)], "doc_id long"),
+    )
+    got = {(r["id_a"], r["id_b"]) for r in sub.collect()}
+    assert got == want and want  # non-empty and identical
+    spark.catalog.clearCache()

@@ -127,3 +127,52 @@ def test_append_is_idempotent_and_batch_linear(spark):
     )
     out = splits.append_splits(prev, docs1.unionByName(b2))
     assert out.count() == prev.count() + 1
+
+
+def test_bridged_flag_propagates_across_appends(spark):
+    """Transitive quarantine: append 1 creates a bridge doc X across
+    old clusters 1 (train) and 6 (val) → bridged=true. Append 2 adds
+    doc Y near X ONLY — one anchor cluster, but that anchor path runs
+    through a known leakage bridge, so Y must inherit bridged=true
+    (a hygiene pipeline that quarantines bridged rows must not
+    re-admit the leak through one extra hop)."""
+    docs1, P, Q, R = _corpus(spark)
+    prev = splits.assign_splits(docs1)
+
+    bridge_text = f"{P} {Q} {R}"  # near both 1 and 6
+    docs2 = docs1.unionByName(
+        spark.createDataFrame(
+            [(100, bridge_text)], "doc_id long, text string"
+        )
+    )
+    out2 = splits.append_splits(prev, docs2)
+    o2 = {r["doc_id"]: r for r in out2.collect()}
+    assert o2[100]["bridged"] is True
+
+    # Y near the bridge doc X ONLY: 15 extra tokens dilute Y below
+    # the 0.7 threshold against docs 1 and 6 individually (~0.60)
+    # while staying ≥ 0.7 against X (~0.76) — one anchor cluster, so
+    # without transitive propagation Y would be bridged=false
+    extra = " ".join(f"y{i}" for i in range(15))
+    docs3 = docs2.unionByName(
+        spark.createDataFrame(
+            [(110, f"{bridge_text} {extra}")], "doc_id long, text string"
+        )
+    )
+    edges = splits._incremental_edges(
+        docs3,
+        docs3.filter(F.col("doc_id") == 110).select("doc_id"),
+        "text",
+        "doc_id",
+        threshold=0.7,
+        max_df=20,
+    ).collect()
+    partners = {e["id_a"] for e in edges} | {e["id_b"] for e in edges}
+    assert partners == {100, 110}, partners  # Y touches X and nothing else
+
+    out3 = splits.append_splits(out2, docs3)
+    o3 = {r["doc_id"]: r for r in out3.collect()}
+    # old rows byte-identical
+    assert o3[100]["bridged"] is True
+    # the new doc inherits the quarantine flag transitively
+    assert o3[110]["bridged"] is True

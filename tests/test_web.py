@@ -486,3 +486,52 @@ def test_two_uploads_in_flight_concurrently(app, spark):
         assert res.error is None
         assert spark.table(res.table).count() == 1
         spark.sql(f"DROP TABLE IF EXISTS {res.table}")
+
+
+def test_duplicate_field_name_does_not_orphan_spool(app):
+    """Two file parts sharing one field name (crafted client or
+    retry-mangled body): the dict overwrite would otherwise drop the
+    only reference to the first spool file — the parser must unlink
+    the loser so repeated requests can't fill the upload dir."""
+    import asyncio as _a
+    import os
+
+    from datasette_upload_csvs_spark.web import spool_multipart
+
+    part = (
+        f"--{BOUNDARY}\r\n"
+        'Content-Disposition: form-data; name="csv"; filename="a.csv"'
+        "\r\n\r\n"
+    ).encode()
+    body = (
+        part + b"h\n1\n\r\n"
+        + part + b"h\n2\n\r\n"
+        + f"--{BOUNDARY}--\r\n".encode()
+    )
+    state = {"sent": False}
+
+    async def receive():
+        first = not state["sent"]
+        state["sent"] = True
+        return {
+            "type": "http.request",
+            "body": body if first else b"",
+            "more_body": False,
+        }
+
+    fields = _a.run(
+        spool_multipart(
+            f"multipart/form-data; boundary={BOUNDARY}", receive,
+            str(app.upload_dir),
+        )
+    )
+    spooled = [
+        p for p in os.listdir(app.upload_dir) if p.startswith("upload_")
+    ]
+    # exactly one file remains — the winning (last) part — and it is
+    # the one the fields dict references
+    assert len(spooled) == 1
+    assert os.path.basename(fields["csv"]["path"]) == spooled[0]
+    with open(fields["csv"]["path"], "rb") as f:
+        assert f.read() == b"h\n2\n"
+    os.unlink(fields["csv"]["path"])
