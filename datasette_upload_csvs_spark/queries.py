@@ -62,10 +62,11 @@ def q(name: str, oracle: str | None = None):
 # changed AFTER its last driver check must NOT appear here — it goes
 # in _DRIVER_PRIORITY so the independent check re-runs on the new
 # code. Round-5 priority = every query that changed or appeared this
-# round (18 names), then the names never yet included in a driver
-# sample (r1∪r2∪r3∪r4 = 139 of 200 checked). Eleven low-risk,
-# long-unchanged names overflow the 50-name prefix and defer to the
-# round-6 sample.
+# round (20 names, incl. dedup_minhash_lsh / dedup_rate_by_source
+# moved back out of the checked set when the exact-floor landed),
+# then the names never yet included in a driver sample. Thirteen
+# low-risk, long-unchanged names overflow the 50-name prefix and
+# defer to the round-6 sample.
 _DRIVER_PRIORITY = [
     # Round-5 changed/new queries first, then the never-sampled
     # names = the 50-name sample. Eighteen queries changed or
@@ -96,6 +97,7 @@ _DRIVER_PRIORITY = [
     "dedup_exact_substr_spans",
     "decontaminate_exact_ngram",
     "dedup_containment", "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh", "dedup_rate_by_source",
     "export_balanced_shards",
     "curation_repetition_stats", "curation_mixture_rebalance",
     "dedup_graph_triangles",
@@ -135,8 +137,8 @@ _DRIVER_CHECKED = frozenset({
     "curation_shuffle_order",
     "curation_strip_boilerplate", "date_format_funcs", "date_funcs",
     "dedup_embedding_cosine", "dedup_exact_ranks",
-    "dedup_minhash_lsh", "dedup_ngram_coverage",
-    "dedup_ngram_jaccard", "dedup_rate_by_source", "dedup_simhash", "disjunctive_filter_join",
+    "dedup_ngram_coverage",
+    "dedup_ngram_jaccard", "dedup_simhash", "disjunctive_filter_join",
     "distinct_status_priority", "doc_keywords",
     "embedding_centroid_distance", "events_anomaly_mad_daily",
     "events_funnel", "events_resample_gapfill", "events_session_window",
