@@ -201,9 +201,18 @@ def ngram_jaccard_pairs(
 
     `restrict_to_ids` (capped branch only) keeps only candidate
     pairs with ≥1 endpoint in the given single-column id frame —
-    the incremental-append contract (operators/splits.py): per-batch
-    edge work scales with the batch, not the corpus. The id set is
-    batch-sized, so it reaches both endpoint checks as a broadcast.
+    the incremental-append contract (operators/splits.py). The
+    restriction lands BEFORE pair expansion: the posting lists are
+    semi-joined to the batch docs' own shingles (broadcast — the id
+    set and its shingle set are batch-sized), so the Σ C(df,2)
+    expansion and the pair-count aggregate scale with the BATCH, not
+    the corpus. Only the df count-window still reads the full
+    corpus postings once (counts over (id, hash) longs — at 100 TB
+    that index would be a maintained managed table, see
+    operators/splits.py). Output-invariant versus filtering after
+    expansion: every shingle shared by a kept pair contains the
+    pair's new endpoint, so restricted candidate generation sees
+    exactly the same shared-shingle evidence for kept pairs.
     """
     if restrict_to_ids is not None and max_df is None:
         raise ValueError("restrict_to_ids requires max_df (capped branch)")
@@ -241,6 +250,31 @@ def ngram_jaccard_pairs(
         grouped = rare.groupBy("shingle").agg(
             F.collect_list(F.col(id_col)).alias("ds")
         )
+        rid = None
+        if restrict_to_ids is not None:
+            rid = restrict_to_ids.select(
+                F.col(restrict_to_ids.columns[0]).alias("_rid")
+            )
+            # Restrict BEFORE pair expansion: every shingle shared by
+            # an output pair contains that pair's new endpoint, so
+            # keeping only batch-touching shingles preserves the
+            # candidate set AND the per-pair c_rare for every pair
+            # with ≥1 new endpoint — while the expansion (the
+            # Σ C(df,2) term) shrinks from corpus-scale to
+            # O(batch shingles × C(max_df,2)). Old-old pairs sharing
+            # a batch-touching shingle still appear and are dropped
+            # by the endpoint filter below. The prune bound stays an
+            # upper bound: n_rare undercounts on the restricted
+            # index, so n_hot (and the bound) only grow.
+            batch_sh = (
+                sets.join(
+                    F.broadcast(rid.withColumnRenamed("_rid", id_col)),
+                    id_col,
+                )
+                .select(F.explode("sh").alias("shingle"))
+                .distinct()
+            )
+            grouped = grouped.join(F.broadcast(batch_sh), "shingle", "left_semi")
         if prune_ub is not None:
             grouped = grouped.persist()
         cand = (
@@ -249,9 +283,6 @@ def ngram_jaccard_pairs(
             .agg(F.count("*").alias("c_rare"))
         )
         if restrict_to_ids is not None:
-            rid = restrict_to_ids.select(
-                F.col(restrict_to_ids.columns[0]).alias("_rid")
-            )
             ra = rid.select(
                 F.col("_rid").alias("id_a"), F.lit(True).alias("_a_new")
             )

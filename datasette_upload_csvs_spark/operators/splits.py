@@ -19,8 +19,12 @@ This module adds the incremental contract a growing corpus needs:
 Append semantics (deterministic, engine-portable):
 
 - Candidate generation touches only pairs with ≥1 NEW endpoint: the
-  new docs' rare shingles are joined against the full corpus index,
-  so per-batch work is O(batch × bucket), never O(corpus²). The
+  corpus posting lists are semi-joined to the batch docs' shingles
+  BEFORE pair expansion (dedup.ngram_jaccard_pairs restrict_to_ids),
+  so expansion + pair aggregation are O(batch × bucket), never
+  O(corpus²); only the document-frequency count still scans the
+  corpus postings once (counts over hash longs — the part a 100 TB
+  deployment replaces with the maintained index below). The
   document-frequency cap (``max_df``) is computed over the full
   corpus, same frequent-item cut + exact-Jaccard verify as
   dedup.ngram_jaccard_pairs.

@@ -8847,7 +8847,10 @@ def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline feeds to the actual text surgery.
 
     Spark-shaped suffix-array substitute: hash every k-token window
-    (one md5 per position, map-side), count window-hash occurrences
+    (multi-arg xxhash64 straight from the 16 token slots — the
+    _shingle_hashes convention; the window STRING is never
+    materialized and the hash never crosses engines, the oracle only
+    has to agree on window EQUALITY), count window-hash occurrences
     (ONE corpus shuffle with map-side partial aggregation), semi-join
     the ≥2 hashes back (1 row per key on the build side — a hot
     boilerplate window skews nothing, AQE splits the probe), then
@@ -8869,7 +8872,9 @@ def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 idx,
                 lambda i: F.struct(
                     i.cast("bigint").alias("i"),
-                    F.md5(F.array_join(F.slice(t, i, 16), " ")).alias("h"),
+                    F.xxhash64(
+                        *[F.get(t, i + j - 1) for j in range(16)]
+                    ).alias("h"),
                 ),
             )
         ).alias("w"),

@@ -58,6 +58,16 @@ ENGINE_CONFS: dict[str, str] = {
 }
 
 
+def _host_ram_gib(default: int = 64) -> int:
+    """Physical RAM in GiB via sysconf; `default` when unknowable."""
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES")
+        page = os.sysconf("SC_PAGE_SIZE")
+        return max(1, (pages * page) >> 30)
+    except (ValueError, OSError, AttributeError):
+        return default
+
+
 def get_spark(
     app_name: str = "datasette-upload-csvs-spark",
     master: str | None = None,
@@ -75,17 +85,21 @@ def get_spark(
         return active
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    builder = SparkSession.builder.appName(app_name).master(
-        master or f"local[{cpus}]"
-    )
+    resolved_master = master or f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(resolved_master)
     # In local mode the driver JVM IS the cluster; the 1g default
     # heap starves 32 executor threads (GCLocker retry warnings,
-    # broadcast-build OOMs on the dedup pipelines). Size it for the
-    # machine — PySpark passes builder confs to spark-submit before
-    # the JVM launches, so this takes effect in client mode.
-    builder = builder.config(
-        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
-    )
+    # broadcast-build OOMs on the dedup pipelines). Size it from the
+    # host RAM (half of physical, capped at 32g) so a small CI box
+    # isn't pushed into swap; a real cluster master keeps
+    # spark-submit's own sizing. PySpark passes builder confs to
+    # spark-submit before the JVM launches, so this takes effect in
+    # client mode.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if driver_mem is None and resolved_master.startswith("local"):
+        driver_mem = f"{max(1, min(32, _host_ram_gib() // 2))}g"
+    if driver_mem:
+        builder = builder.config("spark.driver.memory", driver_mem)
     # JVM unified logging defaults to STDOUT; under memory pressure a
     # GC warning ("Retried waiting for GCLocker...") interleaves with
     # bench.py's single machine-readable JSON line and corrupts it.

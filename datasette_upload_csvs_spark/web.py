@@ -104,7 +104,11 @@ FORM_HTML = """<!DOCTYPE html>
           if (info.bytes_todo) {{
             bar.value = (100 * row.bytes_done) / info.bytes_todo;
           }}
-          if (row.completed || row.bytes_done >= info.bytes_todo) {{
+          /* bytes_todo can be 0 (empty upload): the byte comparison
+             alone would fire on the first poll while ingest is still
+             running, so it only counts for non-empty uploads */
+          if (row.completed ||
+              (info.bytes_todo > 0 && row.bytes_done >= info.bytes_todo)) {{
             clearInterval(timer);
             bar.value = 100;
             window.location = info.url;
@@ -199,6 +203,23 @@ async def _spool_multipart_inner(
 ) -> dict[str, dict]:
     fields: dict[str, dict] = {}
     spooled: list[str] = []  # every temp path created so far
+    try:
+        return await _spool_multipart_loop(
+            delim, receive, upload_dir, max_field_bytes, fields, spooled
+        )
+    except _SpoolError:
+        raise
+    except OSError as ex:
+        # ENOSPC mid-write, mkstemp failure after earlier parts
+        # spooled, … — same cleanup obligation as a parse error
+        raise _SpoolError(
+            f"I/O error while spooling upload: {ex}", spooled
+        ) from None
+
+
+async def _spool_multipart_loop(
+    delim, receive, upload_dir, max_field_bytes, fields, spooled
+) -> dict[str, dict]:
 
     buf = b""
     done = False
@@ -299,29 +320,17 @@ async def _spool_multipart_inner(
                 fail("non-file part exceeds max_field_bytes")
             value, buf = buf[:cut], buf[cut:]
             if name:
+                # same repeated-name hazard as the file branch: if an
+                # earlier FILE part used this name, the dict overwrite
+                # would drop the only reference to its spool file
+                old = fields.get(name)
+                if old and old.get("path"):
+                    os.unlink(old["path"])
+                    spooled.remove(old["path"])
                 fields[name] = {
                     "value": value, "filename": None,
                     "path": None, "size": len(value),
                 }
-
-
-def parse_multipart(content_type: str, body: bytes) -> dict[str, dict]:
-    """Parse a multipart/form-data body into
-    {field_name: {"value": bytes, "filename": str|None}} using the
-    stdlib email parser (the reference delegates this to Starlette;
-    the wire format is the same RFC 7578)."""
-    head = f"Content-Type: {content_type}\r\n\r\n".encode()
-    msg = BytesParser(policy=HTTP).parsebytes(head + body)
-    fields: dict[str, dict] = {}
-    for part in msg.iter_parts():
-        name = part.get_param("name", header="content-disposition")
-        if not name:
-            continue
-        fields[name] = {
-            "value": part.get_payload(decode=True) or b"",
-            "filename": part.get_filename(),
-        }
-    return fields
 
 
 class UploadApp:

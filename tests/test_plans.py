@@ -207,6 +207,29 @@ def test_capped_jaccard_single_shingle_shuffle(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_restricted_jaccard_semijoins_before_expansion(spark, sf_dir):
+    """The incremental-append path (restrict_to_ids) must cut the
+    posting lists to batch-touching shingles BEFORE pair expansion —
+    a broadcast LeftSemi on the shingle hash — so the Σ C(df,2)
+    expansion scales with the batch, not the corpus."""
+    from datasette_upload_csvs_spark.operators import dedup
+    from datasette_upload_csvs_spark.sources.parquet import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    batch = docs.select("doc_id").limit(2)
+    df = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.3, max_df=20, restrict_to_ids=batch
+    )
+    txt = plans.executed_plan(df)
+    semi = [
+        ln for ln in txt.splitlines()
+        if "LeftSemi" in ln and "shingle" in ln
+    ]
+    assert semi, txt  # the batch-shingle cut exists and keys on shingle
+    assert all("BroadcastHashJoin" in ln for ln in semi), txt
+    spark.catalog.clearCache()
+
+
 def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
     """The benchmark gram set (tiny at any corpus scale) must reach
     the train side as a broadcast — the corpus-sized gram relation

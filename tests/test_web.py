@@ -11,7 +11,7 @@ import json
 import pytest
 
 from datasette_upload_csvs_spark import ingest
-from datasette_upload_csvs_spark.web import UploadApp, parse_multipart
+from datasette_upload_csvs_spark.web import UploadApp, spool_multipart
 
 BOUNDARY = "xYzZY123"
 
@@ -423,13 +423,90 @@ def test_missing_csv_field_is_400(app):
     assert status == 400
 
 
-def test_multipart_parser_preserves_binary():
+def _spool(app, body, **kw):
+    state = {"sent": False}
+
+    async def receive():
+        first = not state["sent"]
+        state["sent"] = True
+        return {
+            "type": "http.request",
+            "body": body if first else b"",
+            "more_body": False,
+        }
+
+    return asyncio.run(
+        spool_multipart(
+            f"multipart/form-data; boundary={BOUNDARY}", receive,
+            str(app.upload_dir), **kw,
+        )
+    )
+
+
+def test_multipart_parser_preserves_binary(app):
     raw = bytes(range(256))
     body = multipart_body({"csv": ("b.csv", raw), "k": (None, b"v")})
-    fields = parse_multipart(f"multipart/form-data; boundary={BOUNDARY}", body)
-    assert fields["csv"]["value"] == raw
+    fields = _spool(app, body)
+    with open(fields["csv"]["path"], "rb") as f:
+        assert f.read() == raw
     assert fields["csv"]["filename"] == "b.csv"
     assert fields["k"]["value"] == b"v"
+    import os
+
+    os.unlink(fields["csv"]["path"])
+
+
+def test_duplicate_name_nonfile_part_unlinks_spooled_file(app):
+    """A file part shadowed by a later same-named NON-file part must
+    unlink the orphaned spool file, exactly like the file-over-file
+    case — otherwise every such crafted request leaks a temp file."""
+    import os
+
+    body = multipart_body({"csv": ("a.csv", b"spooled-bytes")})
+    # append a second part reusing the name, without a filename
+    tail = f"--{BOUNDARY}--\r\n".encode()
+    extra = (
+        f"--{BOUNDARY}\r\n".encode()
+        + b'Content-Disposition: form-data; name="csv"\r\n\r\nplain\r\n'
+    )
+    body = body[: -len(tail)] + extra + tail
+    fields = _spool(app, body)
+    assert fields["csv"]["value"] == b"plain"
+    assert fields["csv"]["path"] is None
+    leftovers = [
+        p for p in os.listdir(app.upload_dir) if p.startswith("upload_")
+    ]
+    assert not leftovers
+
+
+def test_spool_cleans_up_on_io_error(app, monkeypatch):
+    """An OSError mid-spool (ENOSPC, mkstemp failure after earlier
+    parts landed) must delete every spooled file and surface as the
+    same ValueError contract as a parse error."""
+    import os
+    import tempfile as _tf
+
+    from datasette_upload_csvs_spark import web as _web
+
+    real_mkstemp = _tf.mkstemp
+    calls = {"n": 0}
+
+    def flaky_mkstemp(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise OSError(28, "No space left on device")
+        return real_mkstemp(*a, **kw)
+
+    monkeypatch.setattr(_web.tempfile, "mkstemp", flaky_mkstemp)
+    body = multipart_body(
+        {"a": ("a.csv", b"first-part"), "b": ("b.csv", b"second-part")}
+    )
+    with pytest.raises(ValueError, match="I/O error"):
+        _spool(app, body)
+    leftovers = [
+        p for p in os.listdir(app.upload_dir) if p.startswith("upload_")
+    ]
+    assert not leftovers
 
 
 def test_upload_error_surfaces_through_poll(app, spark):
