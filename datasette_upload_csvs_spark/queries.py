@@ -62,17 +62,17 @@ def q(name: str, oracle: str | None = None):
 # changed AFTER its last driver check must NOT appear here — it goes
 # in _DRIVER_PRIORITY so the independent check re-runs on the new
 # code. Round-5 priority = every query that changed or appeared this
-# round (20 names, incl. dedup_minhash_lsh / dedup_rate_by_source
+# round (23 names, incl. dedup_minhash_lsh / dedup_rate_by_source
 # moved back out of the checked set when the exact-floor landed),
-# then the names never yet included in a driver sample. Thirteen
+# then the names never yet included in a driver sample. Sixteen
 # low-risk, long-unchanged names overflow the 50-name prefix and
 # defer to the round-6 sample.
 _DRIVER_PRIORITY = [
     # Round-5 changed/new queries first, then the never-sampled
-    # names = the 50-name sample. Eighteen queries changed or
+    # names = the 50-name sample. Twenty-three queries changed or
     # appeared this round; every one of them sits in the 50-name
     # prefix, so the independent check covers ALL round-5 code. That
-    # pushes eleven of the never-yet-sampled names to positions 51+
+    # pushes sixteen of the never-yet-sampled names to positions 51+
     # for the round-6 sample — all are low-risk Catalyst-only
     # queries unchanged since round ≤4 that pass the identical local
     # DuckDB hash gate at sf0.001 AND sf0.01
@@ -82,7 +82,9 @@ _DRIVER_PRIORITY = [
     #   dsir_resample_topk, ccnet_perplexity_buckets,
     #   quality_classifier_score, dedup_exact_substr_spans,
     #   decontaminate_exact_ngram, dedup_keep_best,
-    #   split_incremental_stable, group_by_all_sql.
+    #   split_incremental_stable, group_by_all_sql,
+    #   gopher_quality_filters, source_temperature_mix,
+    #   dedup_cross_source_matrix.
     # Round-5 changed impl (oracle mirrored): dedup_groups,
     #   split_cluster_safe (edge source → minhash bands),
     #   dedup_containment / dedup_ngram_jaccard_capped (capped branch
@@ -92,6 +94,8 @@ _DRIVER_PRIORITY = [
     #   (window min replaced persisted crossJoin),
     #   dedup_graph_triangles (unpersist-only).
     "dedup_groups", "split_cluster_safe",
+    "gopher_quality_filters", "source_temperature_mix",
+    "dedup_cross_source_matrix",
     "semdedup_prune", "dsir_importance_weights", "dsir_resample_topk",
     "ccnet_perplexity_buckets", "quality_classifier_score",
     "dedup_exact_substr_spans",
@@ -8896,6 +8900,206 @@ def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("i").alias("span_start"),
         (F.max("i") + 16 - F.min("i")).alias("span_len"),
     ).select("doc_id", "span_start", "span_len")
+
+
+@q(
+    "gopher_quality_filters",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS w
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             1.0 * list_sum(list_transform(w, x -> length(x)))
+               / greatest(len(w), 1) AS mwl,
+             1.0 * len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+               / greatest(len(w), 1) AS fa,
+             len(list_filter(w, x -> list_contains([{_STOP_SQL}], x)))
+               AS n_stop_hits
+      FROM t
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           round(mwl, 6) AS mean_word_len,
+           round(fa, 6) AS frac_alpha_words,
+           CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+           (n_words BETWEEN 20 AND 100000
+            AND mwl BETWEEN 3 AND 10
+            AND fa >= 0.8
+            AND n_stop_hits >= 2) AS keep
+    FROM m
+    """,
+)
+def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. '21 §A1.1, the
+    non-repetition half — curation_repetition_stats is the other):
+    word-count bounds, mean-word-length band 3-10, ≥80 % of words
+    containing an alphabetic character, and ≥2 stop-word hits (their
+    8-word required list; ours is functions.text.STOPWORDS). Bounds
+    adapted to the short synthetic docs (min 20 words vs the paper's
+    50); the structure — per-doc signals + conjunctive keep verdict —
+    is the published recipe. Symbol-ratio and bullet/ellipsis line
+    rules are omitted: the synthetic corpus has no symbols or line
+    structure to fire them.
+
+    Scale shape: pure map-side codegen over the token array — no
+    explode, no shuffle, no Python. At 100 TB this is the cheapest
+    filter in the pipeline and runs fused with the parquet scan."""
+    d = load(spark, sf_dir, "documents")
+    w = _text_tokens(F.col("text"))
+    n = F.size(w)
+    nz = F.greatest(n, F.lit(1)).cast("double")
+    mwl = (
+        F.aggregate(
+            w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / nz
+    )
+    fa = (
+        F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]"))).cast("double")
+        / nz
+    )
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    keep = (
+        n.between(20, 100000)
+        & mwl.between(3.0, 10.0)
+        & (fa >= 0.8)
+        & (n_stop >= 2)
+    )
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(fa, 6).alias("frac_alpha_words"),
+        n_stop.cast("bigint").alias("n_stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+@q(
+    "source_temperature_mix",
+    f"""
+    WITH t AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(list_filter(string_split_regex(text,
+                      '{SPLIT_RE}'), x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), g AS (SELECT SUM(n_tokens) AS tot FROM t),
+    p AS (
+      SELECT source, n_docs, n_tokens,
+             1.0 * n_tokens / tot AS p_raw,
+             pow(1.0 * n_tokens / tot, 0.3) AS q_un
+      FROM t, g
+    )
+    SELECT source, n_docs, n_tokens,
+           round(p_raw, 6) AS p_raw,
+           round(q_un / SUM(q_un) OVER (), 6) AS p_temp,
+           round((q_un / SUM(q_un) OVER ()) / p_raw, 6) AS sample_weight
+    FROM p
+    """,
+)
+def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the mT5/XLM-R multinomial
+    recipe: sample source i with p_i ∝ (n_i/N)^α, α = 0.3) — the
+    standard counter to head-source dominance in multilingual /
+    multi-source pretraining. Emits per source the raw token share,
+    the temperature-flattened share, and the per-doc resampling
+    weight (p_temp/p_raw) a weighted sampler consumes
+    (sample_weighted_orders is the sampling mechanism twin).
+
+    Scale shape: one partial-aggregated groupBy on source (source
+    cardinality is tiny), then the normalization constant rides a
+    single-row broadcast — the corpus is read once, map-side."""
+    d = load(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_text_tokens(F.col("text"))))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    tot = Window.partitionBy()
+    p_raw = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(tot)
+    q_un = F.pow(p_raw, F.lit(0.3))
+    p = t.select("source", "n_docs", "n_tokens", p_raw.alias("p_raw"),
+                 q_un.alias("q_un"))
+    p_temp = F.col("q_un") / F.sum("q_un").over(tot)
+    return p.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("p_raw", 6).alias("p_raw"),
+        F.round(p_temp, 6).alias("p_temp"),
+        F.round(p_temp / F.col("p_raw"), 6).alias("sample_weight"),
+    )
+
+
+@q(
+    "dedup_cross_source_matrix",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT id_a, id_b
+      FROM pairs JOIN sizes sa ON id_a = sa.doc_id
+                 JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM edges JOIN documents da ON id_a = da.doc_id
+               JOIN documents db ON id_b = db.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix: verified near-dup pairs
+    cross-tabbed by unordered source pair. The audit that catches one
+    source republishing another (mirror sites, scraped aggregators) —
+    within-source redundancy (the diagonal) is mixture waste, but
+    OFF-diagonal mass means source-level dedup priorities and
+    possible train/eval contamination between supposedly independent
+    sources. dedup_rate_by_source gives the per-source marginal; this
+    is the joint table.
+
+    Scale shape: edges come from the sub-quadratic MinHash pipeline
+    (banded candidates + exact-Jaccard verify, recall-floored — the
+    same pair set the recursive oracle closes over); the pair→source
+    decoration is two joins keyed on doc_id against the (doc_id,
+    source) projection, then a tiny (|sources|²) aggregate."""
+    d = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_dup_pairs(
+        d, threshold=0.7, exact_floor_max_df=_FLOOR_MAX_DF
+    ).select("id_a", "id_b")
+    src = d.select("doc_id", "source")
+    sa = src.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+        "source", "sa"
+    )
+    sb = src.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+        "source", "sb"
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
 
 
 # ====================================================================

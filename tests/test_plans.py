@@ -230,6 +230,18 @@ def test_restricted_jaccard_semijoins_before_expansion(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_gopher_filters_are_map_only(spark, sf_dir):
+    """The Gopher doc-quality ruleset must cost zero exchanges — all
+    signals derive from the doc's own token array, fused with the
+    scan. At 100 TB this filter is free relative to the read."""
+    df = Q.gopher_quality_filters(spark, sf_dir)
+    txt = plans.executed_plan(df)
+    assert not [
+        ln for ln in txt.splitlines()
+        if "Exchange" in ln and "Reused" not in ln
+    ], txt
+
+
 def test_decontaminate_broadcasts_benchmark_grams(spark, sf_dir):
     """The benchmark gram set (tiny at any corpus scale) must reach
     the train side as a broadcast — the corpus-sized gram relation
