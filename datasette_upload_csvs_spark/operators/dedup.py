@@ -252,9 +252,15 @@ def ngram_jaccard_pairs(
         )
         rid = None
         if restrict_to_ids is not None:
+            # persisted: three broadcast plans consume it (batch_sh
+            # below, ra/rb endpoint flags) — independent re-evaluation
+            # of a nondeterministic id frame (a limit(), a sample)
+            # could otherwise cut shingles for one id set while
+            # endpoint-flagging another, silently dropping pairs.
+            # Same caching contract as `sets` (caller clearCache()s).
             rid = restrict_to_ids.select(
                 F.col(restrict_to_ids.columns[0]).alias("_rid")
-            )
+            ).persist()
             # Restrict BEFORE pair expansion: every shingle shared by
             # an output pair contains that pair's new endpoint, so
             # keeping only batch-touching shingles preserves the

@@ -1909,9 +1909,11 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # alone already contains every exact pair (planted dup clusters are
 # small, shared shingles df ≤ 3); LSH alone would carry a ~1.5e-4
 # per-borderline-pair recall gap against this exact oracle.
-_CLUSTER_CTES = """
-    WITH RECURSIVE toks AS (
-      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+# exact 3-gram Jaccard ≥ 0.7 edge set — the shared oracle spec every
+# cluster-/pair-consuming twin builds on (the Spark side is the
+# verified MinHash pipeline; pair-set equality is what the gate pins)
+_EDGE_CTES_BODY = f"""toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
                                  x -> x <> '') AS t
       FROM documents
     ), sh AS (
@@ -1928,7 +1930,10 @@ _CLUSTER_CTES = """
       FROM pr JOIN sizes sa ON id_a = sa.doc_id
               JOIN sizes sb ON id_b = sb.doc_id
       WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
-    ), edges AS (
+    )"""
+
+_CLUSTER_CTES = """
+    WITH RECURSIVE """ + _EDGE_CTES_BODY + """, edges AS (
       SELECT id_a AS v, id_b AS n FROM good
       UNION
       SELECT id_b AS v, id_a AS n FROM good
@@ -7986,27 +7991,9 @@ def events_anomaly_mad_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "dedup_rate_by_source",
     """
-    WITH toks AS (
-      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
-                                 x -> x <> '') AS t
-      FROM documents
-    ), sh AS (
-      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-    ), pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), edges AS (
-      SELECT id_a, id_b
-      FROM pairs JOIN sizes sa ON id_a = sa.doc_id
-                 JOIN sizes sb ON id_b = sb.doc_id
-      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
-    ), dup_docs AS (
+    WITH """ + _EDGE_CTES_BODY + """, dup_docs AS (
       SELECT DISTINCT v FROM
-        (SELECT id_a AS v FROM edges UNION ALL SELECT id_b FROM edges)
+        (SELECT id_a AS v FROM good UNION ALL SELECT id_b FROM good)
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -8912,7 +8899,10 @@ def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
       SELECT doc_id,
              len(w) AS n_words,
-             1.0 * list_sum(list_transform(w, x -> length(x)))
+             -- coalesce: list_sum([]) is NULL in DuckDB, but the
+             -- Spark fold's identity is 0 — zero-word docs must
+             -- agree (mwl 0.0, keep=false) in both engines
+             1.0 * coalesce(list_sum(list_transform(w, x -> length(x))), 0)
                / greatest(len(w), 1) AS mwl,
              1.0 * len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
                / greatest(len(w), 1) AS fa,
@@ -8990,28 +8980,38 @@ def gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (
       SELECT source, n_docs, n_tokens,
              1.0 * n_tokens / tot AS p_raw,
-             pow(1.0 * n_tokens / tot, 0.3) AS q_un
+             sqrt(1.0 * n_tokens / tot) AS q_un
       FROM t, g
+    ), s AS (
+      SELECT *, CAST(SUM(CAST(q_un AS DECIMAL(28,18))) OVER ()
+                     AS DOUBLE) AS z
+      FROM p
     )
     SELECT source, n_docs, n_tokens,
            round(p_raw, 6) AS p_raw,
-           round(q_un / SUM(q_un) OVER (), 6) AS p_temp,
-           round((q_un / SUM(q_un) OVER ()) / p_raw, 6) AS sample_weight
-    FROM p
+           round(q_un / z, 6) AS p_temp,
+           round((q_un / z) / p_raw, 6) AS sample_weight
+    FROM s
     """,
 )
 def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-based source mixing (the mT5/XLM-R multinomial
-    recipe: sample source i with p_i ∝ (n_i/N)^α, α = 0.3) — the
-    standard counter to head-source dominance in multilingual /
-    multi-source pretraining. Emits per source the raw token share,
-    the temperature-flattened share, and the per-doc resampling
-    weight (p_temp/p_raw) a weighted sampler consumes
-    (sample_weighted_orders is the sampling mechanism twin).
+    """Temperature-based source mixing (the XLM/mT5 multinomial
+    recipe: sample source i with p_i ∝ (n_i/N)^α) — the standard
+    counter to head-source dominance in multilingual / multi-source
+    pretraining. α = 0.5 (Lample & Conneau '19's constant) so the
+    flattening is sqrt — correctly rounded under IEEE 754 in BOTH
+    engines, unlike pow, whose libm can differ by an ulp and flip a
+    round() boundary; the normalization sum goes through the repo's
+    DECIMAL order-independent-sum discipline (same reason _dsum
+    exists). Emits per source the raw token share, the flattened
+    share, and the per-doc resampling weight (p_temp/p_raw) a
+    weighted sampler consumes (sample_weighted_orders is the
+    sampling mechanism twin).
 
     Scale shape: one partial-aggregated groupBy on source (source
     cardinality is tiny), then the normalization constant rides a
-    single-row broadcast — the corpus is read once, map-side."""
+    single-partition window over the |sources|-row aggregate — the
+    corpus is read once, map-side."""
     d = load(spark, sf_dir, "documents")
     t = d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -9021,10 +9021,13 @@ def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = Window.partitionBy()
     p_raw = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(tot)
-    q_un = F.pow(p_raw, F.lit(0.3))
+    q_un = F.sqrt(p_raw)
     p = t.select("source", "n_docs", "n_tokens", p_raw.alias("p_raw"),
                  q_un.alias("q_un"))
-    p_temp = F.col("q_un") / F.sum("q_un").over(tot)
+    z = (
+        F.sum(F.col("q_un").cast("decimal(28,18)")).over(tot).cast("double")
+    )
+    p_temp = F.col("q_un") / z
     return p.select(
         "source",
         "n_docs",
@@ -9038,30 +9041,12 @@ def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "dedup_cross_source_matrix",
     """
-    WITH toks AS (
-      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
-                                 x -> x <> '') AS t
-      FROM documents
-    ), sh AS (
-      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-    ), pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ), edges AS (
-      SELECT id_a, id_b
-      FROM pairs JOIN sizes sa ON id_a = sa.doc_id
-                 JOIN sizes sb ON id_b = sb.doc_id
-      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
-    )
+    WITH """ + _EDGE_CTES_BODY + """
     SELECT least(da.source, db.source) AS source_a,
            greatest(da.source, db.source) AS source_b,
            CAST(COUNT(*) AS BIGINT) AS n_pairs
-    FROM edges JOIN documents da ON id_a = da.doc_id
-               JOIN documents db ON id_b = db.doc_id
+    FROM good JOIN documents da ON id_a = da.doc_id
+              JOIN documents db ON id_b = db.doc_id
     GROUP BY 1, 2
     """,
 )

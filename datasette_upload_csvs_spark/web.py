@@ -204,20 +204,31 @@ async def _spool_multipart_inner(
     fields: dict[str, dict] = {}
     spooled: list[str] = []  # every temp path created so far
     try:
-        return await _spool_multipart_loop(
+        return await _spool_parts(
             delim, receive, upload_dir, max_field_bytes, fields, spooled
         )
     except _SpoolError:
-        raise
+        raise  # spool_multipart unlinks ex.paths
     except OSError as ex:
         # ENOSPC mid-write, mkstemp failure after earlier parts
         # spooled, … — same cleanup obligation as a parse error
         raise _SpoolError(
             f"I/O error while spooling upload: {ex}", spooled
         ) from None
+    except BaseException:
+        # anything else — CancelledError on client disconnect /
+        # server shutdown, a header-parser error — must not orphan
+        # the already-spooled files either; clean up and let the
+        # original exception propagate as itself
+        for p in spooled:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        raise
 
 
-async def _spool_multipart_loop(
+async def _spool_parts(
     delim, receive, upload_dir, max_field_bytes, fields, spooled
 ) -> dict[str, dict]:
 
@@ -226,6 +237,16 @@ async def _spool_multipart_loop(
 
     def fail(msg: str):
         raise _SpoolError(msg, spooled)
+
+    def drop_shadowed(name: str):
+        # a repeated field name (crafted client, retry-mangled body)
+        # would orphan the earlier part's spool file: the dict
+        # overwrite drops the only reference the success-path
+        # cleanup walks, so unlink the loser now
+        old = fields.get(name)
+        if old and old.get("path"):
+            os.unlink(old["path"])
+            spooled.remove(old["path"])
 
     async def more() -> bool:
         nonlocal buf, done
@@ -294,14 +315,7 @@ async def _spool_multipart_loop(
                 size += cut
             buf = buf[cut:]
             if name:
-                # a repeated field name (crafted client, retry-mangled
-                # body) would orphan the earlier spool file: the dict
-                # overwrite drops the only reference the success-path
-                # cleanup walks, so unlink the loser now
-                old = fields.get(name)
-                if old and old.get("path"):
-                    os.unlink(old["path"])
-                    spooled.remove(old["path"])
+                drop_shadowed(name)
                 fields[name] = {
                     "value": None, "filename": filename,
                     "path": path, "size": size,
@@ -320,13 +334,7 @@ async def _spool_multipart_loop(
                 fail("non-file part exceeds max_field_bytes")
             value, buf = buf[:cut], buf[cut:]
             if name:
-                # same repeated-name hazard as the file branch: if an
-                # earlier FILE part used this name, the dict overwrite
-                # would drop the only reference to its spool file
-                old = fields.get(name)
-                if old and old.get("path"):
-                    os.unlink(old["path"])
-                    spooled.remove(old["path"])
+                drop_shadowed(name)
                 fields[name] = {
                     "value": value, "filename": None,
                     "path": None, "size": len(value),

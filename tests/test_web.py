@@ -479,6 +479,41 @@ def test_duplicate_name_nonfile_part_unlinks_spooled_file(app):
     assert not leftovers
 
 
+def test_spool_cleans_up_on_cancellation(app):
+    """Task cancellation mid-upload (client disconnect, server
+    shutdown) must delete already-spooled files and re-raise the
+    CancelledError itself — not swallow it into a ValueError."""
+    import os
+
+    body = multipart_body(
+        {"a": ("a.csv", b"first-part"), "b": ("b.csv", b"second-part")}
+    )
+    # cut between the two parts so part one is fully spooled
+    cut = body.index(b'name="b"')
+    state = {"sent": False}
+
+    async def receive():
+        if not state["sent"]:
+            state["sent"] = True
+            return {
+                "type": "http.request", "body": body[:cut],
+                "more_body": True,
+            }
+        raise asyncio.CancelledError()
+
+    with pytest.raises(asyncio.CancelledError):
+        asyncio.run(
+            spool_multipart(
+                f"multipart/form-data; boundary={BOUNDARY}", receive,
+                str(app.upload_dir),
+            )
+        )
+    leftovers = [
+        p for p in os.listdir(app.upload_dir) if p.startswith("upload_")
+    ]
+    assert not leftovers
+
+
 def test_spool_cleans_up_on_io_error(app, monkeypatch):
     """An OSError mid-spool (ENOSPC, mkstemp failure after earlier
     parts landed) must delete every spooled file and surface as the
