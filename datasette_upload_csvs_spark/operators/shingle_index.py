@@ -1,36 +1,57 @@
 """Maintained shingle index: the managed-table form of the capped
-near-dup candidate stage, so corpus APPENDS never rescan old text.
+near-dup candidate stage, so corpus APPENDS never re-read or
+re-shingle old text.
 
 The capped recipe (dedup.ngram_jaccard_pairs) recomputes the
 (id, shingle-hash) postings and the document-frequency window from
 the full corpus on every call — fine for one-shot jobs, wrong for a
 growing 100 TB corpus where each ingest batch is a fraction of a
-percent of the text. This module keeps that state as three
-append-only managed tables and answers "edges touching this batch"
-reading ONLY index rows selected by the batch's own shingles:
+percent of the text. This module keeps that state as managed tables,
+partitioned by ingest batch:
 
-- ``<name>_postings`` — (shingle bigint, doc_id bigint), bucketed
-  AND sorted by shingle: the partner lookup is a bucket-pruned scan,
-  and a bucketed join on shingle pays no shuffle on the index side.
-- ``<name>_sets`` — (doc_id, sh array<bigint>), bucketed by doc_id:
-  the exact-Jaccard verify fetches full hash sets for the (batch-
-  scale) partner ids without re-deriving them from text.
-- ``<name>_df`` — (shingle, cnt, batch): per-batch shingle document
-  frequencies. Total df = SUM(cnt) per shingle — an aggregation over
-  the COMPACT sidecar (distinct shingles per batch), not the
-  postings, and only for the batch's own shingles (broadcast
-  semi-join). Append-only writes keep every ingest transactional at
-  the file level; a compaction job may fold old batches at leisure.
+- ``<name>_postings`` — (shingle bigint, doc_id bigint, batch).
+- ``<name>_sets``     — (doc_id, sh array<bigint>, n int, batch):
+  full hash sets + set size, so the exact verify and the PPJoin
+  count prune never re-derive them from text.
+- ``<name>_df``       — (shingle, cnt, batch): per-batch shingle
+  document frequencies. Total df = SUM(cnt) per shingle, aggregated
+  over the COMPACT sidecar (distinct shingles per batch), pruned to
+  the query batch's own shingles by a broadcast join.
+- ``<name>_commits``  — (batch): the marker row written LAST.
 
-``edges_for_batch(new_docs)`` is output-equivalent to
-``dedup.ngram_jaccard_pairs(full_corpus, max_df=…,
-restrict_to_ids=new_ids)`` — same hash shingles
-(dedup._shingle_hashes), same full-corpus df cap, same exact
-verify — pinned by tests/test_shingle_index.py on multi-append
-corpora. Per-batch cost: O(batch shingles) index lookups +
-O(Σ C(df, 2) over batch-touching rare shingles) candidate structs.
-Nothing scales with the old corpus except the bucket-pruned index
-reads.
+Write protocol (same recovery grain as streaming/curation_stream):
+each append lands in its own ``batch`` partition under DYNAMIC
+partition overwrite, and the commit marker is appended only after
+all three data tables committed. A crashed append leaves orphan
+partitions that ``edges_for_batch`` never reads (it filters every
+table to committed batches); a RETRIED append overwrites those same
+partitions instead of duplicating rows. At-least-once appends +
+idempotent partition writes + commit gating = exactly-once index
+contents.
+
+What the index buys — stated precisely:
+- appends tokenize/hash each batch ONCE (the one-shot path re-reads
+  and re-shingles the whole corpus per call: corpus-linear CPU and
+  text I/O per append; here that work is batch-linear);
+- no join in the edge query shuffles a corpus-sized relation: index
+  reads are map-side column-pruned scans of compact long-typed
+  relations filtered through batch-keyed broadcast joins. The scans
+  themselves remain corpus-linear I/O (Spark does not bucket-prune
+  on a broadcast-join key); the upgrade path to sub-linear reads is
+  runtime row-group skipping (the postings files are written sorted
+  by shingle for exactly that) or a driver-side IN pushdown for
+  small batches — not claimed, not needed for shuffle discipline;
+- the pair expansion and verify touch only batch-selected rows:
+  O(Σ C(df, 2)) candidate structs over batch-touching rare shingles,
+  PPJoin count-prune (dedup._count_prune, output-invariant), exact
+  verify joins keyed on the batch-scale candidate set.
+
+``edges_for_batch(new_docs)`` (call BEFORE appending the batch) is
+output-equivalent to ``dedup.ngram_jaccard_pairs(full_corpus,
+max_df=…, restrict_to_ids=new_ids)`` — same hash shingles
+(dedup._shingle_hashes), same whole-grown-corpus df cap, same exact
+verify — pinned across multi-append corpora by
+tests/test_shingle_index.py.
 
 Reference parity note: the reference engine has no incremental
 index; this is the Spark-native scale path for the mandated dedup
@@ -42,37 +63,53 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datasette_upload_csvs_spark.operators.dedup import (
+    _count_prune,
     _doclist_pair_structs,
     _shingle_hashes,
 )
 
 
 class ShingleIndex:
-    def __init__(
-        self,
-        spark: SparkSession,
-        name: str,
-        n: int = 3,
-        num_buckets: int = 8,
-    ):
+    def __init__(self, spark: SparkSession, name: str, n: int = 3):
         self.spark = spark
         self.name = name
         self.n = n
-        self.num_buckets = num_buckets
         self.postings = f"{name}_postings"
         self.sets = f"{name}_sets"
         self.df_tab = f"{name}_df"
+        self.commits = f"{name}_commits"
 
     # ---------------------------------------------------------- build
-    def _batch_frames(self, docs, text_col, id_col):
-        sets = docs.select(
+    def _batch_sets(self, docs, text_col, id_col):
+        sh = _shingle_hashes(F.col(text_col), self.n)
+        return docs.select(
             F.col(id_col).alias("doc_id"),
-            _shingle_hashes(F.col(text_col), self.n).alias("sh"),
+            sh.alias("sh"),
+            F.size(sh).alias("n"),
         )
-        postings = sets.select(
-            "doc_id", F.explode("sh").alias("shingle")
-        ).select("shingle", "doc_id")
-        return sets, postings
+
+    def _write_partition(self, out: DataFrame, table: str) -> None:
+        """Idempotent per-batch write (dynamic partition overwrite —
+        the curation_stream._write_batch recovery grain)."""
+        spark = self.spark
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "dynamic")
+        try:
+            if not spark.catalog.tableExists(table):
+                (
+                    out.write.mode("overwrite")
+                    .partitionBy("batch")
+                    .saveAsTable(table)
+                )
+            else:
+                cols = spark.table(table).columns
+                out.select(*cols).write.mode("overwrite").insertInto(table)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
 
     def append(
         self,
@@ -82,31 +119,57 @@ class ShingleIndex:
         id_col: str = "doc_id",
     ) -> None:
         """Add a batch of NEW documents to the index (caller
-        guarantees ids unseen — same contract as append_splits)."""
-        sets, postings = self._batch_frames(docs, text_col, id_col)
-        exists = self.spark.catalog.tableExists(self.postings)
-        mode = "append" if exists else "errorifexists"
-        (
-            postings.write.mode(mode)
-            .bucketBy(self.num_buckets, "shingle")
-            .sortBy("shingle")
-            .format("parquet")
-            .saveAsTable(self.postings)
+        guarantees ids unseen — same contract as append_splits).
+        Safe to retry: every table write replaces the batch's own
+        partition, and the commit marker (written last) gates reads,
+        so a crashed append is invisible and a replayed one is
+        idempotent."""
+        b = F.lit(batch).cast("bigint")
+        sets = self._batch_sets(docs, text_col, id_col).persist()
+        try:
+            postings = sets.select(
+                F.explode("sh").alias("shingle"), "doc_id"
+            ).persist()
+            try:
+                self._write_partition(
+                    # sorted files position the table for parquet
+                    # row-group min/max skipping if a pushed shingle
+                    # filter is ever added (see module docstring)
+                    postings.sortWithinPartitions("shingle").withColumn(
+                        "batch", b
+                    ),
+                    self.postings,
+                )
+                self._write_partition(
+                    sets.withColumn("batch", b), self.sets
+                )
+                self._write_partition(
+                    postings.groupBy("shingle")
+                    .agg(F.count("*").alias("cnt"))
+                    .withColumn("batch", b),
+                    self.df_tab,
+                )
+            finally:
+                postings.unpersist()
+        finally:
+            sets.unpersist()
+        marker = self.spark.range(1).select(b.alias("batch"))
+        mode = (
+            "append"
+            if self.spark.catalog.tableExists(self.commits)
+            else "errorifexists"
         )
-        (
-            sets.write.mode(mode)
-            .bucketBy(self.num_buckets, "doc_id")
-            .format("parquet")
-            .saveAsTable(self.sets)
-        )
-        (
-            postings.groupBy("shingle")
-            .agg(F.count("*").alias("cnt"))
-            .withColumn("batch", F.lit(batch).cast("bigint"))
-            .write.mode(mode)
-            .format("parquet")
-            .saveAsTable(self.df_tab)
-        )
+        marker.write.mode(mode).format("parquet").saveAsTable(self.commits)
+
+    def _committed(self, table: str) -> DataFrame | None:
+        """Rows of ``table`` belonging to committed batches, or None
+        when the index is empty. The commit list is tiny — it reaches
+        the scan as a broadcast semi-join on the partition column."""
+        spark = self.spark
+        if not spark.catalog.tableExists(self.commits):
+            return None
+        good = spark.table(self.commits).select("batch").distinct()
+        return spark.table(table).join(F.broadcast(good), "batch", "left_semi")
 
     # ---------------------------------------------------------- query
     def edges_for_batch(
@@ -118,26 +181,27 @@ class ShingleIndex:
         id_col: str = "doc_id",
     ) -> DataFrame:
         """Verified near-dup edges (id_a < id_b, jaccard) with ≥1
-        endpoint in ``new_docs``, against the indexed corpus PLUS the
-        batch itself. Call BEFORE append(new_docs): the index holds
-        the prior corpus; batch-internal pairs come from the batch
-        frames in this plan.
+        endpoint in ``new_docs``, against the committed corpus PLUS
+        the batch itself. Call BEFORE append(new_docs): the index
+        holds the prior corpus; batch-internal pairs come from the
+        batch frames in this plan. (Calling it after the batch was
+        appended double-counts the batch in df and is guarded only
+        by the self-pair filter — keep the documented order.)
 
         df cap semantics match the one-shot capped path: a shingle's
         document frequency counts the WHOLE grown corpus (sidecar
         sum + batch count); candidate pairs come only from shingles
-        with df ≤ max_df; every candidate is exact-verified over the
-        full hash sets, so emitted similarities are never
-        approximate.
+        with df ≤ max_df; the PPJoin count prune is output-invariant;
+        every surviving candidate is exact-verified over the full
+        hash sets, so emitted similarities are never approximate.
 
         Caching contract (same as the dedup operators): the batch
         frames persist and the returned plan references them; callers
         running many jobs spark.catalog.clearCache() between them."""
-        spark = self.spark
-        new_sets, new_postings = self._batch_frames(
-            new_docs, text_col, id_col
+        new_sets = self._batch_sets(new_docs, text_col, id_col).persist()
+        new_postings = new_sets.select(
+            F.explode("sh").alias("shingle"), "doc_id"
         )
-        new_sets = new_sets.persist()
 
         # batch shingles with their in-batch counts — batch-sized,
         # broadcastable; every shared shingle of an output pair is
@@ -148,26 +212,23 @@ class ShingleIndex:
             .persist()
         )
 
-        # first batch: no index yet — the batch is the whole corpus
-        indexed = spark.catalog.tableExists(self.df_tab)
-
-        # full-corpus df for exactly those shingles: sidecar rows are
-        # (shingle, cnt, batch); the broadcast join prunes the scan
-        if indexed:
+        # full-corpus df for exactly those shingles: the broadcast
+        # join prunes the (compact) sidecar aggregation, and the
+        # pruned aggregate re-broadcasts — ≤ |batch shingles| rows
+        old_df_rows = self._committed(self.df_tab)
+        if old_df_rows is not None:
             df_old = (
-                spark.table(self.df_tab)
-                .join(F.broadcast(batch_sh.select("shingle")), "shingle")
+                old_df_rows.join(
+                    F.broadcast(batch_sh.select("shingle")), "shingle"
+                )
                 .groupBy("shingle")
                 .agg(F.sum("cnt").alias("cnt_old"))
             )
-        else:
+        else:  # first batch: the batch is the whole corpus
             df_old = batch_sh.select(
                 "shingle", F.lit(None).cast("bigint").alias("cnt_old")
             ).limit(0)
         rare = (
-            # df_old is an aggregate over broadcast-pruned sidecar
-            # rows — ≤ |batch shingles| rows, broadcast it so the
-            # static plan never sorts/shuffles for this join
             batch_sh.join(F.broadcast(df_old), "shingle", "left")
             .select(
                 "shingle",
@@ -179,73 +240,104 @@ class ShingleIndex:
             .select("shingle")
         )
 
-        # partner postings: index rows for rare batch shingles (the
-        # broadcast keeps the postings side shuffle-free) + the
-        # batch's own postings for those shingles
+        # partner postings: committed index rows for rare batch
+        # shingles + the batch's own postings for those shingles
         all_post = new_postings.join(F.broadcast(rare), "shingle")
-        if indexed:
-            all_post = spark.table(self.postings).join(
+        old_post = self._committed(self.postings)
+        if old_post is not None:
+            all_post = old_post.select("shingle", "doc_id").join(
                 F.broadcast(rare), "shingle"
             ).unionByName(all_post)
-        new_ids = new_sets.select(F.col("doc_id").alias("_nid"))
 
-        # pair expansion per rare shingle (≤ C(max_df, 2) structs),
-        # then keep pairs with ≥1 new endpoint and dedup
-        grouped = all_post.groupBy("shingle").agg(
-            F.collect_list("doc_id").alias("ds")
-        )
+        # pair expansion per rare shingle (≤ C(df, 2) structs); the
+        # grouped aggregation doubles as the shared-rare count
+        # (c_rare) the PPJoin prune consumes. The self-pair filter is
+        # a guard against out-of-order use (batch already appended),
+        # where a doc would meet itself in the doc list.
         cand = (
-            grouped.select(
-                F.explode(_doclist_pair_structs(F.col("ds"))).alias("p")
-            )
+            all_post.groupBy("shingle")
+            .agg(F.collect_list("doc_id").alias("ds"))
+            .select(F.explode(_doclist_pair_structs(F.col("ds"))).alias("p"))
             .select("p.id_a", "p.id_b")
-            .distinct()
-        )
-        cand = (
-            cand.join(
-                F.broadcast(new_ids.withColumnRenamed("_nid", "id_a")),
-                "id_a",
-                "left_semi",
-            )
-            .unionByName(
-                cand.join(
-                    F.broadcast(
-                        new_ids.withColumnRenamed("_nid", "id_b")
-                    ),
-                    "id_b",
-                    "left_semi",
-                )
-            )
-            .distinct()
+            .filter(F.col("id_a") != F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("c_rare"))
         )
 
-        # exact verify over full hash sets: new endpoints read the
-        # in-plan batch frame, old endpoints the sets table. The
-        # candidate side is batch-scale — BROADCAST it through both
-        # lookups so the corpus-sized sets relation is only ever
-        # scanned map-side, never exchanged.
-        all_sets = new_sets
-        if indexed:
-            all_sets = spark.table(self.sets).unionByName(new_sets)
-        sa = all_sets.select(
+        # keep pairs with ≥1 new endpoint (broadcast flag joins —
+        # the one-pass pattern ngram_jaccard_pairs uses)
+        nid = new_sets.select("doc_id")
+        ra = nid.select(
+            F.col("doc_id").alias("id_a"), F.lit(True).alias("_a_new")
+        )
+        rb = nid.select(
+            F.col("doc_id").alias("id_b"), F.lit(True).alias("_b_new")
+        )
+        cand = (
+            cand.join(F.broadcast(ra), "id_a", "left")
+            .join(F.broadcast(rb), "id_b", "left")
+            .filter(
+                F.coalesce("_a_new", F.lit(False))
+                | F.coalesce("_b_new", F.lit(False))
+            )
+            .drop("_a_new", "_b_new")
+        )
+
+        # PPJoin count prune (output-invariant): per-doc stats are
+        # 3 ints, read from the sets table WITHOUT the hash arrays
+        # (column pruning) for old docs, in-plan for new docs
+        sizes = new_sets.select("doc_id", "n")
+        old_sets = self._committed(self.sets)
+        if old_sets is not None:
+            sizes = old_sets.select("doc_id", "n").unionByName(sizes)
+        n_rare = all_post.groupBy("doc_id").agg(
+            F.count("*").alias("n_rare")
+        )
+        cand_ids = (
+            cand.select(F.col("id_a").alias("doc_id"))
+            .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+            .persist()
+        )
+        stats = (
+            sizes.join(F.broadcast(cand_ids), "doc_id")
+            .join(F.broadcast(n_rare), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("n").alias("n_full"),
+                (F.col("n") - F.coalesce("n_rare", F.lit(0))).alias(
+                    "n_hot"
+                ),
+            )
+        )
+        cand = _count_prune(cand, stats, "doc_id", "jaccard", threshold,
+                            "c_rare")
+
+        # exact verify over full hash sets. Each side of the lookup
+        # broadcasts the batch-scale candidate id set into a map-side
+        # scan of the sets relation; the final pair join moves only
+        # batch-scale rows (it may shuffle — that is batch-keyed, not
+        # corpus-keyed).
+        all_sets = new_sets.select("doc_id", "sh")
+        if old_sets is not None:
+            all_sets = old_sets.select("doc_id", "sh").unionByName(all_sets)
+        ja = all_sets.join(F.broadcast(cand_ids), "doc_id").select(
             F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
         )
-        sb = all_sets.select(
+        jb = all_sets.join(F.broadcast(cand_ids), "doc_id").select(
             F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
-        )
-        half = sa.join(F.broadcast(cand), "id_a")
-        both = sb.join(
-            F.broadcast(half.select("id_a", "id_b", "sh_a")), "id_b"
         )
         shared = F.size(F.array_intersect("sh_a", "sh_b"))
         jac = shared.cast("double") / (
             F.size("sh_a") + F.size("sh_b") - shared
         ).cast("double")
         return (
-            both.select("id_a", "id_b", jac.alias("jaccard"))
+            cand.join(ja, "id_a")
+            .join(jb, "id_b")
+            .select("id_a", "id_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
 
     def drop(self) -> None:
-        for t in (self.postings, self.sets, self.df_tab):
+        for t in (self.postings, self.sets, self.df_tab, self.commits):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")

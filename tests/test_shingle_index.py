@@ -54,7 +54,7 @@ def _oneshot(spark, corpus_rows, new_rows, max_df=20):
 
 def test_edges_match_oneshot_across_appends(spark):
     b1, b2, b3 = _batches()
-    idx = ShingleIndex(spark, "tsix", num_buckets=4)
+    idx = ShingleIndex(spark, "tsix")
     idx.drop()
     try:
         corpus = []
@@ -84,7 +84,7 @@ def test_df_cap_counts_whole_grown_corpus(spark):
     df is sidecar-sum + batch count, not batch-local."""
     shared = "p q r"  # one 3-gram, present in every doc below
     mk = lambda i: (i, f"{shared} " + " ".join(f"z{i}w{j}" for j in range(9)))
-    idx = ShingleIndex(spark, "tsixcap", num_buckets=2)
+    idx = ShingleIndex(spark, "tsixcap")
     idx.drop()
     try:
         idx.append(_docs(spark, [mk(i) for i in range(3)]), batch=0)
@@ -108,14 +108,16 @@ def test_df_cap_counts_whole_grown_corpus(spark):
 
 
 def test_index_read_is_broadcast_pruned(spark):
-    """The postings/df-sidecar reads must be pruned by BROADCAST
-    joins keyed on the batch's shingles — the index side never pays
-    a shuffle to be joined (no SortMergeJoin/ShuffledHashJoin on
-    shingle). The remaining shingle-keyed exchanges are the
-    batch-scale aggregations (batch_sh, the rare doc-list group),
-    whose inputs are already pruned to batch-touching rows."""
+    """No join in the edge query shuffles a corpus-keyed relation:
+    the postings/df-sidecar reads join the batch's shingles via
+    BROADCAST (no SortMergeJoin/ShuffledHashJoin on shingle), and
+    the sets reads join the candidate ids via BROADCAST (none on
+    doc_id). A shuffled join is tolerated only between batch-scale
+    sides keyed on the (id_a, id_b) candidate pairs. The remaining
+    shingle-keyed exchanges are batch-scale aggregations whose
+    inputs are already pruned to batch-touching rows."""
     b1, b2, _ = _batches()
-    idx = ShingleIndex(spark, "tsixplan", num_buckets=4)
+    idx = ShingleIndex(spark, "tsixplan")
     idx.drop()
     try:
         idx.append(_docs(spark, b1), batch=0)
@@ -126,14 +128,61 @@ def test_index_read_is_broadcast_pruned(spark):
             if "BroadcastHashJoin [shingle" in ln.strip()
         ]
         assert bhj_shingle, txt  # the prune joins exist and broadcast
-        # EVERY join is broadcast-built from batch-scale rows — the
-        # index relations (postings, sets, df sidecar) are only ever
-        # scanned map-side
-        shuffled_joins = [
+        bad = [
             ln for ln in txt.splitlines()
-            if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln
+            if ("SortMergeJoin [shingle" in ln
+                or "ShuffledHashJoin [shingle" in ln
+                or "SortMergeJoin [doc_id" in ln
+                or "ShuffledHashJoin [doc_id" in ln)
         ]
-        assert not shuffled_joins, txt
+        assert not bad, txt
     finally:
         idx.drop()
+        spark.catalog.clearCache()
+
+
+def test_uncommitted_append_is_invisible_and_retry_is_idempotent(spark):
+    """A crashed append (data partitions written, no commit marker)
+    must not affect edge queries; retrying the same batch must
+    replace — not duplicate — its rows."""
+    b1, b2, _ = _batches()
+    idx = ShingleIndex(spark, "tsixcommit")
+    idx.drop()
+    try:
+        idx.append(_docs(spark, b1), batch=0)
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in idx.edges_for_batch(_docs(spark, b2)).collect()
+        }
+        spark.catalog.clearCache()
+
+        # simulate a crash: write batch 1 data, then roll the marker
+        # table back to batch 0 only (parquet tables can't DELETE —
+        # rebuild it)
+        idx.append(_docs(spark, b2), batch=1)
+        committed = spark.table(idx.commits).filter("batch = 0")
+        committed.write.mode("overwrite").format("parquet").saveAsTable(
+            f"{idx.commits}_tmp"
+        )
+        spark.sql(f"DROP TABLE {idx.commits}")
+        spark.sql(f"ALTER TABLE {idx.commits}_tmp RENAME TO {idx.commits}")
+
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in idx.edges_for_batch(_docs(spark, b2)).collect()
+        }
+        spark.catalog.clearCache()
+        assert got == want  # orphan partitions invisible
+
+        # retry the append: partitions overwritten, marker restored
+        idx.append(_docs(spark, b2), batch=1)
+        n_sets = spark.table(idx.sets).filter("batch = 1").count()
+        assert n_sets == len(b2)  # no duplicated rows
+        n_commits = (
+            spark.table(idx.commits).filter("batch = 1").count()
+        )
+        assert n_commits == 1
+    finally:
+        idx.drop()
+        spark.sql(f"DROP TABLE IF EXISTS {idx.commits}_tmp")
         spark.catalog.clearCache()
