@@ -54,6 +54,15 @@ HEADLINE = [
     # capped-exact representative: one shingle exchange, map-side
     # pair expansion, exact verify over ~1M candidates
     "dedup_containment",
+    # published-method curation tier (late round 5): benchmark
+    # decontamination (broadcast gram screen), SemDeDup semantic
+    # pruning, DSIR top-k selection, and the map-only Gopher
+    # doc-quality ruleset — the remaining pipeline families a 100 TB
+    # run executes that were not yet measured
+    "decontaminate_exact_ngram",
+    "semdedup_prune",
+    "dsir_resample_topk",
+    "gopher_quality_filters",
 ]
 
 

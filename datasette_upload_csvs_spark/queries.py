@@ -8269,15 +8269,35 @@ def decontaminate_exact_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (benchmarks are MBs), so the distinct benchmark grams
     BROADCAST and the train side stays map-only until the single
     per-doc count shuffle. No shuffle touches the corpus-sized gram
-    relation. Compare bloom_contamination_screen (whole-doc
-    fingerprints through a constant-size filter, superset semantics);
-    this is the sharper n-gram-level exact screen."""
-    from datasette_upload_csvs_spark.functions.text import shingles
-
+    relation, and the gram STRING is never materialized: grams are
+    64-bit multi-arg xxhash64 windows over a token array
+    MATERIALIZED once per row behind a 1:1 explode(array(...))
+    generator (CollapseProject would otherwise inline the tokenizer
+    split into every window slot, re-tokenizing 8× per window — the
+    hash never crosses engines, the oracle only has to agree on gram
+    equality; measured 9.8 s → 0.7 s at sf0.1).
+    Compare bloom_contamination_screen (whole-doc fingerprints
+    through a constant-size filter, superset semantics); this is the
+    sharper n-gram-level exact screen."""
     d = load(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", "source", F.explode(shingles(F.col("text"), 8)).alias("g")
+    # explode(array(tokens)) is a 1:1 generator that MATERIALIZES the
+    # token array per row — without it CollapseProject inlines the
+    # split() into every F.get, re-tokenizing 8× per window
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.array(_text_tokens(F.col("text")))).alias("t"),
     )
+    t = F.col("t")
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size(t) - F.lit(8), F.lit(0))
+    )
+    grams = F.array_distinct(
+        F.transform(
+            idx, lambda i: F.xxhash64(*[F.get(t, i + j) for j in range(8)])
+        )
+    )
+    sh = toks.select("doc_id", "source", F.explode(grams).alias("g"))
     bench = (
         sh.filter(F.pmod("doc_id", F.lit(10)) == 0).select("g").distinct()
     )
