@@ -77,6 +77,31 @@ def _shingle_hashes(col, n: int = 3):
     )
 
 
+def _hash_shingle_frame(
+    docs: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id_col, sh) frame, sh = _shingle_hashes — but with the token
+    array MATERIALIZED once per row behind a 1:1 explode(array(...))
+    generator boundary. Inline, CollapseProject substitutes the
+    tokenizer split() into every F.get slot, re-tokenizing n× per
+    window (measured 8.8 s vs 0.34 s for the sf0.1 corpus at n=3):
+    the generator is a projection barrier the optimizer cannot
+    collapse through, so split() runs once per document. Output is
+    expression-identical to select(id, _shingle_hashes(text, n))."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array(tokens(F.col(text_col)))).alias("_t"),
+    )
+    t = F.col("_t")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - F.lit(n), F.lit(0)))
+    sh = F.array_distinct(
+        F.transform(
+            idx, lambda i: F.xxhash64(*[F.get(t, i + j) for j in range(n)])
+        )
+    )
+    return toks.select(F.col(id_col), sh.alias("sh"))
+
+
 def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(id, shingle) exploded inverted-index relation, distinct."""
     return (
@@ -219,13 +244,9 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         par = docs.sparkSession.sparkContext.defaultParallelism
         # shingling is CPU-bound per row; spread single-file inputs
-        sets = (
-            docs.repartition(par, F.col(id_col))
-            .select(
-                F.col(id_col), _shingle_hashes(F.col(text_col), n).alias("sh")
-            )
-            .persist()
-        )
+        sets = _hash_shingle_frame(
+            docs.repartition(par, F.col(id_col)), text_col, id_col, n
+        ).persist()
         # ONE shuffle on the shingle hash. The df cap rides a
         # count-window (counts only — a hot shingle is dropped before
         # any per-shingle array exists, so boilerplate can never
@@ -583,10 +604,9 @@ def minhash_near_dup_pairs(
     # shingles| and hash-array intersection == string intersection up
     # to a ~2^-64 per-pair collision — deterministic, and pinned by
     # the oracle hash-check at two scale factors. Computed once,
-    # persisted, reused by the signature stage and both verify sides.
-    sets = docs.select(
-        F.col(id_col), _shingle_hashes(F.col(text_col), n).alias("sh")
-    ).persist()
+    # persisted, reused by the signature stage and both verify sides
+    # (token array materialized per row — see _hash_shingle_frame).
+    sets = _hash_shingle_frame(docs, text_col, id_col, n).persist()
     hashed = sets.select(
         F.col(id_col),
         F.explode(

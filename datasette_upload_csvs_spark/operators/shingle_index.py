@@ -65,7 +65,7 @@ from pyspark.sql import functions as F
 from datasette_upload_csvs_spark.operators.dedup import (
     _count_prune,
     _doclist_pair_structs,
-    _shingle_hashes,
+    _hash_shingle_frame,
 )
 
 
@@ -81,12 +81,10 @@ class ShingleIndex:
 
     # ---------------------------------------------------------- build
     def _batch_sets(self, docs, text_col, id_col):
-        sh = _shingle_hashes(F.col(text_col), self.n)
-        return docs.select(
-            F.col(id_col).alias("doc_id"),
-            sh.alias("sh"),
-            F.size(sh).alias("n"),
-        )
+        frame = _hash_shingle_frame(docs, text_col, id_col, self.n)
+        if id_col != "doc_id":
+            frame = frame.withColumnRenamed(id_col, "doc_id")
+        return frame.select("doc_id", "sh", F.size("sh").alias("n"))
 
     def _write_partition(self, out: DataFrame, table: str) -> None:
         """Idempotent per-batch write (dynamic partition overwrite —

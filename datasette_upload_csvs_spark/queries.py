@@ -8871,12 +8871,18 @@ def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows partition on doc_id — millions of small partitions, no
     giant-key skew."""
     d = load(spark, sf_dir, "documents")
-    t = _text_tokens(F.col("text"))
+    # 1:1 explode(array(tokens)) generator boundary: materialize the
+    # token array once per row, or CollapseProject inlines the
+    # tokenizer split into all 16 F.get slots per window
+    toks = d.select(
+        "doc_id", F.explode(F.array(_text_tokens(F.col("text")))).alias("_t")
+    )
+    t = F.col("_t")
     n = F.size(t)
     idx = F.when(n >= 16, F.sequence(F.lit(1), n - 15)).otherwise(
         F.array().cast("array<int>")
     )
-    win = d.select(
+    win = toks.select(
         "doc_id",
         F.explode(
             F.transform(

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datasette_upload_csvs_spark.operators.dedup import (
-    _shingle_hashes,
+    _hash_shingle_frame,
     _signatures_from_hashes,
     _MERSENNE,
 )
@@ -81,9 +81,7 @@ def maintain_near_dup_stream(
     def sink(batch_df: DataFrame, _epoch: int) -> None:
         if batch_df.isEmpty():
             return
-        sets = batch_df.select(
-            "doc_id", _shingle_hashes(F.col("text"), 3).alias("sh")
-        ).persist()
+        sets = _hash_shingle_frame(batch_df, "text", "doc_id", 3).persist()
         hashed = sets.select(
             "doc_id",
             F.explode(
