@@ -95,7 +95,7 @@ _DRIVER_PRIORITY = [
     #   dedup_graph_triangles (unpersist-only).
     "dedup_groups", "split_cluster_safe",
     "gopher_quality_filters", "source_temperature_mix",
-    "dedup_cross_source_matrix",
+    "dedup_cross_source_matrix", "dedup_ngram_coverage",
     "semdedup_prune", "dsir_importance_weights", "dsir_resample_topk",
     "ccnet_perplexity_buckets", "quality_classifier_score",
     "dedup_exact_substr_spans",
@@ -221,6 +221,32 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session time, nanos handling) idempotently.
     configure(spark)
     return read_table(spark, sf_dir, name)
+
+
+def _hashed_gram_rows(d: DataFrame, n: int, cols: list[str]):
+    """(cols..., g) — one row per distinct n-token gram per doc, gram
+    = multi-arg xxhash64 over the token slots. The token array is
+    MATERIALIZED once per row behind a 1:1 explode(array(tokens))
+    generator boundary; inline, CollapseProject substitutes the
+    tokenizer split into every slot, re-tokenizing n× per window
+    (the decontaminate_exact_ngram 9.8 s → 0.7 s fix). Equality
+    classes match functions.text.shingles strings (short docs: one
+    gram of all tokens, trailing nulls hash deterministically) up to
+    ~2^-64 collisions — the hash never crosses engines."""
+    toks = d.select(
+        *[F.col(c) for c in cols],
+        F.explode(F.array(_text_tokens(F.col("text")))).alias("_t"),
+    )
+    t = F.col("_t")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - F.lit(n), F.lit(0)))
+    grams = F.array_distinct(
+        F.transform(
+            idx, lambda i: F.xxhash64(*[F.get(t, i + j) for j in range(n)])
+        )
+    )
+    return toks.select(
+        *[F.col(c) for c in cols], F.explode(grams).alias("g")
+    )
 
 
 def _dsum(col, alias: str, scale: int = 4):
@@ -7077,13 +7103,11 @@ def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     than one document. Unlike pairwise dedup this is linear: explode
     the inverted index once, count gram document-frequency, join
     back — no candidate pairs. Docs shorter than 8 tokens contribute
-    their whole text as one shingle (functions/text.py:shingles)."""
-    from datasette_upload_csvs_spark.functions.text import shingles
-
+    their whole text as one shingle (same convention as
+    functions/text.py:shingles; grams are hashed windows over a
+    materialized token array — _hashed_gram_rows)."""
     d = load(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(shingles(F.col("text"), 8)).alias("g")
-    )
+    sh = _hashed_gram_rows(d, 8, ["doc_id"])
     dfg = sh.groupBy("g").agg(F.count("*").alias("df"))
     dup = F.sum((F.col("df") >= 2).cast("bigint"))
     return (
@@ -8280,24 +8304,7 @@ def decontaminate_exact_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     through a constant-size filter, superset semantics); this is the
     sharper n-gram-level exact screen."""
     d = load(spark, sf_dir, "documents")
-    # explode(array(tokens)) is a 1:1 generator that MATERIALIZES the
-    # token array per row — without it CollapseProject inlines the
-    # split() into every F.get, re-tokenizing 8× per window
-    toks = d.select(
-        "doc_id",
-        "source",
-        F.explode(F.array(_text_tokens(F.col("text")))).alias("t"),
-    )
-    t = F.col("t")
-    idx = F.sequence(
-        F.lit(0), F.greatest(F.size(t) - F.lit(8), F.lit(0))
-    )
-    grams = F.array_distinct(
-        F.transform(
-            idx, lambda i: F.xxhash64(*[F.get(t, i + j) for j in range(8)])
-        )
-    )
-    sh = toks.select("doc_id", "source", F.explode(grams).alias("g"))
+    sh = _hashed_gram_rows(d, 8, ["doc_id", "source"])
     bench = (
         sh.filter(F.pmod("doc_id", F.lit(10)) == 0).select("g").distinct()
     )
