@@ -53,7 +53,7 @@ def q(name: str, oracle: str | None = None):
 
 
 # Names hash-verified by the driver at sf0.01 (union of
-# CORRECTNESS_r01..r04.json) AT THEIR CURRENT IMPLEMENTATION.
+# CORRECTNESS_r01..r05.json) AT THEIR CURRENT IMPLEMENTATION.
 # The driver samples a prefix of the registry, so listing these LAST
 # rotates the not-yet-driver-checked queries into the sample while
 # keeping every name stable.
@@ -61,130 +61,102 @@ def q(name: str, oracle: str | None = None):
 # Rule (round-2 ADVICE): any query whose implementation or oracle
 # changed AFTER its last driver check must NOT appear here — it goes
 # in _DRIVER_PRIORITY so the independent check re-runs on the new
-# code. Round-5 priority = every query that changed or appeared this
-# round (23 names, incl. dedup_minhash_lsh / dedup_rate_by_source
-# moved back out of the checked set when the exact-floor landed),
-# then the names never yet included in a driver sample. Sixteen
-# low-risk, long-unchanged names overflow the 50-name prefix and
-# defer to the round-6 sample.
+# code.
 _DRIVER_PRIORITY = [
-    # Round-5 changed/new queries first, then the never-sampled
-    # names = the 50-name sample. Twenty-three queries changed or
-    # appeared this round; every one of them sits in the 50-name
-    # prefix, so the independent check covers ALL round-5 code. That
-    # pushes sixteen of the never-yet-sampled names to positions 51+
-    # for the round-6 sample — all are low-risk Catalyst-only
-    # queries unchanged since round ≤4 that pass the identical local
-    # DuckDB hash gate at sf0.001 AND sf0.01
-    # (tests/test_oracle_parity.py).
-    #
-    # Round-5 new: semdedup_prune, dsir_importance_weights,
-    #   dsir_resample_topk, ccnet_perplexity_buckets,
-    #   quality_classifier_score, dedup_exact_substr_spans,
-    #   decontaminate_exact_ngram, dedup_keep_best,
-    #   split_incremental_stable, group_by_all_sql,
-    #   gopher_quality_filters, source_temperature_mix,
-    #   dedup_cross_source_matrix.
-    # Round-5 changed impl (oracle mirrored): dedup_groups,
-    #   split_cluster_safe (edge source → minhash bands),
-    #   dedup_containment / dedup_ngram_jaccard_capped (capped branch
-    #   → hash shingles + map-side expansion + PPJoin count filter),
-    #   export_balanced_shards (salted rank), curation_repetition_stats
-    #   (empty-doc keep verdict), curation_mixture_rebalance
-    #   (window min replaced persisted crossJoin),
-    #   dedup_graph_triangles (unpersist-only).
-    "dedup_groups", "split_cluster_safe",
-    "gopher_quality_filters", "source_temperature_mix",
-    "dedup_cross_source_matrix", "dedup_ngram_coverage",
-    "semdedup_prune", "dsir_importance_weights", "dsir_resample_topk",
-    "ccnet_perplexity_buckets", "quality_classifier_score",
-    "dedup_exact_substr_spans",
-    "decontaminate_exact_ngram",
-    "dedup_containment", "dedup_ngram_jaccard_capped",
-    "dedup_minhash_lsh", "dedup_rate_by_source",
-    "export_balanced_shards",
-    "curation_repetition_stats", "curation_mixture_rebalance",
-    "dedup_graph_triangles",
-    "split_incremental_stable",
-    "dedup_keep_best",
-    "group_by_all_sql",
-    "export_shard_assignment", "embedding_quantize_int8",
-    "corr_regression_qty_price", "array_agg_region_nations",
-    "bigram_pmi_collocations", "revenue_share_by_nation",
-    "events_weekly_retention", "daily_revenue_drawdown",
-    "argmax_priority_extreme_orders", "token_entropy_by_lang",
-    "chisq_contingency_flag_status", "means_family_price",
-    "interval_overlap_concurrency", "order_streak_islands",
-    "rfm_customer_segments", "basket_brand_lift", "pareto_abc_customers",
-    "event_type_transition_matrix", "moments_skew_kurtosis",
-    "supplier_concentration_hhi", "attribution_first_last_touch",
-    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
-    "scd2_customer_versions", "hll_mergeable_distinct",
-    "approx_percentile_gate", "sample_deterministic", "sample_stratified",
-    "merge_upsert_orders", "sample_weighted_orders",
-    "sample_n_per_group_orders", "equidepth_histogram_price",
-    "doc_rolling_hash", "filtered_aggregates", "monthly_revenue_ewma",
-    "dq_check_orders", "snapshot_diff_orders", "benford_first_digit",
-    "not_in_null_semantics", "histogram2d_qty_price",
+    # Round-6 sample = this list, then any fresh (never-checked,
+    # non-priority) registry entries, then _DRIVER_CHECKED. Two
+    # queries changed this round and must be independently
+    # re-verified (array_agg_region_nations: ArrayType output
+    # replaced with a driver-sortable sorted-joined string after
+    # the r5 harness ERR; semdedup_prune: quantizer k now scales
+    # as max(32, ceil(sqrt(n))) instead of frozen 32), followed by
+    # the 17 names never yet included in any driver sample
+    # (r1-r5 union). 19 names + round-6 fresh entries fit well
+    # inside the 50-name prefix, so r1∪…∪r6 can reach 203/203
+    # distinct driver-verified queries.
+    "array_agg_region_nations", "semdedup_prune", "merge_upsert_orders",
+    "sample_deterministic", "sample_stratified", "sample_weighted_orders",
+    "sample_n_per_group_orders", "dq_check_orders",
+    "equidepth_histogram_price", "benford_first_digit",
+    "monthly_revenue_ewma", "snapshot_diff_orders", "doc_rolling_hash",
+    "not_in_null_semantics", "filtered_aggregates", "histogram2d_qty_price",
     "monthly_trend_by_nation", "price_percentiles_by_status",
     "robust_dispersion_mad",
 ]
 
 _DRIVER_CHECKED = frozenset({
-    "anti_join_no_orders", "approx_count_distinct",
-    "approx_quantile_tolerance", "array_funcs_extended",
-    "array_ops_embeddings", "asof_join_last_click", "bag_set_ops",
-    "bitwise_ops", "bloom_contamination_screen", "bool_aggs",
+    "anti_join_no_orders", "approx_count_distinct", "approx_percentile_gate",
+    "approx_quantile_tolerance", "argmax_priority_extreme_orders",
+    "array_funcs_extended", "array_ops_embeddings", "asof_join_last_click",
+    "attribution_first_last_touch", "bag_set_ops", "basket_brand_lift",
+    "bigram_pmi_collocations", "bitwise_ops", "bloom_contamination_screen",
+    "bool_aggs", "ccnet_perplexity_buckets", "chisq_contingency_flag_status",
     "cms_token_heavy_hitters", "conditional_case", "contamination_overlap",
-    "correlated_avg_filter", "count_distinct", "cross_join_region_pairs",
-    "cube_flag_status", "curation_pack_chunks", "curation_pii_redact",
-    "curation_shuffle_order",
-    "curation_strip_boilerplate", "date_format_funcs", "date_funcs",
-    "dedup_embedding_cosine", "dedup_exact_ranks",
-    "dedup_ngram_coverage",
-    "dedup_ngram_jaccard", "dedup_simhash", "disjunctive_filter_join",
-    "distinct_status_priority", "doc_keywords",
-    "embedding_centroid_distance", "events_anomaly_mad_daily",
+    "corr_regression_qty_price", "correlated_avg_filter", "count_distinct",
+    "cross_join_region_pairs", "cube_flag_status",
+    "curation_mixture_rebalance", "curation_pack_chunks",
+    "curation_pii_redact", "curation_repetition_stats",
+    "curation_shuffle_order", "curation_strip_boilerplate",
+    "daily_revenue_drawdown", "date_format_funcs", "date_funcs",
+    "decontaminate_exact_ngram", "dedup_containment",
+    "dedup_cross_source_matrix", "dedup_embedding_cosine",
+    "dedup_exact_ranks", "dedup_exact_substr_spans", "dedup_graph_triangles",
+    "dedup_groups", "dedup_keep_best", "dedup_minhash_lsh",
+    "dedup_ngram_coverage", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped", "dedup_rate_by_source", "dedup_simhash",
+    "disjunctive_filter_join", "distinct_status_priority", "doc_keywords",
+    "dsir_importance_weights", "dsir_resample_topk",
+    "embedding_centroid_distance", "embedding_quantize_int8",
+    "event_type_transition_matrix", "events_anomaly_mad_daily",
     "events_funnel", "events_resample_gapfill", "events_session_window",
-    "events_sliding_window", "events_tumbling_window", "except_nations",
-    "explode_doc_tokens",
+    "events_sliding_window", "events_tumbling_window",
+    "events_weekly_retention", "except_nations", "explode_doc_tokens",
+    "export_balanced_shards", "export_shard_assignment",
     "feature_hashing_buckets", "filter_null_tests",
     "full_outer_nation_supplier", "fuzzy_name_pairs", "global_agg",
-    "grouped_pandas_zscore", "grouping_sets_mixed", "hash_funcs",
-    "hash_sample", "having_filter", "hybrid_rrf_retrieval",
-    "intersect_nations", "json_extract_events",
+    "gopher_quality_filters", "group_by_all_sql", "grouped_pandas_zscore",
+    "grouping_sets_mixed", "hash_funcs", "hash_sample", "having_filter",
+    "hll_mergeable_distinct", "hybrid_rrf_retrieval", "intersect_nations",
+    "interval_overlap_concurrency", "json_extract_events",
     "ks_price_returnflag_binned", "lateral_topk_per_nation",
     "left_join_order_counts", "limit_offset", "map_funcs_price_stats",
-    "math_funcs", "math_funcs_extended", "multimodal_feature_extract",
+    "math_funcs", "math_funcs_extended", "means_family_price",
+    "moments_skew_kurtosis", "multimodal_feature_extract",
     "multimodal_resize", "mutual_info_priority_flag",
-    "null_safe_join_groups", "outlier_orders_iqr", "pack_padding_waste",
-    "percentiles_price", "pivot_returnflag", "pivot_status_by_flag",
-    "price_histogram", "q10_returned_items", "q11_important_stock",
-    "q12_late_priority_mix", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_parts_supplier_count",
-    "q18_large_volume_customers", "q1_pricing_summary",
-    "q20_part_promotion_suppliers", "q21_waiting_suppliers",
-    "q22_dormant_customers", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_local_supplier_volume", "q6_revenue_change",
-    "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
+    "null_safe_join_groups", "order_streak_islands", "outlier_orders_iqr",
+    "pack_padding_waste", "pareto_abc_customers", "percentiles_price",
+    "pivot_returnflag", "pivot_status_by_flag", "price_histogram",
+    "q10_returned_items", "q11_important_stock", "q12_late_priority_mix",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_parts_supplier_count", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_disjunctive_revenue",
+    "q1_pricing_summary", "q20_part_promotion_suppliers",
+    "q21_waiting_suppliers", "q22_dormant_customers", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier_volume",
+    "q6_revenue_change", "q7_volume_shipping", "q8_market_share",
+    "q9_product_type_profit", "quality_classifier_score",
     "range_join_ship_lag", "recursive_cte_series", "regexp_funcs",
-    "rollup_nation_priority", "semi_join_big_spenders",
-    "sessionize_events_lag", "simhash_fingerprints_portable",
-    "similarity_anchor_topk_batch", "similarity_anchor_topk_results",
-    "similarity_ivf_recall", "similarity_lsh_recall",
-    "similarity_lsh_topk_batch", "similarity_pq_recall",
-    "similarity_topk_batch", "similarity_topk_bruteforce",
-    "sort_nulls_handling", "sql_scalar_subquery", "sqlite_compat_funcs",
+    "revenue_share_by_nation", "rfm_customer_segments",
+    "rollup_nation_priority", "scd2_customer_versions",
+    "semi_join_big_spenders", "sessionize_events_lag",
+    "simhash_fingerprints_portable", "similarity_anchor_topk_batch",
+    "similarity_anchor_topk_results", "similarity_ivf_recall",
+    "similarity_lsh_recall", "similarity_lsh_topk_batch",
+    "similarity_pq_recall", "similarity_topk_batch",
+    "similarity_topk_bruteforce", "sort_nulls_handling",
+    "source_temperature_mix", "split_cluster_safe",
+    "split_incremental_stable", "sql_scalar_subquery", "sqlite_compat_funcs",
     "stats_dispersion", "stratified_split_counts", "string_agg_suppliers",
-    "string_funcs", "string_funcs_extended", "table_profile",
-    "text_bigram_freq", "text_bigram_logprob", "text_fingerprint",
-    "text_lang_id", "text_quality", "text_tfidf_top_terms",
-    "text_token_stats", "text_unigram_logprob", "text_vocab_coverage",
-    "text_word_freq", "theta_join_richer_suppliers", "token_count_bpe",
-    "topk_per_group", "udf_pandas_vowel_count", "udtf_chunk_text",
-    "union_all_nation_keys", "unpivot_lineitem_metrics",
-    "window_distribution", "window_ignore_nulls", "window_lag_lead_orders",
-    "window_range_frame", "window_rank_customers", "window_running_total"
+    "string_funcs", "string_funcs_extended", "supplier_concentration_hhi",
+    "table_profile", "text_bigram_freq", "text_bigram_logprob",
+    "text_fingerprint", "text_lang_id", "text_quality",
+    "text_tfidf_top_terms", "text_token_stats", "text_unigram_logprob",
+    "text_vocab_coverage", "text_word_freq", "theta_join_richer_suppliers",
+    "token_count_bpe", "token_entropy_by_lang", "topk_per_group",
+    "udf_pandas_vowel_count", "udtf_chunk_text", "union_all_nation_keys",
+    "unpivot_lineitem_metrics", "window_distribution", "window_ignore_nulls",
+    "window_lag_lead_orders", "window_range_frame", "window_rank_customers",
+    "window_running_total"
 })
 
 
@@ -4835,7 +4807,7 @@ def corr_regression_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_region_nations",
     """
     SELECT r_name,
-           list_sort(list(n_name)) AS nations,
+           array_to_string(list_sort(list(n_name)), '|') AS nations,
            COUNT(*) AS n_nations
     FROM region JOIN nation ON r_regionkey = n_regionkey
     GROUP BY r_name
@@ -4845,7 +4817,34 @@ def array_agg_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array_agg into a sorted list — collect_list's order is
     partition-arrival order (nondeterministic under parallelism), so
     a deterministic array aggregate MUST sort; both engines agree
-    once sorted."""
+    once sorted.
+
+    The registry entry emits the sorted list as a '|'-joined STRING:
+    the independent harness canonicalizes results with pandas
+    sort_values, which cannot sort ndarray cells (r5 driver ERR), so
+    an array-typed output column is un-adjudicable even when correct.
+    The raw ArrayType form is pinned locally by
+    tests/test_array_agg_array_twin.py."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(
+                "|", F.sort_array(F.collect_list("n_name"))
+            ).alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+def array_agg_region_nations_array(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Array-typed twin of array_agg_region_nations (NOT registered —
+    the driver harness cannot canonicalize ArrayType cells). Pinned
+    against the string form by tests/test_array_agg_array_twin.py."""
     r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation")
     return (
@@ -8322,8 +8321,10 @@ def decontaminate_exact_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
+    ), kk AS (
+      SELECT GREATEST(32, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS k FROM v
     ), anchors AS (
-      SELECT vec_id AS anchor_id, v AS av FROM v WHERE vec_id < 32
+      SELECT vec_id AS anchor_id, v AS av FROM v, kk WHERE vec_id < kk.k
     ), scored AS (
       SELECT x.vec_id, a.anchor_id,
              list_sum(list_transform(range(1, len(x.v) + 1),
@@ -8369,21 +8370,33 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict row (vec_id, cluster_id, centroid_cos, pruned).
 
     The quantizer is the deterministic anchor stand-in used by
-    dedup_embedding_cosine (32 smallest-id vectors, nearest-anchor
+    dedup_embedding_cosine (the k smallest-id vectors, nearest-anchor
     assignment = one k-means E-step) so the oracle reproduces the
     exact clustering; a production run swaps in the sample-trained
     IVF centroids from operators/similarity.py — the plan shape is
-    identical. Scale: anchors broadcast (k rows), assignment is a
-    k-row-per-key window (no skew), and the only quadratic work is
-    Σ bucket² over clusters — linear in n when k grows with the
-    corpus (the IVF rule), exactly how SemDeDup scales to LAION-5B.
-    Tie-break: equal centroid distance prunes the larger vec_id."""
+    identical. k SCALES WITH THE CORPUS: k = max(32, ceil(sqrt(n)))
+    (the IVF rule), computed declaratively from a 1-row broadcast
+    aggregate — no driver collect, and the oracle mirrors it with a
+    scalar subquery. With k ∝ sqrt(n) the only quadratic work,
+    Σ bucket² over clusters, is O(n²/k) = O(n^1.5) worst-case and
+    O(n) for balanced buckets — exactly how SemDeDup scales to
+    LAION-5B; tests/test_semdedup_scaling.py pins that k grows
+    across the sf0.001→sf0.1 fixtures and bounds realized pair
+    counts. Tie-break: equal centroid distance prunes the larger
+    vec_id."""
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
     from datasette_upload_csvs_spark.functions.vector import cosine
 
-    anchors = v.filter(F.col("vec_id") < 32).select(
-        F.col("vec_id").alias("anchor_id"), F.col("v").alias("av")
+    kdf = v.agg(
+        F.greatest(F.lit(32), F.ceil(F.sqrt(F.count("*"))))
+        .cast("long")
+        .alias("k")
+    )
+    anchors = (
+        v.join(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("anchor_id"), F.col("v").alias("av"))
     )
     scored = v.join(F.broadcast(anchors)).select(
         "vec_id", "anchor_id", cosine(F.col("v"), F.col("av")).alias("ac")
