@@ -450,6 +450,23 @@ class UploadApp:
             await self._respond(send, 403, str(ex))
             return
 
+        # reference __init__.py:76-79: ?_num_bytes_to_detect_with=
+        # overrides the 2 MB encoding-sniff window (used by the
+        # reference's LATIN1_AFTER_FIRST_2KB test to force a window
+        # that misses the late latin-1 byte — ingest must degrade
+        # gracefully, not crash). Non-integer values are a client
+        # error here (the reference would 500 on int()).
+        sniff_bytes = ingest.SNIFF_BYTES_DEFAULT
+        raw_sniff = (query.get("_num_bytes_to_detect_with") or [""])[0]
+        if raw_sniff:
+            try:
+                sniff_bytes = int(raw_sniff)
+            except ValueError:
+                await self._respond(
+                    send, 400, "_num_bytes_to_detect_with must be an integer"
+                )
+                return
+
         ctype = dict(
             (k.decode().lower(), v.decode()) for k, v in scope.get("headers", [])
         ).get("content-type", "")
@@ -490,7 +507,8 @@ class UploadApp:
                 os.unlink(f["path"])
 
         task = ingest.upload_csv_async(
-            self.spark, tmp, table=table, database=database, actor=actor
+            self.spark, tmp, table=table, database=database, actor=actor,
+            sniff_bytes=sniff_bytes,
         )
         self.tasks[task.task_id] = task
         self._watch_task(task, tmp)

@@ -647,3 +647,55 @@ def test_duplicate_field_name_does_not_orphan_spool(app):
     with open(fields["csv"]["path"], "rb") as f:
         assert f.read() == b"h\n2\n"
     os.unlink(fields["csv"]["path"])
+
+
+# reference tests/test_datasette_upload_csvs.py:83-85 — the é byte
+# sits ~7 KB in, past a 2048-byte sniff window
+LATIN1_AFTER_FIRST_2KB = (
+    "just_one_column\n" + "aabbcc\n" * 1048 + "a.b.é"
+).encode("latin-1")
+
+
+def test_sniff_override_query_param_latin1_after_window(app, spark):
+    """Port of the reference's LATIN1_AFTER_FIRST_2KB web-level case
+    (tests/test_datasette_upload_csvs.py:100,146-149 drives the POST
+    with ?_num_bytes_to_detect_with=2048): a sniff window that ends
+    before the first non-ascii byte must degrade gracefully — the
+    ascii verdict upgrades to latin-1 (A2) and the upload completes
+    end-to-end over HTTP with every row intact."""
+    body = multipart_body(
+        {
+            "csv": ("latin1-after-x.csv", LATIN1_AFTER_FIRST_2KB),
+            "table_name": (None, b"latin1_after_x"),
+            "xhr": (None, b"1"),
+        }
+    )
+    status, _, payload = call(
+        app, "POST", "/-/upload-csvs",
+        query="_num_bytes_to_detect_with=2048",
+        body=body,
+        ctype=f"multipart/form-data; boundary={BOUNDARY}",
+    )
+    assert status == 200
+    data = json.loads(payload)
+    result = app.tasks[data["task_id"]].result(timeout=120)
+    assert result.error is None
+    assert result.rows == 1049  # 1048 aabbcc rows + the late-é row
+    vals = {
+        r["just_one_column"] for r in spark.table(result.table).collect()
+    }
+    assert vals == {"aabbcc", "a.b.é"}
+    spark.sql(f"DROP TABLE IF EXISTS {result.table}")
+
+
+def test_sniff_override_rejects_non_integer(app):
+    body = multipart_body({"csv": ("x.csv", b"a\n1\n"), "xhr": (None, b"1")})
+    status, _, payload = call(
+        app, "POST", "/-/upload-csvs",
+        query="_num_bytes_to_detect_with=lots",
+        body=body,
+        ctype=f"multipart/form-data; boundary={BOUNDARY}",
+    )
+    assert status == 400
+    assert b"_num_bytes_to_detect_with" in payload
+    assert not app.tasks  # rejected before any ingest task started
