@@ -135,20 +135,34 @@ def append_splits(
     id_col: str = "doc_id",
     threshold: float = 0.7,
     max_df: int = 20,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Extend ``prev`` assignments to the grown corpus ``docs``.
 
     Stability contract: the returned DataFrame contains every row of
     ``prev`` byte-identical, plus one new row per document of ``docs``
     not present in ``prev``. No existing document ever changes
-    cluster_id or split."""
+    cluster_id or split.
+
+    ``edges`` (optional): pre-computed verified near-dup edges
+    (id_a, id_b) with ≥1 new endpoint — e.g. from a maintained
+    ShingleIndex (edges_for_batch), in which case ``docs`` may be
+    JUST the new batch and the corpus text is never re-read or
+    re-shingled (the 100 TB path; see append_splits_from_index).
+    When omitted, edges come from a corpus rescan via
+    dedup.ngram_jaccard_pairs(restrict_to_ids=new). The caller owns
+    threshold/max_df consistency between the edge source and the
+    labels already frozen in ``prev``."""
     prev_cols = prev.select("doc_id", "cluster_id", "split", "bridged")
     new_ids = docs.select(F.col(id_col)).join(
         prev_cols.select(F.col("doc_id").alias(id_col)), on=id_col, how="left_anti"
     )
-    edges = _incremental_edges(
-        docs, new_ids, text_col, id_col, threshold, max_df
-    )
+    if edges is None:
+        edges = _incremental_edges(
+            docs, new_ids, text_col, id_col, threshold, max_df
+        )
+    else:
+        edges = edges.select("id_a", "id_b")
     cc = connected_components(edges)
 
     # per incremental component: the anchor = smallest previously
@@ -188,3 +202,44 @@ def append_splits(
         )
     )
     return prev_cols.unionByName(new_rows)
+
+
+def append_splits_from_index(
+    prev: DataFrame,
+    index,
+    new_docs: DataFrame,
+    batch: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    max_df: int = 20,
+) -> DataFrame:
+    """Incremental split assignment backed by a maintained
+    ShingleIndex — the end-to-end 100 TB append path: ONE
+    tokenize/hash pass over the new batch, ZERO re-reads of corpus
+    text (tests/test_splits_index.py pins the returned plan free of
+    any prior batch's document scan).
+
+    Runs the index's documented order: edges_for_batch(new_docs)
+    against the committed corpus + the batch itself, THEN
+    index.append(new_docs, batch). The returned assignments are
+    output-equal to append_splits(prev, full_corpus) because
+    edges_for_batch is output-equivalent to the rescan path
+    (tests/test_shingle_index.py). The edge frame is EAGERLY
+    materialized (localCheckpoint) before the append: edges_for_batch
+    reads the index tables the append then mutates, so a lazy edge
+    plan evaluated after the append would double-count the batch in
+    df — lineage truncation removes the hazard entirely (no
+    recompute-after-eviction path, unlike persist)."""
+    edges = index.edges_for_batch(
+        new_docs,
+        threshold=threshold,
+        max_df=max_df,
+        text_col=text_col,
+        id_col=id_col,
+    ).localCheckpoint(eager=True)
+    out = append_splits(
+        prev, new_docs, text_col, id_col, threshold, max_df, edges=edges
+    )
+    index.append(new_docs, batch=batch, text_col=text_col, id_col=id_col)
+    return out
