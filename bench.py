@@ -94,19 +94,25 @@ def main() -> None:
     for name in HEADLINE:
         fn = registry[name]
         # min of 3 timed runs after one discarded per-query warmup
-        # (on top of the global warmup pass above): sub-half-second
-        # queries moved ±20-34% under the old min-of-2 protocol —
-        # real regressions would hide inside that noise. The min is
-        # the steady-state number; max-min is reported as the spread
-        # so a plan regression is distinguishable from host jitter.
+        # (on top of the global warmup pass above); SUB-1s queries
+        # get min of 5 — their round-5 spreads (up to 2.0 s on a
+        # loaded host) were comparable to the numbers themselves, so
+        # two extra samples buy a far more trustworthy min at
+        # negligible wall cost. The min is the steady-state number;
+        # max-min is reported as the spread so a plan regression is
+        # distinguishable from host jitter.
         samples, n = [], 0
-        for i in range(4):
+        i, budget = 0, 4
+        while i < budget:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()  # full pipeline materialization
             el = time.perf_counter() - t0
             if i > 0:  # sample 0 is the discarded warmup
                 samples.append(el)
+                if len(samples) == 1 and el < 1.0:
+                    budget = 6  # sub-1s tier: 5 timed samples
+            i += 1
         # drop persisted frames a query left behind (e.g. minhash's
         # signature cache): accumulated blocks inflate GC for every
         # later query and make run N slower than run 1.
