@@ -281,24 +281,35 @@ class ShingleIndex:
             .drop("_a_new", "_b_new")
         )
 
-        # PPJoin count prune (output-invariant): per-doc stats are
-        # 3 ints, read from the sets table WITHOUT the hash arrays
-        # (column pruning) for old docs, in-plan for new docs
-        sizes = new_sets.select("doc_id", "n")
-        old_sets = self._committed(self.sets)
-        if old_sets is not None:
-            sizes = old_sets.select("doc_id", "n").unionByName(sizes)
-        n_rare = all_post.groupBy("doc_id").agg(
-            F.count("*").alias("n_rare")
-        )
+        # The sets table (the widest index relation — full hash
+        # arrays) is scanned ONCE: a broadcast candidate-id semi
+        # prune selects the batch-scale survivor rows with all three
+        # columns (doc_id, n, sh), and that persisted frame feeds
+        # the PPJoin stats AND both sides of the exact verify. (The
+        # first cut scanned sets three times — sizes + each verify
+        # side; at 64x corpus width the redundant array scans, not
+        # the candidate work, dominated the query.)
         cand_ids = (
             cand.select(F.col("id_a").alias("doc_id"))
             .unionByName(cand.select(F.col("id_b").alias("doc_id")))
             .distinct()
             .persist()
         )
+        all_sets = new_sets.select("doc_id", "n", "sh")
+        old_sets = self._committed(self.sets)
+        if old_sets is not None:
+            all_sets = old_sets.select("doc_id", "n", "sh").unionByName(
+                all_sets
+            )
+        pruned_sets = all_sets.join(F.broadcast(cand_ids), "doc_id").persist()
+
+        # PPJoin count prune (output-invariant): per-doc stats are
+        # 3 ints off the pruned frame
+        n_rare = all_post.groupBy("doc_id").agg(
+            F.count("*").alias("n_rare")
+        )
         stats = (
-            sizes.join(F.broadcast(cand_ids), "doc_id")
+            pruned_sets.select("doc_id", "n")
             .join(F.broadcast(n_rare), "doc_id", "left")
             .select(
                 "doc_id",
@@ -311,18 +322,14 @@ class ShingleIndex:
         cand = _count_prune(cand, stats, "doc_id", "jaccard", threshold,
                             "c_rare")
 
-        # exact verify over full hash sets. Each side of the lookup
-        # broadcasts the batch-scale candidate id set into a map-side
-        # scan of the sets relation; the final pair join moves only
-        # batch-scale rows (it may shuffle — that is batch-keyed, not
-        # corpus-keyed).
-        all_sets = new_sets.select("doc_id", "sh")
-        if old_sets is not None:
-            all_sets = old_sets.select("doc_id", "sh").unionByName(all_sets)
-        ja = all_sets.join(F.broadcast(cand_ids), "doc_id").select(
+        # exact verify over full hash sets — both lookup sides come
+        # from the one pruned scan; the final pair join moves only
+        # batch-scale rows (it may shuffle — that is batch-keyed,
+        # not corpus-keyed).
+        ja = pruned_sets.select(
             F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
         )
-        jb = all_sets.join(F.broadcast(cand_ids), "doc_id").select(
+        jb = pruned_sets.select(
             F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
         )
         shared = F.size(F.array_intersect("sh_a", "sh_b"))

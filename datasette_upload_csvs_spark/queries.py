@@ -9134,6 +9134,246 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# UniMax budget allocation (Chung et al. ICLR '23)
+# ====================================================================
+
+
+@q(
+    "unimax_source_mix",
+    f"""
+    WITH t AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split_regex(text,
+                      '{SPLIT_RE}'), x -> x <> ''))) AS BIGINT) AS c
+      FROM documents GROUP BY source
+    ), g AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS tot, COUNT(*) AS n FROM t
+    ), o AS (
+      SELECT source, c, (3 * c) / 2.0 AS cap,
+             ROW_NUMBER() OVER (ORDER BY (3 * c) / 2.0, source) AS k,
+             COALESCE(SUM((3 * c) / 2.0) OVER (ORDER BY (3 * c) / 2.0,
+                      source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS pre
+      FROM t
+    ), u AS (
+      SELECT o.*, ((7 * g.tot) / 5.0 - pre) / (g.n - k + 1) AS uk
+      FROM o, g
+    ), piv AS (
+      SELECT MIN(k) AS p FROM u WHERE cap > uk
+    ), star AS (
+      SELECT uk AS ustar FROM u, piv WHERE u.k = piv.p
+    )
+    SELECT u.source, u.c AS n_tokens, u.cap AS cap_tokens,
+           round(CASE WHEN piv.p IS NULL OR u.k < piv.p
+                      THEN u.cap ELSE star.ustar END,
+                 4) AS alloc_tokens,
+           round(CASE WHEN piv.p IS NULL OR u.k < piv.p
+                      THEN u.cap ELSE star.ustar END
+                 / u.c, 6) AS epochs_used
+    FROM u LEFT JOIN piv ON TRUE LEFT JOIN star ON TRUE
+    """,
+)
+def unimax_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax (Chung et al. ICLR '23) budget allocation: distribute
+    a total token budget across sources as uniformly as possible,
+    capping every source at E epochs of its own corpus — the
+    repetition-bounded alternative to temperature sampling
+    (source_temperature_mix), which can silently run tiny sources
+    for hundreds of epochs. E = 1.5, budget B = 1.4x corpus
+    tokens here (chosen so BOTH branches — capped-out small sources
+    AND equal-share large ones — are exercised at fixture scale).
+    Caps and prefix sums are exact half-integers in double, so the
+    running window sum is bit-identical in both engines.
+
+    The water-filling closed form replaces UniMax's sequential loop:
+    sort sources ascending by cap, prefix-sum the caps; source k's
+    fair share is u_k = (B - prefix_{{k-1}})/(n-k+1); the pivot p is
+    the first k whose cap exceeds its fair share — everything before
+    p gets its full cap, everything from p on gets the EQUAL share
+    u_p. All comparisons are on doubles derived from exact integers,
+    so both engines branch identically.
+
+    Scale shape: one partial-aggregated groupBy on source, then all
+    window/pivot arithmetic runs on the |sources|-row aggregate —
+    corpus read once, map-side; the windows are single-partition
+    over a tiny frame by construction."""
+    d = load(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.sum(F.size(_text_tokens(F.col("text")))).cast("bigint").alias("c")
+    )
+    g = t.agg(
+        F.sum("c").cast("bigint").alias("tot"), F.count("*").alias("n")
+    )
+    o = t.select(
+        "source", "c",
+        ((F.lit(3) * F.col("c")) / F.lit(2.0)).alias("cap"),
+    )
+    w = Window.orderBy("cap", "source")
+    o = o.select(
+        "*",
+        F.row_number().over(w).alias("k"),
+        F.coalesce(
+            F.sum("cap").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("pre"),
+    )
+    u = o.join(F.broadcast(g)).select(
+        "*",
+        (
+            ((F.lit(7) * F.col("tot")) / F.lit(5.0) - F.col("pre"))
+            / (F.col("n") - F.col("k") + 1)
+        ).alias("uk"),
+    )
+    piv = u.filter(F.col("cap") > F.col("uk")).agg(F.min("k").alias("p"))
+    star = (
+        u.join(F.broadcast(piv), u["k"] == piv["p"])
+        .select(F.col("uk").alias("ustar"))
+    )
+    alloc = F.when(
+        F.col("p").isNull() | (F.col("k") < F.col("p")),
+        F.col("cap").cast("double"),
+    ).otherwise(F.col("ustar"))
+    return (
+        u.join(F.broadcast(piv), F.lit(True), "left")
+        .join(F.broadcast(star), F.lit(True), "left")
+        .select(
+            "source",
+            F.col("c").alias("n_tokens"),
+            F.col("cap").alias("cap_tokens"),
+            F.round(alloc, 4).alias("alloc_tokens"),
+            F.round(alloc / F.col("c"), 6).alias("epochs_used"),
+        )
+    )
+
+
+# ====================================================================
+# SoftDedup commonness reweighting (He et al. ACL '24)
+# ====================================================================
+
+
+@q(
+    "softdedup_commonness_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+      FROM toks, UNNEST(range(1, greatest(len(t) - 6, 2))) AS u(i)
+    ), dfs AS (
+      SELECT g, COUNT(*) AS df FROM sh GROUP BY g
+    )
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           round(1.0 * SUM(dfs.df) / COUNT(*), 6) AS mean_gram_df,
+           round(1.0 * COUNT(*) / SUM(dfs.df), 6) AS weight
+    FROM sh s JOIN dfs USING (g)
+    GROUP BY s.doc_id
+    """,
+)
+def softdedup_commonness_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SoftDedup (He et al. ACL '24): instead of DELETING near-dups,
+    down-weight every document by its "data commonness" so common
+    text contributes proportionally less training signal — here
+    commonness = mean corpus document-frequency of the doc's
+    distinct 8-gram fingerprints, weight = 1/commonness (a fully
+    unique doc gets weight 1.0; a doc whose grams all appear in k
+    docs gets ~1/k). The soft complement to the hard removal list of
+    decontaminate_exact_ngram / dedup_groups.
+
+    Grams are the hashed-window fingerprints of _hashed_gram_rows
+    (never materialized as strings; the oracle agrees on gram
+    EQUALITY, not values). mean_gram_df = SUM(df)/COUNT on exact
+    int64s — both engines divide identical integers.
+
+    Scale shape: the canonical TF-IDF-shaped plan — one gram-keyed
+    aggregation for df, one gram-keyed join back, one doc-keyed
+    aggregation (three exchanges, each partial-aggregated map-side;
+    AQE's skew-join split handles boilerplate-gram hot keys). No
+    per-doc state, no driver loop."""
+    d = load(spark, sf_dir, "documents")
+    sh = _hashed_gram_rows(d, 8, ["doc_id"])
+    dfs = sh.groupBy("g").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfs, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("df").alias("_sum_df"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.round(
+                F.col("_sum_df").cast("double") / F.col("n_grams"), 6
+            ).alias("mean_gram_df"),
+            F.round(
+                F.col("n_grams").cast("double") / F.col("_sum_df"), 6
+            ).alias("weight"),
+        )
+    )
+
+
+# ====================================================================
+# tokenizer fertility diagnostics
+# ====================================================================
+
+
+@q(
+    "tokenizer_fertility_by_lang",
+    f"""
+    WITH t AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                             x -> x <> '')) AS n_tok,
+             LENGTH(text) AS n_chr
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+           round(1.0 * SUM(n_chr) / SUM(n_tok), 6) AS chars_per_token,
+           round(1.0 * SUM(n_tok) / COUNT(*), 6) AS tokens_per_doc
+    FROM t GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility audit by language: chars-per-token (the
+    compression a byte-level tokenizer must beat) and tokens-per-doc
+    per language — the table a tokenizer-budget decision (vocab
+    size, per-language byte premium) reads first. Exact-integer
+    ratios, identical in both engines.
+
+    Scale shape: map-only projection into one partial-aggregated
+    groupBy on a tiny key (languages) — a single reduce of
+    |langs| rows."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.size(_text_tokens(F.col("text"))).alias("n_tok"),
+        F.length("text").alias("n_chr"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("n_chr").cast("bigint").alias("n_chars"),
+        F.round(
+            F.sum("n_chr").cast("double") / F.sum("n_tok"), 6
+        ).alias("chars_per_token"),
+        F.round(
+            F.sum("n_tok").cast("double") / F.count("*"), 6
+        ).alias("tokens_per_doc"),
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 
