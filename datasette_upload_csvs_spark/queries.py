@@ -74,7 +74,9 @@ _DRIVER_PRIORITY = [
     # (r1-r5 union). 19 names + round-6 fresh entries fit well
     # inside the 50-name prefix, so r1∪…∪r6 can reach 203/203
     # distinct driver-verified queries.
-    "array_agg_region_nations", "semdedup_prune", "merge_upsert_orders",
+    "array_agg_region_nations", "semdedup_prune",
+    "dsir_importance_weights", "dsir_resample_topk",  # impl changed r6
+    "merge_upsert_orders",
     "sample_deterministic", "sample_stratified", "sample_weighted_orders",
     "sample_n_per_group_orders", "dq_check_orders",
     "equidepth_histogram_price", "benford_first_digit",
@@ -105,7 +107,7 @@ _DRIVER_CHECKED = frozenset({
     "dedup_ngram_coverage", "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped", "dedup_rate_by_source", "dedup_simhash",
     "disjunctive_filter_join", "distinct_status_priority", "doc_keywords",
-    "dsir_importance_weights", "dsir_resample_topk",
+    
     "embedding_centroid_distance", "embedding_quantize_int8",
     "event_type_transition_matrix", "events_anomaly_mad_daily",
     "events_funnel", "events_resample_gapfill", "events_session_window",
@@ -8446,6 +8448,110 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "d4_prototype_prune",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), kk AS (
+      SELECT GREATEST(32, CAST(ceil(sqrt(COUNT(*))) AS BIGINT)) AS k FROM v
+    ), anchors AS (
+      SELECT vec_id AS anchor_id, v AS av FROM v, kk WHERE vec_id < kk.k
+    ), scored AS (
+      SELECT x.vec_id, a.anchor_id,
+             list_sum(list_transform(range(1, len(x.v) + 1),
+                      i -> x.v[i] * a.av[i]))
+               / (sqrt(list_sum(list_transform(x.v, e -> e * e)))
+                  * sqrt(list_sum(list_transform(a.av, e -> e * e)))) AS ac
+      FROM v x CROSS JOIN anchors a
+    ), assign AS (
+      SELECT vec_id, anchor_id AS cluster_id, ac AS c2c FROM (
+        SELECT vec_id, anchor_id, ac,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ac DESC, anchor_id ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), ranked AS (
+      SELECT vec_id, cluster_id, c2c,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY c2c DESC, vec_id ASC)
+               AS proto_rank,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cnt
+      FROM assign
+    )
+    SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           round(c2c, 6) AS centroid_cos,
+           proto_rank,
+           proto_rank > CAST(FLOOR((3 * cnt) / 10.0) AS BIGINT) AS kept
+    FROM ranked
+    """,
+)
+def d4_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4's second stage (Tirumala et al. '23: SemDeDup, THEN drop
+    the most PROTOTYPICAL points): within each cluster, rank by
+    cosine-to-centroid descending and drop the top 30 % — the
+    interior points a near-duplicate-free corpus still wastes epochs
+    on; the kept tail is the diverse shell. Complements
+    semdedup_prune (pairwise-duplicate pruning): the two registry
+    entries ARE the D4 pipeline run in sequence.
+
+    Same scale-parameterized quantizer as semdedup_prune
+    (k = max(32, ceil(sqrt(n))), anchors broadcast, assignment via a
+    k-rows-per-key window). The prune itself is one window over
+    cluster partitions (bounded, no skew beyond cluster size) — no
+    pairwise stage at all, so this is the cheaper D4 leg. The drop
+    count floor((3·cnt)/10.0) stays on exact-integer-derived doubles,
+    so both engines agree at every boundary."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    from datasette_upload_csvs_spark.functions.vector import cosine
+
+    kdf = v.agg(
+        F.greatest(F.lit(32), F.ceil(F.sqrt(F.count("*"))))
+        .cast("long")
+        .alias("k")
+    )
+    anchors = (
+        v.join(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("anchor_id"), F.col("v").alias("av"))
+    )
+    scored = v.join(F.broadcast(anchors)).select(
+        "vec_id", "anchor_id", cosine(F.col("v"), F.col("av")).alias("ac")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ac").desc(), F.col("anchor_id").asc()
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("anchor_id").alias("cluster_id"),
+            F.col("ac").alias("c2c"),
+        )
+    )
+    wc = Window.partitionBy("cluster_id")
+    ranked = assign.select(
+        "*",
+        F.row_number()
+        .over(wc.orderBy(F.col("c2c").desc(), F.col("vec_id").asc()))
+        .alias("proto_rank"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    return ranked.select(
+        "vec_id",
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.round("c2c", 6).alias("centroid_cos"),
+        "proto_rank",
+        (
+            F.col("proto_rank")
+            > F.floor((F.lit(3) * F.col("cnt")) / F.lit(10.0)).cast("bigint")
+        ).alias("kept"),
+    )
+
+
 # The DSIR weight table, as oracle-SQL CTEs shared by
 # dsir_importance_weights (which materializes it) and
 # dsir_resample_topk (which consumes it) — one definition, two
@@ -8518,18 +8624,21 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.pmod(_md5_low64(F.col("w")), F.lit(4096)).cast("bigint").alias("b"),
     )
-    q_cnt = hashed.groupBy("b").agg(F.count("*").alias("qc"))
-    t_cnt = (
-        hashed.filter(F.pmod("doc_id", F.lit(10)) == 0)
-        .groupBy("b")
-        .agg(F.count("*").alias("tc"))
+    # ONE bucket-keyed shuffle computes BOTH distributions: the raw
+    # count and the target-slice count fold into the same partial
+    # aggregate (round-5 shipped them as two full passes over the
+    # exploded token relation plus a 4096-row join to recombine —
+    # at 100 TB that is a second corpus shuffle for no information).
+    cnts = hashed.groupBy("b").agg(
+        F.count("*").alias("qc"),
+        F.count_if(F.pmod("doc_id", F.lit(10)) == 0).alias("tc"),
     )
-    tots = q_cnt.agg(F.sum("qc").alias("q_tot")).crossJoin(
-        t_cnt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("t_tot"))
+    tots = cnts.agg(
+        F.sum("qc").alias("q_tot"),
+        F.coalesce(F.sum("tc"), F.lit(0)).alias("t_tot"),
     )
     lam = (
-        q_cnt.join(t_cnt, "b", "left")
-        .crossJoin(F.broadcast(tots))
+        cnts.crossJoin(F.broadcast(tots))
         .select(
             "b",
             # decimal(18,12), NOT (28,12): the per-doc product
