@@ -63,6 +63,11 @@ HEADLINE = [
     "semdedup_prune",
     "dsir_resample_topk",
     "gopher_quality_filters",
+    # round-6 corpus-scale additions: SoftDedup commonness weights
+    # (the TF-IDF-shaped gram df/join/agg pipeline) and the D4
+    # prototype-pruning leg (quantizer assignment + cluster window)
+    "softdedup_commonness_weights",
+    "d4_prototype_prune",
 ]
 
 

@@ -9307,54 +9307,14 @@ def unimax_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     window/pivot arithmetic runs on the |sources|-row aggregate —
     corpus read once, map-side; the windows are single-partition
     over a tiny frame by construction."""
+    from datasette_upload_csvs_spark.operators.mixing import unimax_allocate
+
     d = load(spark, sf_dir, "documents")
     t = d.groupBy("source").agg(
         F.sum(F.size(_text_tokens(F.col("text")))).cast("bigint").alias("c")
     )
-    g = t.agg(
-        F.sum("c").cast("bigint").alias("tot"), F.count("*").alias("n")
-    )
-    o = t.select(
-        "source", "c",
-        ((F.lit(3) * F.col("c")) / F.lit(2.0)).alias("cap"),
-    )
-    w = Window.orderBy("cap", "source")
-    o = o.select(
-        "*",
-        F.row_number().over(w).alias("k"),
-        F.coalesce(
-            F.sum("cap").over(
-                w.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("pre"),
-    )
-    u = o.join(F.broadcast(g)).select(
-        "*",
-        (
-            ((F.lit(7) * F.col("tot")) / F.lit(5.0) - F.col("pre"))
-            / (F.col("n") - F.col("k") + 1)
-        ).alias("uk"),
-    )
-    piv = u.filter(F.col("cap") > F.col("uk")).agg(F.min("k").alias("p"))
-    star = (
-        u.join(F.broadcast(piv), u["k"] == piv["p"])
-        .select(F.col("uk").alias("ustar"))
-    )
-    alloc = F.when(
-        F.col("p").isNull() | (F.col("k") < F.col("p")),
-        F.col("cap").cast("double"),
-    ).otherwise(F.col("ustar"))
-    return (
-        u.join(F.broadcast(piv), F.lit(True), "left")
-        .join(F.broadcast(star), F.lit(True), "left")
-        .select(
-            "source",
-            F.col("c").alias("n_tokens"),
-            F.col("cap").alias("cap_tokens"),
-            F.round(alloc, 4).alias("alloc_tokens"),
-            F.round(alloc / F.col("c"), 6).alias("epochs_used"),
-        )
+    return unimax_allocate(
+        t, budget_num=7, budget_den=5.0, epochs_num=3, epochs_den=2.0
     )
 
 
