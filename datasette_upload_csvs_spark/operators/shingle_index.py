@@ -88,8 +88,17 @@ class ShingleIndex:
 
     def _write_partition(self, out: DataFrame, table: str) -> None:
         """Idempotent per-batch write (dynamic partition overwrite —
-        the curation_stream._write_batch recovery grain)."""
-        spark = self.spark
+        the curation_stream._write_batch recovery grain).
+
+        The conf MUST be set on ``out``'s OWN session, not
+        ``self.spark``: under foreachBatch the micro-batch frame
+        belongs to a per-epoch CLONED session whose conf snapshot was
+        taken at clone time — setting dynamic mode on the outer
+        session leaves the clone on STATIC overwrite, and insertInto
+        then silently replaces the WHOLE table instead of the batch's
+        partition (found by the split_stream replay test: the index
+        lost every earlier batch on the second epoch)."""
+        spark = out.sparkSession
         key = "spark.sql.sources.partitionOverwriteMode"
         prev = spark.conf.get(key, None)
         spark.conf.set(key, "dynamic")
@@ -159,14 +168,25 @@ class ShingleIndex:
         )
         marker.write.mode(mode).format("parquet").saveAsTable(self.commits)
 
-    def _committed(self, table: str) -> DataFrame | None:
+    def _committed(
+        self, table: str, exclude_batch: int | None = None
+    ) -> DataFrame | None:
         """Rows of ``table`` belonging to committed batches, or None
         when the index is empty. The commit list is tiny — it reaches
-        the scan as a broadcast semi-join on the partition column."""
+        the scan as a broadcast semi-join on the partition column.
+
+        ``exclude_batch`` drops one batch id from the committed set:
+        an at-least-once caller (streaming foreachBatch) that crashed
+        AFTER append(batch) committed but BEFORE its own offsets were
+        recorded will re-run edges_for_batch with the batch already
+        in the index — excluding its own id makes the replay compute
+        exactly what the first run computed."""
         spark = self.spark
         if not spark.catalog.tableExists(self.commits):
             return None
         good = spark.table(self.commits).select("batch").distinct()
+        if exclude_batch is not None:
+            good = good.filter(F.col("batch") != exclude_batch)
         return spark.table(table).join(F.broadcast(good), "batch", "left_semi")
 
     # ---------------------------------------------------------- query
@@ -177,6 +197,7 @@ class ShingleIndex:
         max_df: int = 20,
         text_col: str = "text",
         id_col: str = "doc_id",
+        exclude_batch: int | None = None,
     ) -> DataFrame:
         """Verified near-dup edges (id_a < id_b, jaccard) with ≥1
         endpoint in ``new_docs``, against the committed corpus PLUS
@@ -184,7 +205,11 @@ class ShingleIndex:
         holds the prior corpus; batch-internal pairs come from the
         batch frames in this plan. (Calling it after the batch was
         appended double-counts the batch in df and is guarded only
-        by the self-pair filter — keep the documented order.)
+        by the self-pair filter — keep the documented order. An
+        at-least-once REPLAY that cannot keep the order passes its
+        own batch id as ``exclude_batch`` to mask the already-
+        committed batch, making the replay bit-equal to the first
+        run.)
 
         df cap semantics match the one-shot capped path: a shingle's
         document frequency counts the WHOLE grown corpus (sidecar
@@ -213,7 +238,7 @@ class ShingleIndex:
         # full-corpus df for exactly those shingles: the broadcast
         # join prunes the (compact) sidecar aggregation, and the
         # pruned aggregate re-broadcasts — ≤ |batch shingles| rows
-        old_df_rows = self._committed(self.df_tab)
+        old_df_rows = self._committed(self.df_tab, exclude_batch)
         if old_df_rows is not None:
             df_old = (
                 old_df_rows.join(
@@ -241,7 +266,7 @@ class ShingleIndex:
         # partner postings: committed index rows for rare batch
         # shingles + the batch's own postings for those shingles
         all_post = new_postings.join(F.broadcast(rare), "shingle")
-        old_post = self._committed(self.postings)
+        old_post = self._committed(self.postings, exclude_batch)
         if old_post is not None:
             all_post = old_post.select("shingle", "doc_id").join(
                 F.broadcast(rare), "shingle"
@@ -296,7 +321,7 @@ class ShingleIndex:
             .persist()
         )
         all_sets = new_sets.select("doc_id", "n", "sh")
-        old_sets = self._committed(self.sets)
+        old_sets = self._committed(self.sets, exclude_batch)
         if old_sets is not None:
             all_sets = old_sets.select("doc_id", "n", "sh").unionByName(
                 all_sets
