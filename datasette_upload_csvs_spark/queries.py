@@ -8386,35 +8386,9 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     across the sf0.001→sf0.1 fixtures and bounds realized pair
     counts. Tie-break: equal centroid distance prunes the larger
     vec_id."""
-    emb = load(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
     from datasette_upload_csvs_spark.functions.vector import cosine
 
-    kdf = v.agg(
-        F.greatest(F.lit(32), F.ceil(F.sqrt(F.count("*"))))
-        .cast("long")
-        .alias("k")
-    )
-    anchors = (
-        v.join(F.broadcast(kdf))
-        .filter(F.col("vec_id") < F.col("k"))
-        .select(F.col("vec_id").alias("anchor_id"), F.col("v").alias("av"))
-    )
-    scored = v.join(F.broadcast(anchors)).select(
-        "vec_id", "anchor_id", cosine(F.col("v"), F.col("av")).alias("ac")
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("ac").desc(), F.col("anchor_id").asc()
-    )
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            F.col("anchor_id").alias("cluster_id"),
-            F.col("ac").alias("c2c"),
-        )
-    )
+    v, assign = _anchor_assignment(spark, sf_dir)
     m = assign.join(v, "vec_id")
     a = m.select(
         F.col("vec_id").alias("id_a"),
@@ -8446,6 +8420,43 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c2c", 6).alias("centroid_cos"),
         F.coalesce(F.col("_hit"), F.lit(False)).alias("pruned"),
     )
+
+
+def _anchor_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared quantizer of the D4 pipeline (semdedup_prune +
+    d4_prototype_prune): k = max(32, ceil(sqrt(n))) smallest-id
+    anchor vectors (broadcast), nearest-anchor assignment as one
+    k-rows-per-key window — (vec_id, cluster_id, c2c)."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    from datasette_upload_csvs_spark.functions.vector import cosine
+
+    kdf = v.agg(
+        F.greatest(F.lit(32), F.ceil(F.sqrt(F.count("*"))))
+        .cast("long")
+        .alias("k")
+    )
+    anchors = (
+        v.join(F.broadcast(kdf))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("anchor_id"), F.col("v").alias("av"))
+    )
+    scored = v.join(F.broadcast(anchors)).select(
+        "vec_id", "anchor_id", cosine(F.col("v"), F.col("av")).alias("ac")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ac").desc(), F.col("anchor_id").asc()
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("anchor_id").alias("cluster_id"),
+            F.col("ac").alias("c2c"),
+        )
+    )
+    return v, assign
 
 
 @q(
@@ -8503,35 +8514,7 @@ def d4_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise stage at all, so this is the cheaper D4 leg. The drop
     count floor((3·cnt)/10.0) stays on exact-integer-derived doubles,
     so both engines agree at every boundary."""
-    emb = load(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
-    from datasette_upload_csvs_spark.functions.vector import cosine
-
-    kdf = v.agg(
-        F.greatest(F.lit(32), F.ceil(F.sqrt(F.count("*"))))
-        .cast("long")
-        .alias("k")
-    )
-    anchors = (
-        v.join(F.broadcast(kdf))
-        .filter(F.col("vec_id") < F.col("k"))
-        .select(F.col("vec_id").alias("anchor_id"), F.col("v").alias("av"))
-    )
-    scored = v.join(F.broadcast(anchors)).select(
-        "vec_id", "anchor_id", cosine(F.col("v"), F.col("av")).alias("ac")
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("ac").desc(), F.col("anchor_id").asc()
-    )
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            F.col("anchor_id").alias("cluster_id"),
-            F.col("ac").alias("c2c"),
-        )
-    )
+    v, assign = _anchor_assignment(spark, sf_dir)
     wc = Window.partitionBy("cluster_id")
     ranked = assign.select(
         "*",
