@@ -9226,6 +9226,142 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ====================================================================
+# curation pipeline funnel — the published-method stages composed
+# ====================================================================
+
+
+@q(
+    "curation_pipeline_funnel",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                         x -> x <> '') AS w
+      FROM documents WHERE doc_id % 10 <> 0
+    ), s1 AS (
+      SELECT doc_id, text, len(w) AS n_tok FROM t
+    ), m AS (
+      SELECT doc_id, text, len(w) AS n_tok,
+             len(w) AS n_words,
+             1.0 * coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+               / greatest(len(w), 1) AS mwl,
+             1.0 * len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+               / greatest(len(w), 1) AS fa,
+             len(list_filter(w, x -> list_contains([{_STOP_SQL}], x)))
+               AS n_stop_hits
+      FROM t
+    ), s2 AS (
+      SELECT doc_id, text, n_tok FROM m
+      WHERE n_words BETWEEN 20 AND 100000
+        AND mwl BETWEEN 3 AND 10 AND fa >= 0.8 AND n_stop_hits >= 2
+    ), toksall AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS tt
+      FROM documents
+    ), shall AS (
+      SELECT DISTINCT doc_id, array_to_string(tt[i:i+7], ' ') AS g
+      FROM toksall, UNNEST(range(1, greatest(len(tt) - 6, 2))) AS u(i)
+    ), bench AS (
+      SELECT DISTINCT g FROM shall WHERE doc_id % 10 = 0
+    ), contam AS (
+      SELECT DISTINCT s.doc_id FROM shall s JOIN bench USING (g)
+      WHERE s.doc_id % 10 <> 0
+    ), s3 AS (
+      SELECT * FROM s2
+      WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ), s4 AS (
+      SELECT doc_id, n_tok FROM (
+        SELECT doc_id, n_tok,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM s3
+      ) WHERE rn = 1
+    )
+    SELECT * FROM (
+      SELECT 'raw' AS stage, 1 AS stage_order,
+             COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM s1
+      UNION ALL
+      SELECT 'gopher_quality', 2, COUNT(*), CAST(SUM(n_tok) AS BIGINT)
+      FROM s2
+      UNION ALL
+      SELECT 'decontaminated', 3, COUNT(*), CAST(SUM(n_tok) AS BIGINT)
+      FROM s3
+      UNION ALL
+      SELECT 'exact_deduped', 4, COUNT(*), CAST(SUM(n_tok) AS BIGINT)
+      FROM s4
+    )
+    """,
+)
+def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published-method curation pipeline composed end-to-end,
+    reported as a funnel audit — one row per stage with surviving
+    doc/token counts, the first table any dataset card or curation
+    review asks for. Stages over the train slice (doc_id%10<>0; the
+    %10=0 slice stands in for held-out benchmarks as everywhere
+    else):
+
+      raw → Gopher quality rules (Rae et al. '21 §A1.1, via the same
+      verdict gopher_quality_filters emits) → benchmark 8-gram
+      decontamination (GPT-3/Gopher screen, broadcast benchmark
+      grams) → exact dedup (md5 rank-1 representative per content
+      group, as dedup_exact_ranks).
+
+    Each stage REUSES the standalone registry entry's logic, so the
+    funnel cannot drift from the individually-verified operators.
+
+    Scale shape: the quality stage is map-only; decontamination adds
+    one broadcast gram join + a distinct on contaminated doc ids
+    (benchmark-overlap-sized); exact dedup is one hash-partitioned
+    window; the four stage aggregates are partial-aggregated counts
+    unioned into a 4-row result. Nothing quadratic, nothing
+    collected."""
+    d = load(spark, sf_dir, "documents")
+    train = d.filter(F.pmod("doc_id", F.lit(10)) != 0)
+    s1 = train.select(
+        "doc_id", "text", F.size(_text_tokens(F.col("text"))).alias("n_tok")
+    )
+    gk = (
+        gopher_quality_filters(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    s2 = s1.join(gk, "doc_id", "left_semi")
+    sh = _hashed_gram_rows(d, 8, ["doc_id"])
+    bench = (
+        sh.filter(F.pmod("doc_id", F.lit(10)) == 0).select("g").distinct()
+    )
+    contam = (
+        sh.filter(F.pmod("doc_id", F.lit(10)) != 0)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    s3 = s2.join(contam, "doc_id", "left_anti")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    s4 = (
+        s3.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    def agg(frame, stage, order):
+        return frame.agg(
+            F.lit(stage).alias("stage"),
+            F.lit(order).cast("int").alias("stage_order"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        ).select("stage", "stage_order", "n_docs", "n_tokens")
+
+    return (
+        agg(s1, "raw", 1)
+        .unionByName(agg(s2, "gopher_quality", 2))
+        .unionByName(agg(s3, "decontaminated", 3))
+        .unionByName(agg(s4, "exact_deduped", 4))
+    )
+
+
+# ====================================================================
 # UniMax budget allocation (Chung et al. ICLR '23)
 # ====================================================================
 
