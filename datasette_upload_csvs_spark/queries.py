@@ -9562,6 +9562,369 @@ def tokenizer_fertility_by_lang(
 
 
 # ====================================================================
+# corpus statistics: Zipf fit and n-gram diversity
+# ====================================================================
+
+
+@q(
+    "zipf_slope_by_source",
+    f"""
+    WITH w AS (
+      SELECT source, tok AS word, COUNT(*) AS freq
+      FROM (SELECT source,
+                   unnest(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                      x -> x <> '')) AS tok
+            FROM documents)
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT source, freq,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY freq DESC, word) AS rnk
+      FROM w
+    ), xy AS (
+      SELECT source, ln(rnk) AS x, ln(freq) AS y FROM r WHERE rnk <= 500
+    ), s AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,14))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(28,14))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,14))) AS DOUBLE) AS sxx
+      FROM xy GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_ranks,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                 6) AS zipf_intercept
+    FROM s
+    """,
+)
+def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit per source: OLS slope of ln(freq) on
+    ln(rank) over the top-500 word ranks (ties broken by word for a
+    deterministic ranking). Natural text sits near slope −1; a slope
+    far from it flags templated/boilerplate or truncated-vocabulary
+    sources — a standard corpus-health probe on dataset cards.
+
+    Scale shape: one explode → (source, word) hash aggregate carries
+    all corpus-sized work; the rank window runs per source over its
+    vocabulary only, and the regression is closed-form from four
+    decimal-exact sums over ≤500 rows per source (no ML fit, no
+    second corpus pass). Sums are decimal(28,14)-exact so the slope
+    is independent of partition order."""
+    d = load(spark, sf_dir, "documents")
+    w = (
+        d.select("source", F.explode(_text_tokens("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("freq"))
+    )
+    r = w.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.col("freq").desc(), F.col("word")
+            )
+        ),
+    ).filter(F.col("rnk") <= 500)
+    xy = r.select(
+        "source",
+        F.log(F.col("rnk").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+
+    def dsum(c):
+        return F.sum(c.cast("decimal(28,14)")).cast("double")
+
+    s = xy.groupBy("source").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("x")).alias("sx"),
+        dsum(F.col("y")).alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_ranks"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+    )
+
+
+@q(
+    "ngram_diversity_by_source",
+    f"""
+    WITH t AS (
+      SELECT source,
+             list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                         x -> x <> '') AS tok
+      FROM documents
+    ), g AS (
+      SELECT source, n,
+             unnest(list_transform(
+               range(1, greatest(len(tok) - n + 1, 0) + 1),
+               i -> array_to_string(list_slice(tok, i, i + n - 1), ' ')
+             )) AS gram
+      FROM t, UNNEST([1, 2, 3]) AS u(n)
+    )
+    SELECT source, CAST(n AS INTEGER) AS n,
+           CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_ngrams,
+           round(1.0 * COUNT(DISTINCT gram) / COUNT(*), 6) AS ttr
+    FROM g GROUP BY source, n
+    """,
+)
+def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram type/token ratio per source for n=1,2,3 — the
+    distinct-over-total diversity measure (a falling TTR at higher n
+    exposes templated or machine-generated sources whose unigram
+    stats look healthy). Complements curation_repetition_stats
+    (within-doc repetition) with the cross-corpus view.
+
+    Scale shape: every n-gram is built inside codegen from the token
+    array (sequence + slice + array_join, no self-join), exploded
+    once, then one hash aggregate per (source, n) with map-side
+    partials; COUNT(DISTINCT) expands to the standard two-phase
+    distinct aggregate. No stage touches the corpus twice."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("source", _text_tokens("text").alias("tok"))
+    g = (
+        t.select(
+            "source", "tok", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("n")
+        )
+        .select(
+            "source",
+            "n",
+            F.explode(
+                F.when(
+                    F.size("tok") >= F.col("n"),
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("tok") - F.col("n") + 1),
+                        lambda i: F.array_join(
+                            F.slice(F.col("tok"), i, F.col("n")), " "
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+    )
+    return g.groupBy("source", "n").agg(
+        F.count("*").cast("bigint").alias("total_ngrams"),
+        F.count_distinct("gram").cast("bigint").alias("distinct_ngrams"),
+        F.round(F.count_distinct("gram") / F.count("*"), 6).alias("ttr"),
+    )
+
+
+# ====================================================================
+# distributed linear algebra: Lloyd step and power iteration
+# ====================================================================
+
+
+@q(
+    "kmeans_lloyd_step",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), init AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+             v AS c
+      FROM (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 8)
+    ), d AS (
+      SELECT vec_id, v.v AS v, cid,
+             list_sum(list_transform(range(1, len(v.v) + 1),
+                                     i -> (v.v[i] - c[i]) * (v.v[i] - c[i])))
+               AS d2
+      FROM v, init
+    ), a AS (
+      SELECT vec_id, v, cid, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM d
+    ), asg AS (SELECT vec_id, v, cid, d2 FROM a WHERE rn = 1),
+    pos AS (
+      SELECT cid, i AS pos, v[i] AS x
+      FROM asg, UNNEST(range(1, len(v) + 1)) AS u(i)
+    ), cent AS (
+      SELECT cid, pos,
+             CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*) AS m
+      FROM pos GROUP BY cid, pos
+    ), norm AS (
+      SELECT cid,
+             sqrt(CAST(SUM(CAST(m * m AS DECIMAL(28,14))) AS DOUBLE))
+               AS cnorm
+      FROM cent GROUP BY cid
+    ), stats AS (
+      SELECT cid, COUNT(*) AS n_members,
+             CAST(SUM(CAST(d2 AS DECIMAL(28,14))) AS DOUBLE) AS inertia
+      FROM asg GROUP BY cid
+    )
+    SELECT s.cid AS cluster_id, CAST(s.n_members AS BIGINT) AS n_members,
+           round(s.inertia, 6) AS inertia,
+           round(n.cnorm, 6) AS new_centroid_norm
+    FROM stats s JOIN norm n ON s.cid = n.cid
+    """,
+)
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd iteration of k-means (k=8, centroids
+    seeded from the 8 lowest vec_ids): assign every vector to its
+    nearest centroid by squared L2 (ties to the lower cluster id),
+    then recompute per-cluster size, inertia, and the updated
+    centroid's norm. A full k-means run is this step in a loop — each
+    iteration is the same two aggregates, so the entry is the unit of
+    work a driver-side loop repeats until the inertia delta floors.
+
+    Scale shape: the k×dim centroid table is broadcast (a few KB);
+    assignment is a map-only nested-loop against the broadcast with
+    the distance folded in codegen (zip_with + aggregate evaluates
+    positionally, so the doubles are bit-identical across engines and
+    the argmin needs no tolerance). The recompute is ONE
+    (cluster, pos) hash aggregate with decimal-exact sums that also
+    carries the cluster-level member count and inertia (identical
+    across a cluster's positions, read back with max()), so the
+    corpus is scanned exactly once — the plan a 1000-executor
+    MLlib-free k-means actually wants. No collect; the argmin is a
+    per-vector window over k=8 rows that Spark folds into a
+    pre-shuffle WindowGroupLimit."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    init = (
+        v.orderBy("vec_id")
+        .limit(8)
+        .select(
+            (
+                F.row_number().over(Window.orderBy("vec_id")) - 1
+            ).cast("int").alias("cid"),
+            F.col("v").alias("c"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    d = v.crossJoin(F.broadcast(init)).select("vec_id", "v", "cid", d2.alias("d2"))
+    asg = (
+        d.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy("d2", "cid")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    pos = asg.select(
+        "cid", "d2", F.posexplode("v").alias("pos0", "x")
+    ).select("cid", (F.col("pos0") + 1).alias("pos"), "x", "d2")
+    # Single corpus pass: the (cid, pos) aggregate carries the
+    # cluster-level stats too — member count and the decimal-exact
+    # inertia sum are identical across every pos of a cluster, so the
+    # cid-level rollup reads them back with max() instead of
+    # re-scanning the corpus through a second assignment subtree.
+    cent = pos.groupBy("cid", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,14)")).cast("double") / F.count("*")
+        ).alias("m"),
+        F.count("*").alias("cnt"),
+        F.sum(F.col("d2").cast("decimal(28,14)")).alias("sd2"),
+    )
+    return cent.groupBy("cid").agg(
+        F.max("cnt").cast("bigint").alias("n_members"),
+        F.round(F.max("sd2").cast("double"), 6).alias("inertia"),
+        F.round(
+            F.sqrt(
+                F.sum((F.col("m") * F.col("m")).cast("decimal(28,14)")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("new_centroid_norm"),
+    ).select(
+        F.col("cid").alias("cluster_id"),
+        "n_members",
+        "inertia",
+        "new_centroid_norm",
+    )
+
+
+@q(
+    "embedding_pca_power_iteration",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), dim AS (SELECT len(v) AS d FROM v LIMIT 1),
+    dots AS (
+      SELECT vec_id, v, list_sum(v) / sqrt(d) AS dot FROM v, dim
+    ), pos AS (
+      SELECT i AS pos, v[i] * dot AS contrib
+      FROM dots, UNNEST(range(1, len(v) + 1)) AS u(i)
+    ), w AS (
+      SELECT pos,
+             CAST(SUM(CAST(contrib AS DECIMAL(28,14))) AS DOUBLE) AS w
+      FROM pos GROUP BY pos
+    ), lam AS (
+      SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,14))) AS DOUBLE)) AS l
+      FROM w
+    )
+    SELECT CAST(pos AS INTEGER) AS pos,
+           round(w / l, 6) AS loading,
+           round(l, 6) AS gram_norm
+    FROM w, lam
+    """,
+)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the corpus's dominant
+    embedding direction (Mu & Viswanath '18 all-but-the-top: the
+    common direction every embedding shares, removed before cosine
+    retrieval): v1 = X'Xv0 / |X'Xv0| with v0 = 1/sqrt(dim). Returns
+    the per-dimension loading of v1 plus |X'Xv0| (the unnormalized
+    Rayleigh-step norm). A full power iteration repeats this step —
+    each pass is the same pair of aggregates with v0 re-broadcast.
+
+    Scale shape: X'Xv0 without materializing the gram matrix — the
+    per-vector dot x·v0 folds in codegen (positional, bit-identical
+    across engines), then ONE (pos) hash aggregate sums x * dot with
+    decimal-exact accumulation; dim rows out. Corpus is read once,
+    shuffled never (the aggregate key is the 64-value dimension
+    index, map-side combined)."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    dots = v.select(
+        "v",
+        (
+            F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x)
+            / F.sqrt(F.size("v").cast("double"))
+        ).alias("dot"),
+    )
+    pos = dots.select(F.posexplode("v").alias("pos0", "x"), "dot").select(
+        (F.col("pos0") + 1).alias("pos"), (F.col("x") * F.col("dot")).alias("contrib")
+    )
+    # w is dim rows; checkpoint it so the norm branch below reuses
+    # the one corpus aggregate instead of re-deriving the whole scan
+    # (same contract as the other small multi-consumer aggregates —
+    # see queries() docstring).
+    w = pos.groupBy("pos").agg(
+        F.sum(F.col("contrib").cast("decimal(28,14)")).cast("double").alias("w")
+    ).localCheckpoint(eager=False)
+    lam = w.agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(28,14)")).cast("double")
+        ).alias("l")
+    )
+    return w.crossJoin(F.broadcast(lam)).select(
+        F.col("pos").cast("int").alias("pos"),
+        F.round(F.col("w") / F.col("l"), 6).alias("loading"),
+        F.round("l", 6).alias("gram_norm"),
+    )
+
+
+# ====================================================================
 # entry() flagship
 # ====================================================================
 
