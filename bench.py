@@ -68,6 +68,13 @@ HEADLINE = [
     # prototype-pruning leg (quantizer assignment + cluster window)
     "softdedup_commonness_weights",
     "d4_prototype_prune",
+    # round-6 linear-algebra + diversity tier: one Lloyd iteration
+    # (broadcast centroids, single corpus scan), one power-iteration
+    # step (dimension-keyed aggregate), and the triple-n n-gram
+    # type/token ratio (heaviest explode fan-out in the registry)
+    "kmeans_lloyd_step",
+    "embedding_pca_power_iteration",
+    "ngram_diversity_by_source",
 ]
 
 
