@@ -9924,6 +9924,170 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@q(
+    "unigram_kl_by_source",
+    f"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ), cnt AS (
+      SELECT source, word, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ), corpus AS (
+      SELECT word, SUM(c) AS cc FROM cnt GROUP BY 1
+    ), vstats AS (
+      SELECT COUNT(*) AS v, SUM(cc) AS nc FROM corpus
+    ), tot AS (
+      SELECT source, SUM(c) AS ns FROM cnt GROUP BY 1
+    ), grid AS (
+      SELECT t.source, w.word, w.cc, t.ns, s.v, s.nc
+      FROM tot t, corpus w, vstats s
+    ), j AS (
+      SELECT g.source, g.ns, g.v, g.nc,
+             (COALESCE(c.c, 0) + 1.0) / (g.ns + g.v) AS ps,
+             (g.cc + 1.0) / (g.nc + g.v) AS pc
+      FROM grid g LEFT JOIN cnt c
+        ON g.source = c.source AND g.word = c.word
+    )
+    SELECT source,
+           CAST(MAX(v) AS BIGINT) AS vocab_size,
+           CAST(MAX(ns) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(CAST(ps * ln(ps / pc) AS DECIMAL(28,14)))
+                      AS DOUBLE), 6) AS kl_to_corpus
+    FROM j GROUP BY source
+    """,
+)
+def unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift probe: KL divergence of each source's add-one-
+    smoothed unigram distribution from the corpus-wide distribution
+    (the screen a data-mixing decision reads before re-weighting —
+    a source with high KL is the one temperature mixing up- or
+    down-weights). Smoothing puts both distributions on the shared
+    corpus vocabulary so absent words contribute their smoothed mass.
+
+    Scale shape: one explode feeds a (source, word) hash aggregate;
+    everything after runs on vocabulary-sized data — the corpus
+    totals row is broadcast, the |sources|×|vocab| grid is built from
+    two small frames (never from the corpus), and the per-source KL
+    is a decimal-exact sum so partition order cannot move the
+    result."""
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select("source", F.explode(_text_tokens("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    corpus = cnt.groupBy("word").agg(F.sum("c").alias("cc"))
+    vstats = corpus.agg(
+        F.count("*").alias("v"), F.sum("cc").alias("nc")
+    )
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("ns"))
+    grid = tot.crossJoin(corpus).crossJoin(F.broadcast(vstats))
+    j = grid.join(cnt, ["source", "word"], "left").select(
+        "source",
+        "ns",
+        "v",
+        ((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0)) / (F.col("ns") + F.col("v"))).alias("ps"),
+        ((F.col("cc") + F.lit(1.0)) / (F.col("nc") + F.col("v"))).alias("pc"),
+    )
+    return j.groupBy("source").agg(
+        F.max("v").cast("bigint").alias("vocab_size"),
+        F.max("ns").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum(
+                (F.col("ps") * F.log(F.col("ps") / F.col("pc"))).cast(
+                    "decimal(28,14)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("kl_to_corpus"),
+    )
+
+
+@q(
+    "semantic_decontamination",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id AS bid, v AS bv FROM v ORDER BY vec_id LIMIT 16
+    ), s AS (
+      SELECT vec_id, label,
+             MAX(list_sum(list_transform(range(1, len(v) + 1),
+                                          i -> v[i] * bv[i]))
+                 / (sqrt(list_sum(list_transform(range(1, len(v) + 1),
+                                                 i -> v[i] * v[i])))
+                    * sqrt(list_sum(list_transform(range(1, len(bv) + 1),
+                                                   i -> bv[i] * bv[i])))))
+               AS max_sim
+      FROM v, b
+      WHERE vec_id NOT IN (SELECT bid FROM b)
+      GROUP BY vec_id, label
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(count_if(max_sim >= 0.35) AS BIGINT) AS n_flagged,
+           round(CAST(SUM(CAST(max_sim AS DECIMAL(28,14))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_max_sim,
+           round(MAX(max_sim), 6) AS top_max_sim
+    FROM s GROUP BY label
+    """,
+)
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination screen (the semantic
+    complement of the exact 8-gram screen in
+    decontaminate_exact_ngram): every corpus vector's max cosine
+    against a held-out benchmark set (here the 16 lowest vec_ids),
+    flagged at 0.35, rolled up per label. The n-gram screen misses
+    paraphrased benchmark leakage; this one catches it.
+
+    Scale shape: the benchmark set is broadcast (16×dim, a few KB);
+    the scan is map-only — each corpus vector folds 16 cosines in
+    codegen (positional zip_with/aggregate, bit-identical doubles in
+    both engines, so the >= flag needs no tolerance) and keeps the
+    max, then one tiny-key label aggregate. One corpus pass, zero
+    shuffles of vector data."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
+    )
+    b = (
+        v.orderBy("vec_id")
+        .limit(16)
+        .select(F.col("vec_id").alias("bid"), F.col("v").alias("bv"))
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, c: a * c),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    cos = dot("v", "bv") / (
+        F.sqrt(dot("v", "v")) * F.sqrt(dot("bv", "bv"))
+    )
+    s = (
+        v.join(F.broadcast(b.select("bid")), v.vec_id == F.col("bid"), "left_anti")
+        .crossJoin(F.broadcast(b))
+        .groupBy("vec_id", "label")
+        .agg(F.max(cos).alias("max_sim"))
+    )
+    return s.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.count_if(F.col("max_sim") >= 0.35).cast("bigint").alias("n_flagged"),
+        F.round(
+            F.sum(F.col("max_sim").cast("decimal(28,14)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_max_sim"),
+        F.round(F.max("max_sim"), 6).alias("top_max_sim"),
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
