@@ -9973,10 +9973,15 @@ def unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a decimal-exact sum so partition order cannot move the
     result."""
     d = load(spark, sf_dir, "documents")
+    # cnt is vocabulary-sized (|sources| x |vocab|) but feeds FOUR
+    # consumers (source totals, corpus counts, vocab stats, the
+    # smoothing join) — checkpoint it so the corpus explode+aggregate
+    # runs once instead of once per consumer.
     cnt = (
         d.select("source", F.explode(_text_tokens("text")).alias("word"))
         .groupBy("source", "word")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
     corpus = cnt.groupBy("word").agg(F.sum("c").alias("cc"))
     vstats = corpus.agg(
@@ -10067,14 +10072,22 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, t: acc + t,
         )
 
-    cos = dot("v", "bv") / (
-        F.sqrt(dot("v", "v")) * F.sqrt(dot("bv", "bv"))
+    # One broadcast row holding all 16 benchmark vectors: each corpus
+    # vector folds its 16 cosines and the max inside codegen — no row
+    # blowup, no per-vector exchange; the only shuffle left is the
+    # tiny label-keyed rollup.
+    bl = b.agg(F.collect_list("bv").alias("bvs"))
+    max_sim = F.array_max(
+        F.transform(
+            "bvs",
+            lambda bv: dot(F.col("v"), bv)
+            / (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(bv, bv))),
+        )
     )
     s = (
         v.join(F.broadcast(b.select("bid")), v.vec_id == F.col("bid"), "left_anti")
-        .crossJoin(F.broadcast(b))
-        .groupBy("vec_id", "label")
-        .agg(F.max(cos).alias("max_sim"))
+        .crossJoin(F.broadcast(bl))
+        .select("vec_id", "label", max_sim.alias("max_sim"))
     )
     return s.groupBy("label").agg(
         F.count("*").cast("bigint").alias("n_vecs"),
