@@ -9789,49 +9789,15 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     MLlib-free k-means actually wants. No collect; the argmin is a
     per-vector window over k=8 rows that Spark folds into a
     pre-shuffle WindowGroupLimit."""
+    from datasette_upload_csvs_spark.operators import kmeans
+
     e = load(spark, sf_dir, "embeddings")
     v = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
-    init = (
-        v.orderBy("vec_id")
-        .limit(8)
-        .select(
-            (
-                F.row_number().over(Window.orderBy("vec_id")) - 1
-            ).cast("int").alias("cid"),
-            F.col("v").alias("c"),
-        )
-    )
-    d2 = F.aggregate(
-        F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    d = v.crossJoin(F.broadcast(init)).select("vec_id", "v", "cid", d2.alias("d2"))
-    asg = (
-        d.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy("d2", "cid")
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
-    pos = asg.select(
-        "cid", "d2", F.posexplode("v").alias("pos0", "x")
-    ).select("cid", (F.col("pos0") + 1).alias("pos"), "x", "d2")
-    # Single corpus pass: the (cid, pos) aggregate carries the
-    # cluster-level stats too — member count and the decimal-exact
-    # inertia sum are identical across every pos of a cluster, so the
-    # cid-level rollup reads them back with max() instead of
-    # re-scanning the corpus through a second assignment subtree.
-    cent = pos.groupBy("cid", "pos").agg(
-        (
-            F.sum(F.col("x").cast("decimal(28,14)")).cast("double") / F.count("*")
-        ).alias("m"),
-        F.count("*").alias("cnt"),
-        F.sum(F.col("d2").cast("decimal(28,14)")).alias("sd2"),
-    )
+    init = kmeans.seed_centroids(v, 8)
+    asg = kmeans.assign(v, init)
+    # Single corpus pass — see operators/kmeans.py:cent_pos_agg; the
+    # full driver loop (lloyd) repeats exactly this step.
+    cent = kmeans.cent_pos_agg(asg)
     return cent.groupBy("cid").agg(
         F.max("cnt").cast("bigint").alias("n_members"),
         F.round(F.max("sd2").cast("double"), 6).alias("inertia"),
