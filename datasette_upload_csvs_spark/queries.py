@@ -10067,6 +10067,110 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "bm25_doc_ranking",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n, AVG(len(t)) AS avgdl FROM toks
+    ), dfreq AS (
+      SELECT tok, COUNT(*) AS df
+      FROM (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks)
+      WHERE tok IN ('join', 'scan', 'merge')
+      GROUP BY tok
+    ), tf AS (
+      SELECT doc_id, len(t) AS dl, d.tok,
+             len(list_filter(t, x -> x = d.tok)) AS tf
+      FROM toks, dfreq d
+    ), scored AS (
+      SELECT doc_id,
+             round(SUM(ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl))),
+                   10) AS score
+      FROM tf JOIN dfreq f ON tf.tok = f.tok, stats s
+      WHERE tf.tf > 0
+      GROUP BY doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+             AS rank,
+           doc_id, round(score, 6) AS bm25
+    FROM scored
+    QUALIFY rank <= 20
+    """,
+)
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for the query {join, scan, merge} with the
+    standard k1=1.2, b=0.75 — the rank function the reference's
+    delegated query surface ships natively (SQLite FTS5's bm25()),
+    re-expressed as two aggregates and a top-k. IDF is the
+    ln((N-df+0.5)/(df+0.5)+1) form, length normalization against the
+    corpus average doc length.
+
+    Scale shape: one corpus scan computes per-doc term frequencies
+    with the 3-term query cross-joined from a broadcast df table;
+    the (N, avgdl) stats row is broadcast; the final top-20 compiles
+    to TakeOrderedAndProject via the rank window over only the
+    matching docs. Scores are identical double arithmetic in both
+    engines (≤3 summed terms), so the ranking needs no tolerance."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _text_tokens("text").alias("t"))
+    terms = ["join", "scan", "merge"]
+    stats = toks.agg(
+        F.count("*").alias("n"), F.avg(F.size("t")).alias("avgdl")
+    )
+    dfreq = (
+        toks.select("doc_id", F.explode(F.array_distinct("t")).alias("tok"))
+        .filter(F.col("tok").isin(terms))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    tf = (
+        toks.crossJoin(F.broadcast(dfreq))
+        .select(
+            "doc_id",
+            F.size("t").alias("dl"),
+            "tok",
+            "df",
+            F.size(F.filter("t", lambda x: x == F.col("tok"))).alias("tf"),
+        )
+        .filter(F.col("tf") > 0)
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = (
+        tf.crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    idf
+                    * (F.col("tf") * 2.2)
+                    / (
+                        F.col("tf")
+                        + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+                    )
+                ),
+                10,
+            ).alias("score")
+        )
+    )
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            F.col("rank").cast("int"),
+            "doc_id",
+            F.round("score", 6).alias("bm25"),
+        )
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
