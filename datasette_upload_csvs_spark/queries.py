@@ -9851,7 +9851,10 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     retrieval): v1 = X'Xv0 / |X'Xv0| with v0 = 1/sqrt(dim). Returns
     the per-dimension loading of v1 plus |X'Xv0| (the unnormalized
     Rayleigh-step norm). A full power iteration repeats this step —
-    each pass is the same pair of aggregates with v0 re-broadcast.
+    each pass is the same pair of aggregates with v0 re-broadcast;
+    the loop (plus the ABTT projection that consumes the direction)
+    lives in operators/linalg.py, and tests pin this entry equal to
+    its iteration one.
 
     Scale shape: X'Xv0 without materializing the gram matrix — the
     per-vector dot x·v0 folds in codegen (positional, bit-identical
