@@ -1,0 +1,163 @@
+"""Arrow/numpy fast path for wide-vector similarity scoring.
+
+The Catalyst-expression cosine (functions/vector.py) keeps every
+registry entry oracle-comparable, but Spark evaluates higher-order
+functions (zip_with/aggregate) INTERPRETED, outside whole-stage
+codegen — measured on this host at ~0.3 ms per row for 16 cosines
+over dim-64 vectors (PLANS_r06.md §5c). For bulk scoring that is the
+ceiling, not the shuffle. This module is the production fast path:
+the same reductions as BLAS matmuls over Arrow batches via
+mapInPandas — one numpy `V @ Q.T` per batch replaces
+rows × queries × dim interpreted lambda steps.
+
+Semantics are pinned to the expression path by
+tests/test_similarity_arrow.py (same neighbors, scores within 1e-9
+— numpy's pairwise summation differs from the fold's left-to-right
+order only at the last ulp). Registry entries keep the expression
+form because the DuckDB oracle mirrors it bit-for-bit; a production
+deployment swaps this module in when the vector tier dominates.
+
+Partition contract: queries/anchors ride the task closure (a few KB
+— same envelope as the broadcast frames they replace); the corpus is
+streamed batch-by-batch, never collected.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _collect_query_matrix(
+    emb: DataFrame, query_ids: list[int], id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """(ids[Q], unit-normalized vectors[Q, d]) for a small query set —
+    the one driver-side collect, same size as the broadcast frame the
+    expression path builds."""
+    rows = (
+        emb.filter(F.col(id_col).isin([int(q) for q in query_ids]))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    rows.sort(key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    q = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return ids, q
+
+
+def max_cosine_arrow(
+    emb: DataFrame,
+    query_ids: list[int],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, max_sim): each corpus vector's max cosine against the
+    query set — the decontamination-screen reduction
+    (semantic_decontamination's hot loop) as one matmul per batch.
+    Query members are excluded from the output like the registry
+    entry excludes them."""
+    qids, qmat = _collect_query_matrix(emb, query_ids, id_col, vec_col)
+    qset = set(int(x) for x in qids)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("max_sim", DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mask = ~pdf[id_col].isin(qset)
+            if not mask.any():
+                continue
+            sub = pdf[mask]
+            v = np.array(list(sub[vec_col]), dtype=np.float64)
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            sims = v @ qmat.T  # (B, Q)
+            yield pd.DataFrame(
+                {id_col: sub[id_col].values, "max_sim": sims.max(axis=1)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(score, schema)
+
+
+def topk_batch_arrow(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank, cos_sim): exact cosine top-k for
+    a query SET — the Arrow twin of similarity.brute_force_topk_batch.
+    Each Arrow batch emits its local per-query top-k from one matmul
+    (argpartition, not a full sort), so the global merge window sees
+    ≤ batches × Q × k rows — the same two-level shape as the
+    expression path's (query, partition) prune."""
+    qids, qmat = _collect_query_matrix(emb, query_ids, id_col, vec_col)
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cos_raw", DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if v.size == 0:
+                continue
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            ids = pdf[id_col].values.astype(np.int64)
+            sims = v @ qmat.T  # (B, Q)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                col = sims[:, j]
+                valid = ids != qid  # self-match excluded
+                cand_idx = np.nonzero(valid)[0]
+                if cand_idx.size == 0:
+                    continue
+                kk = min(k, cand_idx.size)
+                top = cand_idx[
+                    np.argpartition(-col[cand_idx], kk - 1)[:kk]
+                ]
+                out_q.extend([qid] * kk)
+                out_n.extend(ids[top])
+                out_s.extend(col[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.array(out_q, dtype=np.int64),
+                        "neighbor_id": np.array(out_n, dtype=np.int64),
+                        "cos_raw": np.array(out_s, dtype=np.float64),
+                    }
+                )
+
+    from pyspark.sql import Window
+
+    pruned = emb.select(id_col, vec_col).mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cos_raw", 6).alias("cos_sim"),
+        )
+    )
