@@ -97,7 +97,7 @@ class LloydStep(NamedTuple):
 
 
 def step(vectors: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
-         vec_col: str = "v") -> LloydStep:
+         vec_col: str = "v", use_arrow: bool = False) -> LloydStep:
     """One Lloyd iteration from a single corpus scan.
 
     The (cid, pos) aggregate carries the cluster-level stats too
@@ -105,8 +105,21 @@ def step(vectors: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
     so stats do NOT re-derive the assignment subtree. The updated
     centroid array is rebuilt from the per-position means with an
     order-pinned collect_list (sorted by pos), never a Python loop.
+
+    use_arrow swaps the interpreted-expression assignment for the
+    numpy matmul path (similarity_arrow.assign_sqdist_arrow) — same
+    clusters up to fp ties; the recompute aggregate stays decimal-
+    exact. For the fully-fused production iteration (partials in the
+    same Arrow pass, no posexplode at all) use step_arrow.
     """
-    asg = assign(vectors, centroids, id_col, vec_col)
+    if use_arrow:
+        from datasette_upload_csvs_spark.operators.similarity_arrow import (
+            assign_sqdist_arrow,
+        )
+
+        asg = assign_sqdist_arrow(vectors, centroids, id_col, vec_col)
+    else:
+        asg = assign(vectors, centroids, id_col, vec_col)
     cent_pos = cent_pos_agg(asg, vec_col)
     new_cent = cent_pos.groupBy("cid").agg(
         F.transform(
@@ -121,6 +134,80 @@ def step(vectors: DataFrame, centroids: DataFrame, id_col: str = "vec_id",
     return LloydStep(new_cent, stats)
 
 
+def step_arrow(vectors: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "v") -> LloydStep:
+    """Fully-fused Arrow Lloyd iteration: one mapInPandas pass emits
+    per-batch per-cluster partials (count, Σv vector, Σd²) — k rows
+    per Arrow batch instead of rows×dim through the posexplode hash
+    aggregate — and the ≤ batches×k partials combine into the k new
+    centroids. The combine is a k-row collect (same scalar-gate
+    envelope as the per-round inertia read); partials use fp sums,
+    so results match step() to ~1e-9 relative rather than exactly —
+    the price of the production path, priced and tested.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, LongType, StructField,
+        StructType,
+    )
+
+    crows = sorted(centroids.collect(), key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in crows], dtype=np.int32)
+    cmat = np.array([list(r["c"]) for r in crows], dtype=np.float64)
+    cnorm2 = (cmat * cmat).sum(axis=1)
+    schema = StructType([
+        StructField("cid", IntegerType()),
+        StructField("cnt", LongType()),
+        StructField("sv", ArrayType(DoubleType())),
+        StructField("sd2", DoubleType()),
+    ])
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d2 = ((v * v).sum(axis=1, keepdims=True)
+                  - 2.0 * (v @ cmat.T) + cnorm2[None, :])
+            best = d2.argmin(axis=1)
+            out = []
+            for j in range(len(cids)):
+                m = best == j
+                if not m.any():
+                    continue
+                out.append((int(cids[j]), int(m.sum()),
+                            v[m].sum(axis=0).tolist(),
+                            float(d2[m, j].sum())))
+            if out:
+                yield pd.DataFrame(out, columns=["cid", "cnt", "sv", "sd2"])
+
+    spark = vectors.sparkSession
+    part_rows = (
+        vectors.select(id_col, vec_col).mapInPandas(partials, schema).collect()
+    )
+    agg: dict[int, list] = {}
+    for r in part_rows:
+        a = agg.setdefault(r["cid"], [0, None, 0.0])
+        a[0] += r["cnt"]
+        sv = np.array(r["sv"], dtype=np.float64)
+        a[1] = sv if a[1] is None else a[1] + sv
+        a[2] += r["sd2"]
+    new_rows = [
+        (cid, (a[1] / a[0]).tolist()) for cid, a in sorted(agg.items())
+    ]
+    stat_rows = [
+        (cid, a[0], a[2]) for cid, a in sorted(agg.items())
+    ]
+    new_cent = spark.createDataFrame(
+        new_rows, schema="cid int, c array<double>"
+    )
+    stats = spark.createDataFrame(
+        stat_rows, schema="cid int, n_members bigint, inertia double"
+    )
+    return LloydStep(new_cent, stats)
+
+
 class LloydResult(NamedTuple):
     centroids: DataFrame    # final (cid, c)
     assignments: DataFrame  # (id, cid) under the final centroids
@@ -128,15 +215,20 @@ class LloydResult(NamedTuple):
 
 
 def lloyd(vectors: DataFrame, k: int = 8, n_iter: int = 3,
-          id_col: str = "vec_id", vec_col: str = "v") -> LloydResult:
+          id_col: str = "vec_id", vec_col: str = "v",
+          use_arrow: bool = False) -> LloydResult:
     """n_iter Lloyd iterations. Lloyd's guarantee — each assignment
     and each mean update can only lower the objective — makes the
-    returned inertia list monotone non-increasing; the test pins it.
+    returned inertia list monotone non-increasing; the test pins it
+    (for both assignment backends).
     """
     cent = seed_centroids(vectors, k, id_col, vec_col).localCheckpoint()
     history: list[float] = []
     for _ in range(n_iter):
-        new_cent, stats = step(vectors, cent, id_col, vec_col)
+        if use_arrow:
+            new_cent, stats = step_arrow(vectors, cent, id_col, vec_col)
+        else:
+            new_cent, stats = step(vectors, cent, id_col, vec_col)
         total = stats.agg(
             F.sum(F.col("inertia").cast("decimal(28,14)")).cast("double")
         ).collect()[0][0]

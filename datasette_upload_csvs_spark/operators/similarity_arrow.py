@@ -92,6 +92,56 @@ def max_cosine_arrow(
     return emb.select(id_col, vec_col).mapInPandas(score, schema)
 
 
+def assign_sqdist_arrow(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """(id, v, cid, d2): nearest centroid per vector by squared L2 —
+    the Arrow twin of kmeans.assign. One matmul per batch via the
+    ||v−c||² = ||v||² − 2 v·c + ||c||² expansion; ties go to the
+    lower cid (argmin on the cid-ordered distance matrix). Centroids
+    are collected to a k×dim numpy array (same bytes as the
+    broadcast frame the expression path ships)."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    crows = sorted(centroids.collect(), key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in crows], dtype=np.int32)
+    cmat = np.array([list(r["c"]) for r in crows], dtype=np.float64)
+    cnorm2 = (cmat * cmat).sum(axis=1)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(vec_col, ArrayType(DoubleType())),
+            StructField("cid", IntegerType()),
+            StructField("d2", DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            d2 = (
+                (v * v).sum(axis=1, keepdims=True)
+                - 2.0 * (v @ cmat.T)
+                + cnorm2[None, :]
+            )
+            best = d2.argmin(axis=1)  # first minimum = lowest cid
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    vec_col: pdf[vec_col],
+                    "cid": cids[best],
+                    "d2": d2[np.arange(len(best)), best],
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(score, schema)
+
+
 def topk_batch_arrow(
     emb: DataFrame,
     query_ids: list[int],
