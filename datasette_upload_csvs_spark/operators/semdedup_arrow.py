@@ -1,0 +1,148 @@
+"""Arrow production twin of the SemDeDup registry pipeline.
+
+semdedup_prune / d4_prototype_prune keep their Catalyst-expression
+form because the DuckDB oracle mirrors it bit-for-bit; their hot
+loops, though, are interpreted higher-order-function cosines
+(PLANS_r06.md §5c: ~0.02 ms per dim-64 cosine), paid n×k times in
+the quantizer and Σ bucket² times in the within-cluster pass. This
+module runs the same algorithm on numpy:
+
+- assignment: one `V @ A.T` per Arrow batch (mapInPandas), argmax
+  with the same (cos desc, anchor_id asc) tie-break;
+- within-cluster pairwise: one gram matrix per cluster
+  (applyInPandas over cluster_id — cluster sizes are bounded by the
+  sqrt(n) quantizer, so each group's matrix is small by
+  construction), applying the paper's keep-the-outlier rule with
+  the registry's exact tie semantics (equal centroid distance
+  prunes the larger vec_id).
+
+tests/test_semdedup_arrow.py pins the OUTPUT EQUAL to the registry
+entry on the fixtures — same clusters, same rounded centroid
+cosines, same pruned set.
+
+Anchor matrix rides the task closure (k×dim doubles; at k=sqrt(n)
+and 1B vectors that is ~16 MB — at that point swap in the
+sample-trained IVF centroid TABLE from operators/similarity.py,
+which this API accepts unchanged as the `anchors` frame).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def anchor_assignment_arrow(
+    emb: DataFrame,
+    k: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, cluster_id, c2c, v): nearest-anchor assignment by max
+    cosine against the k smallest-id vectors, k = max(32,
+    ceil(sqrt(n))) when not given — the registry quantizer, one
+    matmul per batch."""
+    if k is None:
+        n = emb.count()
+        k = max(32, int(np.ceil(np.sqrt(n))))
+    arows = (
+        emb.filter(F.col(id_col) < k)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    arows.sort(key=lambda r: r[0])
+    aids = np.array([r[0] for r in arows], dtype=np.int64)
+    amat = np.array([list(r[1]) for r in arows], dtype=np.float64)
+    amat /= np.linalg.norm(amat, axis=1, keepdims=True)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cluster_id", LongType()),
+            StructField("c2c", DoubleType()),
+            StructField("v", ArrayType(DoubleType())),
+        ]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sims = vn @ amat.T  # anchors are aid-ascending, so the
+            best = sims.argmax(axis=1)  # first max = lowest anchor_id
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "cluster_id": aids[best],
+                    "c2c": sims[np.arange(len(best)), best],
+                    "v": list(v),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
+def semdedup_prune_arrow(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    k: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, cluster_id, centroid_cos, pruned) — the registry
+    semdedup_prune output, computed with one matmul per batch for
+    assignment and one gram matrix per cluster for the pairwise
+    pass."""
+    assigned = anchor_assignment_arrow(emb, k, vec_col, id_col)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cluster_id", LongType()),
+            StructField("centroid_cos", DoubleType()),
+            StructField("pruned", BooleanType()),
+        ]
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].values
+        c2c = pdf["c2c"].values
+        v = np.array(list(pdf["v"]), dtype=np.float64)
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        sims = vn @ vn.T
+        n = len(ids)
+        pruned = np.zeros(n, dtype=bool)
+        # pair (a, b), id_a < id_b, cos >= τ: prune the member CLOSER
+        # to the centroid (higher c2c); ties prune the larger vec_id
+        iu, ju = np.triu_indices(n, 1)
+        hit = sims[iu, ju] >= threshold
+        for a, b in zip(iu[hit], ju[hit]):
+            if c2c[a] > c2c[b]:
+                loser = a
+            elif c2c[b] > c2c[a]:
+                loser = b
+            else:
+                loser = a if ids[a] > ids[b] else b
+            pruned[loser] = True
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster_id": pdf["cluster_id"].values,
+                "centroid_cos": np.round(c2c, 6),
+                "pruned": pruned,
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(prune, schema)
