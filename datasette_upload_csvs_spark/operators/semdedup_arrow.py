@@ -146,3 +146,52 @@ def semdedup_prune_arrow(
         )
 
     return assigned.groupBy("cluster_id").applyInPandas(prune, schema)
+
+
+def d4_prototype_prune_arrow(
+    emb: DataFrame,
+    drop_num: int = 3,
+    drop_den: int = 10,
+    k: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, cluster_id, centroid_cos, proto_rank, kept) — the
+    registry d4_prototype_prune output on the Arrow path: the shared
+    quantizer assignment, then a per-cluster prototypicality rank
+    (c2c desc, vec_id asc) dropping the top drop_num/drop_den
+    interior — pure pandas per cluster, no pairwise stage anywhere.
+    The cut is exact integer arithmetic (floor(num·n/den)) so it
+    matches the oracle's FLOOR((3*cnt)/10.0) bit-for-bit; a float
+    fraction (0.3*n) would diverge at exact multiples."""
+    from pyspark.sql.types import IntegerType
+
+    assigned = anchor_assignment_arrow(emb, k, vec_col, id_col)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cluster_id", LongType()),
+            StructField("centroid_cos", DoubleType()),
+            StructField("proto_rank", IntegerType()),
+            StructField("kept", BooleanType()),
+        ]
+    )
+
+    def rank(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf.sort_values(
+            ["c2c", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        n = len(s)
+        ranks = np.arange(1, n + 1)
+        cut = (drop_num * n) // drop_den
+        return pd.DataFrame(
+            {
+                id_col: s[id_col].values,
+                "cluster_id": s["cluster_id"].values,
+                "centroid_cos": np.round(s["c2c"].values, 6),
+                "proto_rank": ranks.astype(np.int32),
+                "kept": ranks > cut,
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(rank, schema)

@@ -23,6 +23,33 @@ def test_semdedup_arrow_equals_registry(spark, sf_dir):
     assert not diff, [(i, reg[i], arr[i]) for i in diff[:5]]
 
 
+def test_d4_arrow_equals_registry(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    reg = {
+        r["vec_id"]: (
+            r["cluster_id"],
+            r["centroid_cos"],
+            r["proto_rank"],
+            r["kept"],
+        )
+        for r in entry_mod.queries()["d4_prototype_prune"](
+            spark, sf_dir
+        ).collect()
+    }
+    arr = {
+        r["vec_id"]: (
+            r["cluster_id"],
+            r["centroid_cos"],
+            r["proto_rank"],
+            r["kept"],
+        )
+        for r in semdedup_arrow.d4_prototype_prune_arrow(emb).collect()
+    }
+    assert set(reg) == set(arr)
+    diff = [i for i in reg if reg[i] != arr[i]]
+    assert not diff, [(i, reg[i], arr[i]) for i in diff[:5]]
+
+
 def test_assignment_cluster_sizes_bounded(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n = emb.count()
