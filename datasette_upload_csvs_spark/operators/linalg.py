@@ -41,19 +41,60 @@ class PowerIterationResult(NamedTuple):
 
 
 def power_iteration(
-    vectors: DataFrame, n_iter: int = 3, vec_col: str = "v"
+    vectors: DataFrame, n_iter: int = 3, vec_col: str = "v",
+    use_arrow: bool = False,
 ) -> PowerIterationResult:
     """Dominant right-singular direction of the stacked embedding
     matrix X via v ← X'Xv / |X'Xv|, starting from the uniform
     direction. ||X'X v_k|| is monotone non-decreasing in k (Cauchy-
     Schwarz on the PSD gram operator) — the test pins it.
+
+    use_arrow runs each iteration as one mapInPandas pass emitting a
+    SINGLE partial row per Arrow batch (w_partial = Vᵀ(Vu), two
+    numpy matmuls), combined on the driver — the same scalar-gate
+    envelope as the per-round norm read; matches the expression
+    path within the summation-order ulp.
     """
     dim = vectors.select(F.size(vec_col)).first()[0]  # scalar gate
     spark = vectors.sparkSession
+    if use_arrow:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import (
+            ArrayType, DoubleType, StructField, StructType,
+        )
+
+        uvec = np.full(dim, 1.0 / dim**0.5)
+        norms: list[float] = []
+        schema = StructType([StructField("wp", ArrayType(DoubleType()))])
+        for _ in range(n_iter):
+            u_now = uvec  # bind per iteration for the closure
+
+            def partials(batches, _u=u_now):
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    v = np.array(list(pdf[vec_col]), dtype=np.float64)
+                    yield pd.DataFrame({"wp": [(v.T @ (v @ _u)).tolist()]})
+
+            parts = (
+                vectors.select(vec_col).mapInPandas(partials, schema).collect()
+            )
+            w = np.zeros(dim)
+            for r in parts:
+                w += np.array(r["wp"], dtype=np.float64)
+            lam = float(np.linalg.norm(w))
+            norms.append(lam)
+            uvec = w / lam
+        u = spark.createDataFrame(
+            [(uvec.tolist(),)], schema="u array<double>"
+        )
+        return PowerIterationResult(u, norms)
+
     u = spark.range(1).select(
         F.array(*[F.lit(1.0 / dim**0.5) for _ in range(dim)]).alias("u")
     ).localCheckpoint()
-    norms: list[float] = []
+    norms = []
     for _ in range(n_iter):
         dots = vectors.crossJoin(F.broadcast(u)).select(
             vec_col, _dot_with(vec_col, "u").alias("dot")

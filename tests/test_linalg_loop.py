@@ -48,6 +48,19 @@ def test_power_iteration_step_matches_registry(spark, sf_dir):
     )
 
 
+def test_power_iteration_arrow_matches_expression(spark, sf_dir):
+    v = _vectors(spark, sf_dir)
+    e = linalg.power_iteration(v, n_iter=2)
+    a = linalg.power_iteration(v, n_iter=2, use_arrow=True)
+    assert all(
+        math.isclose(x, y, rel_tol=1e-9) for x, y in zip(e.norms, a.norms)
+    )
+    ue = e.direction.first()["u"]
+    ua = a.direction.first()["u"]
+    assert all(math.isclose(x, y, abs_tol=1e-9) for x, y in zip(ue, ua))
+    assert a.norms[0] <= a.norms[1]
+
+
 def test_abtt_residual_orthogonal(spark, sf_dir):
     v = _vectors(spark, sf_dir)
     res = linalg.power_iteration(v, n_iter=2)
