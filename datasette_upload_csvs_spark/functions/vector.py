@@ -1,11 +1,20 @@
 """Vector math over ``array<float>`` embedding columns.
 
 Everything is expressed with Spark higher-order functions
-(``transform`` / ``zip_with`` / ``aggregate``) so the arithmetic runs
-as Catalyst expressions on the JVM — no Python in the loop, no Arrow
-transfer, and the expressions participate in whole-stage codegen.
-At 100 TB this matters: a Python UDF here would put every embedding
-through pickle/Arrow; these stay columnar end to end.
+(``transform`` / ``zip_with`` / ``aggregate``) so the arithmetic
+runs as Catalyst expressions on the JVM — no Python in the loop and
+bit-for-bit reproducible against the DuckDB oracle (the positional
+fold matches ``list_sum(list_transform(...))`` exactly), which is
+why every registry entry uses these forms.
+
+Honest performance note (measured, PLANS_r06.md §5c): Spark
+evaluates higher-order functions INTERPRETED, outside whole-stage
+codegen — ~0.02 ms per dim-64 cosine. That is fine for per-row
+features and top-k over broadcast queries, but for BULK scoring
+(n×k quantizer assignments, decontamination screens) use the
+numpy-matmul twins in ``operators/similarity_arrow.py`` /
+``semdedup_arrow.py`` — 25-99× faster, pinned to these expressions
+by tests.
 
 All helpers promote elements to double first so results are exact
 IEEE doubles, reproducible across engines (floats would accumulate
