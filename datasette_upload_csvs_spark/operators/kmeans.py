@@ -4,7 +4,7 @@ MLlib-free on purpose: every piece is a DataFrame op the registry's
 oracle can mirror, and the plan is exactly what a 1000-executor run
 wants — centroids live in a k×dim frame that is BROADCAST each
 round (a few KB), assignment is a map-only nested loop whose
-distance folds in whole-stage codegen, and the recompute is ONE
+distance folds as a JVM expression (no Python), and the recompute is ONE
 (cluster, position) hash aggregate over a single corpus scan.
 
 Iteration discipline (same as graph.connected_components): the
@@ -48,7 +48,7 @@ def seed_centroids(vectors: DataFrame, k: int, id_col: str = "vec_id",
 
 
 def _sqdist(vec_col: str, cent_col: str):
-    """Squared L2 as a positional codegen fold — no UDF, and the
+    """Squared L2 as a positional JVM-expression fold — no UDF, and the
     left-to-right accumulation is bit-identical in Spark and DuckDB."""
     return F.aggregate(
         F.zip_with(vec_col, cent_col, lambda a, b: (a - b) * (a - b)),

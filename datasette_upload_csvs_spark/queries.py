@@ -9779,7 +9779,7 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the k×dim centroid table is broadcast (a few KB);
     assignment is a map-only nested-loop against the broadcast with
-    the distance folded in codegen (zip_with + aggregate evaluates
+    the distance folded as a JVM expression (zip_with + aggregate evaluates
     positionally, so the doubles are bit-identical across engines and
     the argmin needs no tolerance). The recompute is ONE
     (cluster, pos) hash aggregate with decimal-exact sums that also
@@ -9857,7 +9857,7 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     its iteration one.
 
     Scale shape: X'Xv0 without materializing the gram matrix — the
-    per-vector dot x·v0 folds in codegen (positional, bit-identical
+    per-vector dot x·v0 folds as a JVM expression (positional, bit-identical
     across engines), then ONE (pos) hash aggregate sums x * dot with
     decimal-exact accumulation; dim rows out. Corpus is read once,
     shuffled never (the aggregate key is the 64-value dimension
@@ -10020,7 +10020,7 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the benchmark set is broadcast (16×dim, a few KB);
     the scan is map-only — each corpus vector folds 16 cosines in
-    codegen (positional zip_with/aggregate, bit-identical doubles in
+    a JVM expression (positional zip_with/aggregate, bit-identical doubles in
     both engines, so the >= flag needs no tolerance) and keeps the
     max, then one tiny-key label aggregate. One corpus pass, zero
     shuffles of vector data."""
@@ -10042,7 +10042,7 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # One broadcast row holding all 16 benchmark vectors: each corpus
-    # vector folds its 16 cosines and the max inside codegen — no row
+    # vector folds its 16 cosines and the max JVM-side — no row
     # blowup, no per-vector exchange; the only shuffle left is the
     # tiny label-keyed rollup.
     bl = b.agg(F.collect_list("bv").alias("bvs"))
