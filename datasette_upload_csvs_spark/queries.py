@@ -10174,6 +10174,141 @@ def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "abtt_cleaned_topk",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), dim AS (SELECT len(v) AS d FROM v LIMIT 1),
+    dots AS (
+      SELECT vec_id, v, list_sum(v) / sqrt(d) AS dot FROM v, dim
+    ), pos AS (
+      SELECT i AS pos, v[i] * dot AS contrib
+      FROM dots, UNNEST(range(1, len(v) + 1)) AS u(i)
+    ), w AS (
+      SELECT pos,
+             CAST(SUM(CAST(contrib AS DECIMAL(28,14))) AS DOUBLE) AS w
+      FROM pos GROUP BY pos
+    ), lam AS (
+      SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(28,14))) AS DOUBLE)) AS l
+      FROM w
+    ), dir AS (
+      SELECT list(w / l ORDER BY pos) AS u FROM w, lam GROUP BY l
+    ), cleaned AS (
+      SELECT vec_id,
+             list_transform(range(1, len(v) + 1),
+                            i -> v[i] - du * u[i]) AS cv
+      FROM (SELECT vec_id, v, u,
+                   list_sum(list_transform(range(1, len(v) + 1),
+                                           i -> v[i] * u[i])) AS du
+            FROM v, dir)
+    ), q0 AS (SELECT cv AS qv FROM cleaned WHERE vec_id = 0),
+    scored AS (
+      SELECT c.vec_id,
+             list_sum(list_transform(range(1, len(c.cv) + 1),
+                                     i -> c.cv[i] * q.qv[i]))
+               / (sqrt(list_sum(list_transform(c.cv, e -> e * e)))
+                  * sqrt(list_sum(list_transform(q.qv, e -> e * e)))) AS cs
+      FROM cleaned c, q0 q WHERE c.vec_id <> 0
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id ASC) AS INTEGER)
+             AS rank,
+           vec_id AS neighbor_id, round(cs, 6) AS cos_sim
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def abtt_cleaned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval AFTER all-but-the-top cleanup (Mu & Viswanath '18)
+    — the payoff of embedding_pca_power_iteration: estimate the
+    dominant common direction (one power step from the uniform
+    start), project it out of every vector, then cosine top-10 for
+    query 0 in the CLEANED space. Compare similarity_topk_bruteforce
+    (the raw-space twin): rankings move exactly where the shared
+    direction was drowning the signal.
+
+    Scale shape: the direction is dim values built from one
+    dimension-keyed aggregate (decimal-exact, so both engines build
+    the identical direction), broadcast back; cleaning is map-only;
+    the top-10 compiles to TakeOrderedAndProject. Two corpus passes
+    total — one to learn the direction, one to clean-and-score; the
+    operators/linalg.py loop amortizes pass one across iterations."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    dots = v.select(
+        "vec_id",
+        "v",
+        (
+            F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x)
+            / F.sqrt(F.size("v").cast("double"))
+        ).alias("dot"),
+    )
+    pos = dots.select(F.posexplode("v").alias("pos", "x"), "dot")
+    w = pos.groupBy("pos").agg(
+        F.sum((F.col("x") * F.col("dot")).cast("decimal(28,14)"))
+        .cast("double")
+        .alias("w")
+    )
+    dirdf = w.agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(28,14)")).cast(
+                "double"
+            )
+        ).alias("l"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))),
+            lambda s: s["w"],
+        ).alias("wvec"),
+    ).select(F.transform("wvec", lambda x: x / F.col("l")).alias("u"))
+
+    def dot2(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    cleaned = (
+        v.crossJoin(F.broadcast(dirdf))
+        .withColumn("du", dot2(F.col("v"), F.col("u")))
+        .select(
+            "vec_id",
+            F.zip_with(
+                "v", "u", lambda a, b: a - F.col("du") * b
+            ).alias("cv"),
+        )
+    )
+    q0 = cleaned.filter(F.col("vec_id") == 0).select(
+        F.col("cv").alias("qv")
+    )
+    scored = (
+        cleaned.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q0))
+        .select(
+            "vec_id",
+            (
+                dot2(F.col("cv"), F.col("qv"))
+                / (
+                    F.sqrt(dot2(F.col("cv"), F.col("cv")))
+                    * F.sqrt(dot2(F.col("qv"), F.col("qv")))
+                )
+            ).alias("cs"),
+        )
+    )
+    wdw = Window.orderBy(F.col("cs").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(wdw))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("rank").cast("int"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cs", 6).alias("cos_sim"),
+        )
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
