@@ -171,16 +171,22 @@ def step_arrow(vectors: DataFrame, centroids: DataFrame,
             d2 = ((v * v).sum(axis=1, keepdims=True)
                   - 2.0 * (v @ cmat.T) + cnorm2[None, :])
             best = d2.argmin(axis=1)
-            out = []
-            for j in range(len(cids)):
-                m = best == j
-                if not m.any():
-                    continue
-                out.append((int(cids[j]), int(m.sum()),
-                            v[m].sum(axis=0).tolist(),
-                            float(d2[m, j].sum())))
-            if out:
-                yield pd.DataFrame(out, columns=["cid", "cnt", "sv", "sd2"])
+            # vectorized per-cluster partials — no Python loop over k
+            # (k grows with sqrt(n) under the registry quantizer)
+            cnt = np.bincount(best, minlength=len(cids))
+            sv = np.zeros((len(cids), v.shape[1]))
+            np.add.at(sv, best, v)
+            bd2 = d2[np.arange(len(best)), best]
+            sd2 = np.bincount(best, weights=bd2, minlength=len(cids))
+            present = np.nonzero(cnt)[0]
+            yield pd.DataFrame(
+                {
+                    "cid": cids[present],
+                    "cnt": cnt[present],
+                    "sv": [sv[j].tolist() for j in present],
+                    "sd2": sd2[present],
+                }
+            )
 
     spark = vectors.sparkSession
     part_rows = (

@@ -128,14 +128,13 @@ def semdedup_prune_arrow(
         # to the centroid (higher c2c); ties prune the larger vec_id
         iu, ju = np.triu_indices(n, 1)
         hit = sims[iu, ju] >= threshold
-        for a, b in zip(iu[hit], ju[hit]):
-            if c2c[a] > c2c[b]:
-                loser = a
-            elif c2c[b] > c2c[a]:
-                loser = b
-            else:
-                loser = a if ids[a] > ids[b] else b
-            pruned[loser] = True
+        a, b = iu[hit], ju[hit]
+        # vectorized loser pick: higher c2c loses; exact c2c tie
+        # loses the larger vec_id (registry semantics)
+        tie = c2c[a] == c2c[b]
+        losers = np.where(c2c[a] > c2c[b], a, b)
+        losers[tie] = np.where(ids[a[tie]] > ids[b[tie]], a[tie], b[tie])
+        pruned[losers] = True
         return pd.DataFrame(
             {
                 id_col: ids,
