@@ -1,0 +1,218 @@
+"""Incremental embedding near-neighbor detection: new vectors
+checked against everything already ingested, without re-scoring
+history.
+
+The embedding twin of streaming/near_dup_stream.py (text): a
+training-data ingest keeps asking "is this NEW embedding a
+near-duplicate of anything seen BEFORE?" (semantic dedup at ingest
+time, the streaming form of dedup_embedding_cosine). Re-scoring the
+corpus per batch is corpus-linear per append — the same scale bug
+the maintained shingle index exists to fix. Instead:
+
+  state:  bands table (vec_id, table_id, bucket) — multi-table
+          sign-of-projection LSH codes (operators/similarity's
+          deterministic hyperplanes), plus a vecs table holding each
+          vector ONCE.
+  batch:  bucket the new vectors per table → join vs stored bands
+          (new-vs-history) and vs the batch's own bands (new-vs-new)
+          → distinct candidate pairs → exact cosine verify ≥ τ →
+          append pairs; append the batch's bands and vectors.
+
+Per-batch work is proportional to the batch and its bucket
+collisions, never to corpus history; multi-table OR-construction
+sets recall (P[missed] = Π per-table split probabilities — for
+near-identical vectors each table agrees with probability ≈
+(1 − θ/π)^planes, so tables multiply the miss exponent).
+
+foreachBatch because the bands table is read AND appended within a
+batch (mutable-state join — same shape as near_dup_stream/cdc).
+Stream == batch proof: tests/test_ann_stream.py drains 3 micro-
+batches and pins the pairs table equal to a one-shot run of the
+SAME banded algorithm over the full corpus snapshot (identical
+hyperplanes, identical verify expressions — exact equality, no
+tolerance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datasette_upload_csvs_spark.functions.vector import as_double_array, cosine
+from datasette_upload_csvs_spark.operators.similarity import _hyperplane
+
+
+def _multi_table_bands(
+    emb: DataFrame,
+    n_tables: int,
+    n_planes: int,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, v, table_id, bucket): one sign-pattern bucket per
+    hash table, planes disjoint across tables (table t uses plane
+    indices t*n_planes .. t*n_planes+n_planes-1)."""
+    v = emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+    tables = []
+    for t in range(n_tables):
+        bucket = None
+        for p in range(n_planes):
+            plane = F.array(
+                *[F.lit(c) for c in _hyperplane(t * n_planes + p, dim)]
+            )
+            proj = F.aggregate(
+                F.zip_with("v", plane, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        tables.append(
+            v.select(
+                id_col,
+                "v",
+                F.lit(t).alias("table_id"),
+                bucket.cast("int").alias("bucket"),
+            )
+        )
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def _verified_pairs(
+    cand: DataFrame, vecs_a: DataFrame, vecs_b: DataFrame, threshold: float
+) -> DataFrame:
+    """(id_a, id_b, cos_sim) for candidate (id_a < id_b) pairs whose
+    exact cosine clears the threshold."""
+    j = (
+        cand.join(
+            vecs_a.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")),
+            "id_a",
+        )
+        .join(
+            vecs_b.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")),
+            "id_b",
+        )
+        .withColumn("cos_sim", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return j.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+def embedding_ann_batch(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """One-shot banded near-neighbor pairs over a corpus snapshot —
+    the equality twin the streaming path is pinned against."""
+    bands = _multi_table_bands(emb, n_tables, n_planes, dim)
+    a = bands.select(
+        F.col("vec_id").alias("id_a"), "table_id", "bucket"
+    )
+    b = bands.select(
+        F.col("vec_id").alias("id_b"), "table_id", "bucket"
+    )
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = bands.select("vec_id", "v").distinct()
+    return _verified_pairs(cand, vecs, vecs, threshold)
+
+
+def maintain_embedding_ann_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    pairs_table: str,
+    index_table: str,
+    threshold: float = 0.99,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Drain a parquet stream of (vec_id, embedding) into near-
+    neighbor PAIRS (pairs_table) while maintaining the band index
+    (index_table) and the vector store (index_table + '__vecs').
+    Trigger.AvailableNow; returns micro-batches processed. Pair
+    direction id_a < id_b, so batch-vs-history and in-batch pairs
+    land identically to a batch run over the full corpus."""
+    vecs_table = f"{index_table}__vecs"
+    batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        bands = _multi_table_bands(
+            batch_df, n_tables, n_planes, dim
+        ).persist()
+        new_vecs = bands.select("vec_id", "v").distinct().persist()
+
+        cands = []
+        if sp.catalog.tableExists(index_table):
+            hist = sp.table(index_table)
+            cands.append(  # new vs history — direction normalized
+                bands.select(
+                    F.col("vec_id").alias("id_n"), "table_id", "bucket"
+                )
+                .join(
+                    hist.select(
+                        F.col("vec_id").alias("id_h"), "table_id", "bucket"
+                    ),
+                    ["table_id", "bucket"],
+                )
+                .select(
+                    F.least("id_h", "id_n").alias("id_a"),
+                    F.greatest("id_h", "id_n").alias("id_b"),
+                )
+            )
+        a = bands.select(F.col("vec_id").alias("id_a"), "table_id", "bucket")
+        b = bands.select(F.col("vec_id").alias("id_b"), "table_id", "bucket")
+        cands.append(  # new vs new
+            a.join(b, ["table_id", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = cands[0]
+        for c in cands[1:]:
+            cand = cand.unionByName(c)
+        cand = cand.distinct()
+
+        old_vecs = (
+            sp.table(vecs_table)
+            if sp.catalog.tableExists(vecs_table)
+            else new_vecs.limit(0)
+        )
+        all_vecs = old_vecs.unionByName(new_vecs)
+        pairs = _verified_pairs(cand, all_vecs, all_vecs, threshold)
+        pairs.write.mode("append").saveAsTable(pairs_table)
+        bands.select("vec_id", "table_id", "bucket").write.mode(
+            "append"
+        ).saveAsTable(index_table)
+        new_vecs.write.mode("append").saveAsTable(vecs_table)
+        bands.unpersist()
+        new_vecs.unpersist()
+        batches["n"] += 1
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one arrival file per epoch
+        .format("parquet")
+        .load(source_dir)
+    )
+    writer = reader.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return batches["n"]

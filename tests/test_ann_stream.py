@@ -1,0 +1,86 @@
+"""Incremental embedding near-neighbor detection must find exactly
+the pairs the banded batch run finds on the full corpus snapshot,
+regardless of how vectors are split across arrival batches."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from datasette_upload_csvs_spark.streaming.ann_stream import (
+    embedding_ann_batch,
+    maintain_embedding_ann_stream,
+)
+
+
+def _corpus_with_near_dups(spark, sf_dir):
+    """Base embeddings plus a perturbed copy of every 5th vector —
+    guaranteed cos ≈ 0.9999 near-neighbor pairs across batches."""
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = base.count()
+    dups = (
+        base.filter(F.pmod("vec_id", F.lit(5)) == 0)
+        .select(
+            (F.col("vec_id") + n).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x, i: x + F.when(i == 0, 0.001).otherwise(0.0)
+            ).cast("array<float>").alias("embedding"),
+        )
+    )
+    return base.unionByName(dups)
+
+
+def test_stream_ann_equals_batch(spark, sf_dir, tmp_path):
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    src = str(tmp_path / "emb_stream")
+    os.makedirs(src)
+    for i in range(3):
+        part = corpus.filter(F.pmod("vec_id", F.lit(3)) == i)
+        d = str(tmp_path / f"e{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        name = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        shutil.copy(
+            os.path.join(d, name), os.path.join(src, f"arrival_{i}.parquet")
+        )
+
+    for t in ("ann_pairs", "ann_index", "ann_index__vecs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    n = maintain_embedding_ann_stream(
+        spark,
+        src,
+        "vec_id bigint, embedding array<float>",
+        pairs_table="ann_pairs",
+        index_table="ann_index",
+        threshold=0.99,
+    )
+    assert n == 3
+
+    got = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in spark.table("ann_pairs").collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_ann_batch(corpus, threshold=0.99).collect()
+    }
+    assert got == want and got  # same pairs, none missed, none invented
+    # the construction's planted pairs are all found (cos ≈ 0.9999
+    # twins collide in at least one of the 4 tables)
+    n_base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    planted = {
+        r["vec_id"]
+        for r in corpus.filter(F.col("vec_id") >= n_base).collect()
+    }
+    found_ids = {b for _, b, _ in got}
+    assert planted <= found_ids
+    # no pair emitted twice across batches
+    assert spark.table("ann_pairs").count() == len(got)
+    # vector store holds each vector once
+    vc = spark.table("ann_index__vecs")
+    assert vc.count() == vc.select("vec_id").distinct().count() == corpus.count()
+    for t in ("ann_pairs", "ann_index", "ann_index__vecs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
