@@ -84,3 +84,70 @@ def test_stream_ann_equals_batch(spark, sf_dir, tmp_path):
     assert vc.count() == vc.select("vec_id").distinct().count() == corpus.count()
     for t in ("ann_pairs", "ann_index", "ann_index__vecs"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stream_ann_restart_from_checkpoint(spark, sf_dir, tmp_path):
+    """Kill-and-restart recovery: drain 2 arrival files, stop, land
+    2 more, restart with the SAME checkpoint. The restart must
+    process ONLY the new files (no band double-append) and the final
+    pairs must equal the batch run over the full corpus."""
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    src = str(tmp_path / "emb_stream_ckpt")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def land(i):
+        part = corpus.filter(F.pmod("vec_id", F.lit(4)) == i)
+        d = str(tmp_path / f"ec{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        name = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        shutil.copy(
+            os.path.join(d, name), os.path.join(src, f"arrival_{i}.parquet")
+        )
+
+    for t in ("annr_pairs", "annr_index", "annr_index__vecs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    args = dict(
+        pairs_table="annr_pairs",
+        index_table="annr_index",
+        threshold=0.99,
+        checkpoint_dir=ckpt,
+    )
+    land(0); land(1)
+    n1 = maintain_embedding_ann_stream(
+        spark, src, "vec_id bigint, embedding array<float>", **args
+    )
+    assert n1 == 2
+    idx_after_first = spark.table("annr_index").count()
+
+    land(2); land(3)
+    n2 = maintain_embedding_ann_stream(
+        spark, src, "vec_id bigint, embedding array<float>", **args
+    )
+    assert n2 == 2  # restart processed ONLY the new files
+
+    spark.catalog.refreshTable("annr_index")
+    idx = spark.table("annr_index")
+    assert idx.count() > idx_after_first
+    # per-vector band rows appear exactly once per table_id
+    assert (
+        idx.groupBy("vec_id", "table_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        == 0
+    )
+
+    got = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in spark.table("annr_pairs").collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_ann_batch(corpus, threshold=0.99).collect()
+    }
+    assert got == want and got
+    assert spark.table("annr_pairs").count() == len(got)
+    for t in ("annr_pairs", "annr_index", "annr_index__vecs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
