@@ -144,8 +144,17 @@ def maintain_embedding_ann_stream(
     neighbor PAIRS (pairs_table) while maintaining the band index
     (index_table) and the vector store (index_table + '__vecs').
     Trigger.AvailableNow; returns micro-batches processed. Pair
-    direction id_a < id_b, so batch-vs-history and in-batch pairs
-    land identically to a batch run over the full corpus."""
+    direction id_a < id_b (least/greatest normalized), so
+    batch-vs-history and in-batch pairs land identically to a batch
+    run over the full corpus.
+
+    `checkpoint_dir` makes the stream resumable; recovery grain is
+    the micro-batch (same caveat as near_dup_stream: offsets commit
+    AFTER the sink returns, so a kill MID-batch replays that batch
+    and would double-append its rows across the three tables — the
+    production fix is an epoch-keyed idempotent append; the common
+    between-batch kill recovers exactly, proven by the restart
+    test)."""
     vecs_table = f"{index_table}__vecs"
     batches = {"n": 0}
 
