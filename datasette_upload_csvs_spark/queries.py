@@ -10309,6 +10309,54 @@ def abtt_cleaned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "ann_bands_recall",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+           CAST(COUNT(*) AS BIGINT) AS n_twin_pairs_found,
+           TRUE AS all_found
+    FROM embeddings WHERE vec_id % 5 = 0
+    """,
+)
+def ann_bands_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the multi-table LSH band scheme behind
+    streaming/ann_stream.py: plant a perturbed twin (cos ≈ 0.9999)
+    of every 5th vector, run the banded batch pipeline at τ=0.99,
+    and demand EVERY planted pair is found. The band construction is
+    deterministic (fixed hyperplanes, fixed data), so the verdict is
+    stable; the oracle independently counts the planted set and pins
+    found == planted exactly — if the OR-construction ever drops a
+    twin, the counts diverge and the row goes red.
+
+    Scale shape: bucketing is map-only per table; candidates join on
+    (table, bucket); exact verify touches candidates only — the
+    batch-proportional structure the streaming twin appends with."""
+    from datasette_upload_csvs_spark.streaming.ann_stream import (
+        embedding_ann_batch,
+    )
+
+    base = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = base.count()
+    twins = base.filter(F.pmod("vec_id", F.lit(5)) == 0).select(
+        (F.col("vec_id") + n).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x + F.when(i == 0, F.lit(0.001)).otherwise(F.lit(0.0)),
+        ).cast("array<float>").alias("embedding"),
+    )
+    corpus = base.unionByName(twins)
+    pairs = embedding_ann_batch(corpus, threshold=0.99)
+    twin_pairs = pairs.filter(
+        (F.col("id_b") >= n) & (F.col("id_a") == F.col("id_b") - n)
+    )
+    n_planted = twins.count()
+    found = twin_pairs.count()
+    return spark.createDataFrame(
+        [(n_planted, found, found == n_planted)],
+        schema="n_planted bigint, n_twin_pairs_found bigint, all_found boolean",
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
