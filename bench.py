@@ -75,6 +75,10 @@ HEADLINE = [
     "kmeans_lloyd_step",
     "embedding_pca_power_iteration",
     "ngram_diversity_by_source",
+    # the banded candidate pipeline behind the embedding ANN stream,
+    # run end-to-end (plant twins → bucket 4 tables → verify) with
+    # its exact-recall gate
+    "ann_bands_recall",
 ]
 
 
