@@ -82,6 +82,69 @@ def _multi_table_bands(
     return out
 
 
+def multi_table_bands_arrow(
+    emb: DataFrame,
+    n_tables: int,
+    n_planes: int,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Arrow twin of _multi_table_bands: ALL table×plane projections
+    as one numpy matmul per batch (V @ P.T over the stacked
+    n_tables*n_planes plane matrix), signs bit-packed per table.
+    Pinned equal to the expression path on the fixtures
+    (tests/test_ann_stream.py) — a sign could only differ on a
+    projection within an ulp of zero, where either bucket is a valid
+    LSH choice. Swap in when bucketing dominates the stream's batch
+    cost (PLANS_r06.md §5c ceiling: 32 interpreted dim-64 dots/row)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, LongType, StructField,
+        StructType,
+    )
+
+    pmat = np.array(
+        [
+            _hyperplane(t * n_planes + p, dim)
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    )
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("v", ArrayType(DoubleType())),
+            StructField("table_id", IntegerType()),
+            StructField("bucket", IntegerType()),
+        ]
+    )
+
+    def bands(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            bits = (v @ pmat.T) >= 0  # (B, tables*planes)
+            bits = bits.reshape(len(v), n_tables, n_planes)
+            buckets = (bits * weights).sum(axis=2).astype(np.int32)
+            ids = pdf[id_col].values
+            out = {
+                id_col: np.repeat(ids, n_tables),
+                "v": [row for row in list(pdf[vec_col]) for _ in range(n_tables)],
+                "table_id": np.tile(
+                    np.arange(n_tables, dtype=np.int32), len(v)
+                ),
+                "bucket": buckets.reshape(-1),
+            }
+            yield pd.DataFrame(out)
+
+    return emb.select(id_col, vec_col).mapInPandas(bands, schema)
+
+
 def _verified_pairs(
     cand: DataFrame, vecs_a: DataFrame, vecs_b: DataFrame, threshold: float
 ) -> DataFrame:

@@ -86,6 +86,24 @@ def test_stream_ann_equals_batch(spark, sf_dir, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_bands_arrow_matches_expression(spark, sf_dir):
+    from datasette_upload_csvs_spark.streaming.ann_stream import (
+        _multi_table_bands,
+        multi_table_bands_arrow,
+    )
+
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    expr = {
+        (r["vec_id"], r["table_id"], r["bucket"])
+        for r in _multi_table_bands(corpus, 4, 8, 64).collect()
+    }
+    arrow = {
+        (r["vec_id"], r["table_id"], r["bucket"])
+        for r in multi_table_bands_arrow(corpus, 4, 8, 64).collect()
+    }
+    assert expr == arrow and len(expr) == corpus.count() * 4
+
+
 def test_stream_ann_restart_from_checkpoint(spark, sf_dir, tmp_path):
     """Kill-and-restart recovery: drain 2 arrival files, stop, land
     2 more, restart with the SAME checkpoint. The restart must
