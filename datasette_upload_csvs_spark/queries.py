@@ -10357,6 +10357,85 @@ def ann_bands_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "aqp_sample_estimate",
+    """
+    WITH s AS (
+      SELECT o_totalprice,
+             CAST(md5_number_lower(CAST(o_orderkey AS VARCHAR)) AS DOUBLE)
+               / 18446744073709551616.0 < 0.1 AS picked
+      FROM orders
+    ), agg AS (
+      SELECT
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,14)))
+             FILTER (picked) AS DOUBLE) / 0.1 AS est_revenue,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(28,14))) AS DOUBLE)
+          AS exact_revenue,
+        CAST(count_if(picked) AS BIGINT) AS n_sampled,
+        CAST(COUNT(*) AS BIGINT) AS n_total
+      FROM s
+    )
+    SELECT round(est_revenue, 2) AS est_revenue,
+           round(exact_revenue, 2) AS exact_revenue,
+           n_sampled, n_total,
+           round(abs(est_revenue - exact_revenue) / exact_revenue, 6)
+             AS rel_error,
+           abs(est_revenue - exact_revenue) / exact_revenue < 0.05
+             AS within_bound
+    FROM agg
+    """,
+)
+def aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing (BlinkDB-style): estimate total
+    revenue from a deterministic 10 % content-hash sample
+    (Horvitz-Thompson: sample sum / rate) and gate the relative
+    error at 5 %. The sample predicate is the engine's reproducible
+    md5-low-64 verdict (operators/sampling.py), so BOTH engines pick
+    the identical rows and the estimate — not just the verdict — is
+    hash-equal across engines.
+
+    Scale shape: the exact twin here exists only to measure the
+    error; a production AQP run computes ONLY the map-side-filtered
+    sample aggregate — 10× less scan work on a 100 TB fact table,
+    zero extra shuffles (the sample filter rides the scan). Both
+    sums are decimal-exact, so partition order cannot move the
+    estimate."""
+    from datasette_upload_csvs_spark.operators.sampling import sample_key
+
+    o = load(spark, sf_dir, "orders")
+    s = o.select(
+        "o_totalprice",
+        (sample_key(F.col("o_orderkey")) < 0.1).alias("picked"),
+    )
+    agg = s.agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("picked"),
+                    F.col("o_totalprice").cast("decimal(28,14)"),
+                )
+            ).cast("double")
+            / 0.1
+        ).alias("est_revenue"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,14)"))
+        .cast("double")
+        .alias("exact_revenue"),
+        F.count_if(F.col("picked")).cast("bigint").alias("n_sampled"),
+        F.count("*").cast("bigint").alias("n_total"),
+    )
+    rel = F.abs(F.col("est_revenue") - F.col("exact_revenue")) / F.col(
+        "exact_revenue"
+    )
+    return agg.select(
+        F.round("est_revenue", 2).alias("est_revenue"),
+        F.round("exact_revenue", 2).alias("exact_revenue"),
+        "n_sampled",
+        "n_total",
+        F.round(rel, 6).alias("rel_error"),
+        (rel < 0.05).alias("within_bound"),
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
