@@ -10436,6 +10436,114 @@ def aqp_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "aqp_groupwise_ci",
+    """
+    WITH s AS (
+      SELECT l_returnflag, l_extendedprice AS x
+      FROM lineitem
+      WHERE CAST(md5_number_lower(CAST(l_orderkey AS VARCHAR) || '-' ||
+                                  CAST(l_linenumber AS VARCHAR)) AS DOUBLE)
+            / 18446744073709551616.0 < 0.2
+    ), g AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(x * x AS DECIMAL(28,14))) AS DOUBLE) AS sxx
+      FROM s GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(sx / n, 6) AS mean_est,
+           round(1.96 * sqrt(((sxx - sx * sx / n) / (n - 1)) / n), 6)
+             AS ci_halfwidth
+    FROM g
+    """,
+)
+def aqp_groupwise_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group online-aggregation estimate (the BlinkDB/OLA
+    group-wise form): mean extended price per return flag from a
+    deterministic 20 % sample, with the 95 % normal-approximation
+    confidence half-width from the sample variance. Complements
+    aqp_sample_estimate (global sum) with the per-group accuracy
+    readout an interactive dashboard needs before trusting a sample.
+
+    Scale shape: the sample predicate rides the scan (map-side
+    filter), one hash aggregate on the tiny flag key; variance from
+    decimal-exact Σx/Σx² so the CI is partition-order independent
+    and hash-equal across engines."""
+    from datasette_upload_csvs_spark.operators.sampling import sample_key
+
+    li = load(spark, sf_dir, "lineitem")
+    s = li.filter(
+        sample_key(
+            F.concat_ws(
+                "-",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        )
+        < 0.2
+    ).select("l_returnflag", F.col("l_extendedprice").alias("x"))
+    g = s.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast("decimal(28,14)")).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,14)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("sx") / F.col("n"), 6).alias("mean_est"),
+        F.round(1.96 * F.sqrt(var / F.col("n")), 6).alias("ci_halfwidth"),
+    )
+
+
+@q(
+    "k_anonymity_audit",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS grp_size
+      FROM customer GROUP BY 1, 2
+    ), t AS (SELECT COUNT(*) AS n_groups FROM g)
+    SELECT c_nationkey, c_mktsegment,
+           CAST(grp_size AS BIGINT) AS grp_size,
+           CAST((SELECT n_groups FROM t) AS BIGINT) AS n_groups_total
+    FROM g WHERE grp_size < 10
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance audit: quasi-identifier combinations
+    (nation × market segment) whose group size is below k=10 — the
+    rows a k-anonymity release policy must generalize or suppress
+    (Sweeney '02). The other half of the privacy toolkit next to
+    curation_pii_redact (direct-identifier scrubbing): PII redaction
+    removes what a row SAYS, k-anonymity flags what a row's COMPANY
+    reveals.
+
+    Scale shape: one hash aggregate on the quasi-identifier key and
+    a broadcast scalar for the total-group count; the violating set
+    is by definition small (< k rows per returned group)."""
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("grp_size")
+    )
+    total = g.agg(F.count("*").alias("n_groups_total"))
+    return (
+        g.filter(F.col("grp_size") < 10)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("grp_size").cast("bigint").alias("grp_size"),
+            F.col("n_groups_total").cast("bigint").alias("n_groups_total"),
+        )
+    )
+
+
 # ====================================================================
 # entry() flagship
 # ====================================================================
