@@ -2,11 +2,16 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE compact JSON line (guaranteed to fit the driver's ~2 kB
+stdout-tail capture regardless of how many queries are benched):
+  {"metric": ..., "value": N, "unit": "sec", "sf": ..., "n_queries": M,
+   "detail": "BENCH_DETAIL.json"}
 
 value = total wall time of the headline query set (each timed over
-`count()`-style full materialization via a noop write to memory).
+`count()`-style full materialization). Per-query min/median/spread go
+to BENCH_DETAIL.json next to this script (and a '#'-prefixed stderr
+line) — round 6's single-line map outgrew the tail capture and filed
+"parsed": null.
 """
 
 from __future__ import annotations
@@ -106,6 +111,7 @@ def main() -> None:
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
@@ -133,25 +139,52 @@ def main() -> None:
         # signature cache): accumulated blocks inflate GC for every
         # later query and make run N slower than run 1.
         spark.catalog.clearCache()
-        timings[name] = round(min(samples), 3)
-        spreads[name] = round(max(samples) - min(samples), 3)
+        srt = sorted(samples)
+        timings[name] = round(srt[0], 3)
+        medians[name] = round(srt[len(srt) // 2], 3)
+        spreads[name] = round(srt[-1] - srt[0], 3)
         print(
-            f"# {name}: {timings[name]:.3f}s "
+            f"# {name}: min {timings[name]:.3f}s "
+            f"median {medians[name]:.3f}s "
             f"(+{spreads[name]:.3f} spread) rows={n}",
             file=sys.stderr,
         )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Per-query detail (min + median + spread) goes to a sidecar file:
+    # the driver captures only the ~2 kB tail of stdout, and at 34+
+    # headline queries a single line carrying the full per-query map
+    # outgrew that window in round 6 ("parsed": null). The final stdout
+    # line is kept compact and parseable regardless of registry growth.
+    detail = {
+        "metric": "headline_query_wall_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "median": medians,
+        "spread": spreads,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as ex:
+        print(f"# could not write {detail_path}: {ex}", file=sys.stderr)
+    print("# detail: " + json.dumps(detail), file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "headline_query_wall_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

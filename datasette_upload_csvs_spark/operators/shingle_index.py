@@ -78,6 +78,10 @@ class ShingleIndex:
         self.sets = f"{name}_sets"
         self.df_tab = f"{name}_df"
         self.commits = f"{name}_commits"
+        # persisted frames from the most recent edges_for_batch call;
+        # release_batch_cache() unpersists them once the caller has
+        # materialized the edges plan (see caching contract below)
+        self._batch_cache: list[DataFrame] = []
 
     # ---------------------------------------------------------- build
     def _batch_sets(self, docs, text_col, id_col):
@@ -219,9 +223,15 @@ class ShingleIndex:
         hash sets, so emitted similarities are never approximate.
 
         Caching contract (same as the dedup operators): the batch
-        frames persist and the returned plan references them; callers
-        running many jobs spark.catalog.clearCache() between them."""
+        frames persist and the returned plan references them. Once the
+        returned plan is materialized (count/checkpoint/write), call
+        ``release_batch_cache()`` to unpersist them — long-running
+        callers (the streaming sinks) that skip this grow executor
+        storage without bound across micro-batches. One-shot callers
+        may ``spark.catalog.clearCache()`` instead."""
+        self.release_batch_cache()
         new_sets = self._batch_sets(new_docs, text_col, id_col).persist()
+        self._batch_cache.append(new_sets)
         new_postings = new_sets.select(
             F.explode("sh").alias("shingle"), "doc_id"
         )
@@ -234,6 +244,7 @@ class ShingleIndex:
             .agg(F.count("*").alias("cnt_new"))
             .persist()
         )
+        self._batch_cache.append(batch_sh)
 
         # full-corpus df for exactly those shingles: the broadcast
         # join prunes the (compact) sidecar aggregation, and the
@@ -320,6 +331,7 @@ class ShingleIndex:
             .distinct()
             .persist()
         )
+        self._batch_cache.append(cand_ids)
         all_sets = new_sets.select("doc_id", "n", "sh")
         old_sets = self._committed(self.sets, exclude_batch)
         if old_sets is not None:
@@ -327,6 +339,7 @@ class ShingleIndex:
                 all_sets
             )
         pruned_sets = all_sets.join(F.broadcast(cand_ids), "doc_id").persist()
+        self._batch_cache.append(pruned_sets)
 
         # PPJoin count prune (output-invariant): per-doc stats are
         # 3 ints off the pruned frame
@@ -368,6 +381,19 @@ class ShingleIndex:
             .filter(F.col("jaccard") >= threshold)
         )
 
+    def release_batch_cache(self) -> None:
+        """Unpersist the frames cached by the last edges_for_batch
+        call. Safe to call any time AFTER the returned edges plan has
+        been materialized (eager localCheckpoint / write / collect);
+        a no-op when nothing is cached."""
+        for df in self._batch_cache:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to free
+        self._batch_cache = []
+
     def drop(self) -> None:
+        self.release_batch_cache()
         for t in (self.postings, self.sets, self.df_tab, self.commits):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")

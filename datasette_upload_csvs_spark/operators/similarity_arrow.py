@@ -180,9 +180,22 @@ def topk_batch_arrow(
                 if cand_idx.size == 0:
                     continue
                 kk = min(k, cand_idx.size)
-                top = cand_idx[
-                    np.argpartition(-col[cand_idx], kk - 1)[:kk]
-                ]
+                # Tie-deterministic local cut: a plain argpartition
+                # breaks exact-score ties at the kk boundary
+                # arbitrarily, which can drop a lower neighbor_id that
+                # the final (cos desc, neighbor_id asc) window would
+                # rank inside k. Partition first (O(n)), then widen to
+                # ALL candidates >= the boundary score and lexsort only
+                # that small set so boundary ties keep the lowest ids.
+                colc = col[cand_idx]
+                if cand_idx.size > kk:
+                    part = np.argpartition(-colc, kk - 1)
+                    thresh = colc[part[kk - 1]]
+                    keep = cand_idx[np.nonzero(colc >= thresh)[0]]
+                else:
+                    keep = cand_idx
+                order = np.lexsort((ids[keep], -col[keep]))
+                top = keep[order[:kk]]
                 out_q.extend([qid] * kk)
                 out_n.extend(ids[top])
                 out_s.extend(col[top])

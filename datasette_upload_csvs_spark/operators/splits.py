@@ -238,6 +238,7 @@ def append_splits_from_index(
         text_col=text_col,
         id_col=id_col,
     ).localCheckpoint(eager=True)
+    index.release_batch_cache()  # edges materialized — free the frames
     out = append_splits(
         prev, new_docs, text_col, id_col, threshold, max_df, edges=edges
     )

@@ -8422,11 +8422,15 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _anchor_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _anchor_assignment(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
     """Shared quantizer of the D4 pipeline (semdedup_prune +
     d4_prototype_prune): k = max(32, ceil(sqrt(n))) smallest-id
     anchor vectors (broadcast), nearest-anchor assignment as one
-    k-rows-per-key window — (vec_id, cluster_id, c2c)."""
+    k-rows-per-key window. Returns ``(v, assign)`` — the
+    (vec_id, v) double-array frame and the (vec_id, cluster_id, c2c)
+    assignment frame."""
     emb = load(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
     from datasette_upload_csvs_spark.functions.vector import cosine

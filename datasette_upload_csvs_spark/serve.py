@@ -63,6 +63,17 @@ async def _handle(app, reader, writer):
             if remaining <= 0:
                 return {"type": "http.request", "body": b"", "more_body": False}
             chunk = await reader.read(min(remaining, 64 * 1024))
+            if not chunk:
+                # Client closed before sending Content-Length bytes:
+                # signal end-of-stream instead of yielding empty
+                # more_body=True chunks forever (which would pin the
+                # app's multipart loop on a dead socket).
+                remaining = 0
+                return {
+                    "type": "http.request",
+                    "body": b"",
+                    "more_body": False,
+                }
             remaining -= len(chunk)
             return {
                 "type": "http.request",

@@ -16,7 +16,9 @@ the maintained shingle index exists to fix. Instead:
   batch:  bucket the new vectors per table → join vs stored bands
           (new-vs-history) and vs the batch's own bands (new-vs-new)
           → distinct candidate pairs → exact cosine verify ≥ τ →
-          append pairs; append the batch's bands and vectors.
+          write pairs/bands/vectors into this epoch's `_batch_id`
+          partitions (dynamic partition overwrite — idempotent under
+          replay; see streaming/epoch_write.py).
 
 Per-batch work is proportional to the batch and its bucket
 collisions, never to corpus history; multi-table OR-construction
@@ -40,6 +42,9 @@ from pyspark.sql import functions as F
 
 from datasette_upload_csvs_spark.functions.vector import as_double_array, cosine
 from datasette_upload_csvs_spark.operators.similarity import _hyperplane
+from datasette_upload_csvs_spark.streaming.epoch_write import (
+    write_epoch_partition,
+)
 
 
 def _multi_table_bands(
@@ -191,6 +196,96 @@ def embedding_ann_batch(
     return _verified_pairs(cand, vecs, vecs, threshold)
 
 
+def ann_epoch(
+    batch_df: DataFrame,
+    epoch: int,
+    pairs_table: str,
+    index_table: str,
+    threshold: float = 0.99,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> None:
+    """One epoch of incremental ANN maintenance — factored out of the
+    foreachBatch closure so the replay test can invoke a single epoch
+    directly (semantics must not depend on the streaming engine never
+    re-delivering, because it may).
+
+    Exactly-once across the THREE mutable stores under at-least-once
+    redelivery, via the shared epoch_write recipe:
+      * history reads mask this epoch's own ``_batch_id`` partition,
+        so a replay whose crash happened after any of the three
+        writes still scores the new batch against exactly the
+        pre-batch corpus the first attempt saw;
+      * all three writes are per-epoch dynamic partition overwrites —
+        a replay rewrites its partitions instead of double-appending.
+    """
+    if batch_df.isEmpty():
+        return
+    sp = batch_df.sparkSession
+    vecs_table = f"{index_table}__vecs"
+    bands = _multi_table_bands(batch_df, n_tables, n_planes, dim).persist()
+    new_vecs = bands.select("vec_id", "v").distinct().persist()
+
+    cands = []
+    if sp.catalog.tableExists(index_table):
+        # mask our own partition: on a replay the first attempt may
+        # already have appended this batch's bands
+        hist = sp.table(index_table).filter(F.col("_batch_id") != epoch)
+        cands.append(  # new vs history — direction normalized
+            bands.select(
+                F.col("vec_id").alias("id_n"), "table_id", "bucket"
+            )
+            .join(
+                hist.select(
+                    F.col("vec_id").alias("id_h"), "table_id", "bucket"
+                ),
+                ["table_id", "bucket"],
+            )
+            .select(
+                F.least("id_h", "id_n").alias("id_a"),
+                F.greatest("id_h", "id_n").alias("id_b"),
+            )
+        )
+    a = bands.select(F.col("vec_id").alias("id_a"), "table_id", "bucket")
+    b = bands.select(F.col("vec_id").alias("id_b"), "table_id", "bucket")
+    cands.append(  # new vs new
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    cand = cands[0]
+    for c in cands[1:]:
+        cand = cand.unionByName(c)
+    cand = cand.distinct()
+
+    old_vecs = (
+        sp.table(vecs_table)
+        .filter(F.col("_batch_id") != epoch)  # same replay mask
+        .select("vec_id", "v")
+        if sp.catalog.tableExists(vecs_table)
+        else new_vecs.limit(0)
+    )
+    all_vecs = old_vecs.unionByName(new_vecs)
+    pairs = _verified_pairs(cand, all_vecs, all_vecs, threshold)
+    # The pairs write materializes its plan BEFORE the index/vecs
+    # writes mutate the tables that plan reads — keep this order.
+    write_epoch_partition(
+        pairs.withColumn("_batch_id", F.lit(epoch)), pairs_table
+    )
+    write_epoch_partition(
+        bands.select("vec_id", "table_id", "bucket").withColumn(
+            "_batch_id", F.lit(epoch)
+        ),
+        index_table,
+    )
+    write_epoch_partition(
+        new_vecs.withColumn("_batch_id", F.lit(epoch)), vecs_table
+    )
+    bands.unpersist()
+    new_vecs.unpersist()
+
+
 def maintain_embedding_ann_stream(
     spark: SparkSession,
     source_dir: str,
@@ -211,69 +306,28 @@ def maintain_embedding_ann_stream(
     batch-vs-history and in-batch pairs land identically to a batch
     run over the full corpus.
 
-    `checkpoint_dir` makes the stream resumable; recovery grain is
-    the micro-batch (same caveat as near_dup_stream: offsets commit
-    AFTER the sink returns, so a kill MID-batch replays that batch
-    and would double-append its rows across the three tables — the
-    production fix is an epoch-keyed idempotent append; the common
-    between-batch kill recovers exactly, proven by the restart
-    test)."""
-    vecs_table = f"{index_table}__vecs"
+    `checkpoint_dir` makes the stream resumable. All three tables are
+    `_batch_id`-partitioned with masked reads + per-epoch dynamic
+    partition overwrite (see ann_epoch), so BOTH the common
+    between-batch kill AND a mid-batch kill+replay recover to exactly
+    the contents of an uninterrupted run — the same exactly-once
+    contract as split_stream/curation_stream, proven by
+    tests/test_ann_stream.py's replay test."""
     batches = {"n": 0}
 
-    def sink(batch_df: DataFrame, _epoch: int) -> None:
+    def sink(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
             return
-        sp = batch_df.sparkSession
-        bands = _multi_table_bands(
-            batch_df, n_tables, n_planes, dim
-        ).persist()
-        new_vecs = bands.select("vec_id", "v").distinct().persist()
-
-        cands = []
-        if sp.catalog.tableExists(index_table):
-            hist = sp.table(index_table)
-            cands.append(  # new vs history — direction normalized
-                bands.select(
-                    F.col("vec_id").alias("id_n"), "table_id", "bucket"
-                )
-                .join(
-                    hist.select(
-                        F.col("vec_id").alias("id_h"), "table_id", "bucket"
-                    ),
-                    ["table_id", "bucket"],
-                )
-                .select(
-                    F.least("id_h", "id_n").alias("id_a"),
-                    F.greatest("id_h", "id_n").alias("id_b"),
-                )
-            )
-        a = bands.select(F.col("vec_id").alias("id_a"), "table_id", "bucket")
-        b = bands.select(F.col("vec_id").alias("id_b"), "table_id", "bucket")
-        cands.append(  # new vs new
-            a.join(b, ["table_id", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+        ann_epoch(
+            batch_df,
+            epoch,
+            pairs_table,
+            index_table,
+            threshold=threshold,
+            n_tables=n_tables,
+            n_planes=n_planes,
+            dim=dim,
         )
-        cand = cands[0]
-        for c in cands[1:]:
-            cand = cand.unionByName(c)
-        cand = cand.distinct()
-
-        old_vecs = (
-            sp.table(vecs_table)
-            if sp.catalog.tableExists(vecs_table)
-            else new_vecs.limit(0)
-        )
-        all_vecs = old_vecs.unionByName(new_vecs)
-        pairs = _verified_pairs(cand, all_vecs, all_vecs, threshold)
-        pairs.write.mode("append").saveAsTable(pairs_table)
-        bands.select("vec_id", "table_id", "bucket").write.mode(
-            "append"
-        ).saveAsTable(index_table)
-        new_vecs.write.mode("append").saveAsTable(vecs_table)
-        bands.unpersist()
-        new_vecs.unpersist()
         batches["n"] += 1
 
     reader = (

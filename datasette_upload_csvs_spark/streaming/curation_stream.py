@@ -33,6 +33,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datasette_upload_csvs_spark.operators import curation, textstats
+from datasette_upload_csvs_spark.streaming.epoch_write import (
+    write_epoch_partition,
+)
 
 
 def annotate(batch: DataFrame) -> DataFrame:
@@ -57,31 +60,9 @@ def _write_batch(out: DataFrame, annotations_table: str) -> None:
     REPLAY (at-least-once delivery: crash after the write, before the
     offset commit) overwrites the identical partition rather than
     appending a duplicate. Epoch ids are stable across restarts, which
-    is what makes the partition the correct idempotency key."""
-    spark = out.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "dynamic")
-    try:
-        if not spark.catalog.tableExists(annotations_table):
-            (
-                out.write.mode("overwrite")
-                .partitionBy("_batch_id")
-                .saveAsTable(annotations_table)
-            )
-        else:
-            # insertInto is positional: align to the table column order
-            cols = spark.table(annotations_table).columns
-            out.select(*cols).write.mode("overwrite").insertInto(
-                annotations_table
-            )
-    finally:
-        # restore the session's overwrite semantics: leaking
-        # "dynamic" would silently change unrelated overwrite writes
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    is what makes the partition the correct idempotency key. Delegates
+    to the shared streaming.epoch_write helper."""
+    write_epoch_partition(out, annotations_table)
 
 
 def annotate_stream(

@@ -44,6 +44,9 @@ from pyspark.sql import functions as F
 
 from datasette_upload_csvs_spark.operators import splits
 from datasette_upload_csvs_spark.operators.shingle_index import ShingleIndex
+from datasette_upload_csvs_spark.streaming.epoch_write import (
+    write_epoch_partition,
+)
 
 _EMPTY_SPLITS = (
     "doc_id long, cluster_id long, split string, bridged boolean"
@@ -52,24 +55,8 @@ _EMPTY_SPLITS = (
 
 def _write_batch(out: DataFrame, table: str) -> None:
     """Idempotent per-epoch write (dynamic partition overwrite on
-    `_batch_id` — the curation_stream._write_batch recovery grain)."""
-    spark = out.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "dynamic")
-    try:
-        if not spark.catalog.tableExists(table):
-            out.write.mode("overwrite").partitionBy("_batch_id").saveAsTable(
-                table
-            )
-        else:
-            cols = spark.table(table).columns
-            out.select(*cols).write.mode("overwrite").insertInto(table)
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    `_batch_id` — the shared epoch_write recovery grain)."""
+    write_epoch_partition(out, table)
 
 
 def assign_batch(
@@ -88,6 +75,11 @@ def assign_batch(
     edges = index.edges_for_batch(
         batch, threshold=threshold, max_df=max_df, exclude_batch=epoch
     ).localCheckpoint(eager=True)
+    # The eager checkpoint materialized the edges plan — the index's
+    # per-batch persisted frames are no longer referenced. Release them
+    # NOW: this sink runs for the stream's lifetime, and skipping the
+    # caching contract's cleanup grows executor storage every epoch.
+    index.release_batch_cache()
 
     if spark.catalog.tableExists(splits_table):
         prev = (

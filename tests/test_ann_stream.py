@@ -104,6 +104,50 @@ def test_bands_arrow_matches_expression(spark, sf_dir):
     assert expr == arrow and len(expr) == corpus.count() * 4
 
 
+def test_ann_epoch_mid_batch_replay_idempotent(spark, sf_dir):
+    """at-least-once redelivery: offsets commit AFTER the sink, so a
+    kill mid-batch re-delivers an epoch whose writes (some or all)
+    already landed. Replaying a fully-written epoch must leave all
+    THREE tables bit-identical (epoch-masked reads + per-epoch
+    dynamic partition overwrite), and the final contents must equal
+    the one-shot batch run — the same exactly-once contract
+    split_stream/curation_stream prove for their stores."""
+    from datasette_upload_csvs_spark.streaming.ann_stream import ann_epoch
+
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    b0 = corpus.filter(F.pmod("vec_id", F.lit(2)) == 0)
+    b1 = corpus.filter(F.pmod("vec_id", F.lit(2)) == 1)
+    tables = ("annx_pairs", "annx_index", "annx_index__vecs")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    ann_epoch(b0, 0, "annx_pairs", "annx_index", threshold=0.99)
+    ann_epoch(b1, 1, "annx_pairs", "annx_index", threshold=0.99)
+
+    def snap(t):
+        spark.catalog.refreshTable(t)
+        return sorted(tuple(r) for r in spark.table(t).collect())
+
+    before = {t: snap(t) for t in tables}
+
+    # the replay: epoch 1 re-delivered after ALL its writes landed
+    ann_epoch(b1, 1, "annx_pairs", "annx_index", threshold=0.99)
+    after = {t: snap(t) for t in tables}
+    assert after == before  # no double-append anywhere
+
+    got = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in spark.table("annx_pairs").collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_ann_batch(corpus, threshold=0.99).collect()
+    }
+    assert got == want and got
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_stream_ann_restart_from_checkpoint(spark, sf_dir, tmp_path):
     """Kill-and-restart recovery: drain 2 arrival files, stop, land
     2 more, restart with the SAME checkpoint. The restart must
