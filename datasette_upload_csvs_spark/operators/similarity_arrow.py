@@ -61,20 +61,23 @@ def max_cosine_arrow(
     query_ids: list[int],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
-    """(id, max_sim): each corpus vector's max cosine against the
-    query set — the decontamination-screen reduction
-    (semantic_decontamination's hot loop) as one matmul per batch.
-    Query members are excluded from the output like the registry
-    entry excludes them."""
+    """(id, [passthrough...], max_sim): each corpus vector's max
+    cosine against the query set — the decontamination-screen
+    reduction (semantic_decontamination's hot loop) as one matmul per
+    batch. Query members are excluded from the output like the
+    registry entry excludes them. ``passthrough`` columns (e.g. a
+    label) ride the Arrow batch unchanged, saving the corpus-sized
+    rejoin a separate lookup would cost."""
     qids, qmat = _collect_query_matrix(emb, query_ids, id_col, vec_col)
     qset = set(int(x) for x in qids)
-    schema = StructType(
-        [
-            StructField(id_col, LongType()),
-            StructField("max_sim", DoubleType()),
-        ]
-    )
+    extra = list(passthrough or [])
+    fields = [StructField(id_col, LongType())]
+    for c in extra:
+        fields.append(emb.schema[c])
+    fields.append(StructField("max_sim", DoubleType()))
+    schema = StructType(fields)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -85,11 +88,13 @@ def max_cosine_arrow(
             v = np.array(list(sub[vec_col]), dtype=np.float64)
             v /= np.linalg.norm(v, axis=1, keepdims=True)
             sims = v @ qmat.T  # (B, Q)
-            yield pd.DataFrame(
-                {id_col: sub[id_col].values, "max_sim": sims.max(axis=1)}
-            )
+            out = {id_col: sub[id_col].values}
+            for c in extra:
+                out[c] = sub[c].values
+            out["max_sim"] = sims.max(axis=1)
+            yield pd.DataFrame(out)
 
-    return emb.select(id_col, vec_col).mapInPandas(score, schema)
+    return emb.select(id_col, *extra, vec_col).mapInPandas(score, schema)
 
 
 def assign_sqdist_arrow(

@@ -24,6 +24,7 @@ Part B). Extension rows (B29+) call the operators/ modules.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -40,6 +41,24 @@ from datasette_upload_csvs_spark.functions.vector import as_double_array
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
+
+
+def _vector_backend() -> str:
+    """Which execution path the vector-tier registry entries use:
+
+    - "expression" (default): Catalyst higher-order-function cosines —
+      interpreted, but mirrored bit-for-bit by the DuckDB oracles.
+    - "arrow": the numpy/Arrow production twins (operators/
+      *_arrow.py) — one matmul per batch instead of n×k interpreted
+      folds; ~25-100× on the embedding tier (PLANS_r06.md §5c).
+
+    Routed entries: semdedup_prune, d4_prototype_prune,
+    kmeans_lloyd_step, semantic_decontamination.
+    tests/test_oracle_parity.py runs the routed entries under BOTH
+    settings, so the swap is a tested configuration, not prose."""
+    return os.environ.get(
+        "SPARK_GRAFT_VECTOR_BACKEND", "expression"
+    ).strip().lower()
 
 
 def q(name: str, oracle: str | None = None):
@@ -63,30 +82,56 @@ def q(name: str, oracle: str | None = None):
 # in _DRIVER_PRIORITY so the independent check re-runs on the new
 # code.
 _DRIVER_PRIORITY = [
-    # Round-6 sample = this list, then any fresh (never-checked,
-    # non-priority) registry entries, then _DRIVER_CHECKED. Two
-    # queries changed this round and must be independently
-    # re-verified (array_agg_region_nations: ArrayType output
-    # replaced with a driver-sortable sorted-joined string after
-    # the r5 harness ERR; semdedup_prune: quantizer k now scales
-    # as max(32, ceil(sqrt(n))) instead of frozen 32), followed by
-    # the 17 names never yet included in any driver sample
-    # (r1-r5 union). 19 names + round-6 fresh entries fit well
-    # inside the 50-name prefix, so r1∪…∪r6 can reach 203/203
-    # distinct driver-verified queries.
-    "array_agg_region_nations", "semdedup_prune",
-    "dsir_importance_weights", "dsir_resample_topk",  # impl changed r6
-    "merge_upsert_orders",
-    "sample_deterministic", "sample_stratified", "sample_weighted_orders",
-    "sample_n_per_group_orders", "dq_check_orders",
-    "equidepth_histogram_price", "benford_first_digit",
-    "monthly_revenue_ewma", "snapshot_diff_orders", "doc_rolling_hash",
-    "not_in_null_semantics", "filtered_aggregates", "histogram2d_qty_price",
-    "monthly_trend_by_nation", "price_percentiles_by_status",
-    "robust_dispersion_mad",
+    # Round-7 sample = this list, then any fresh (never-checked,
+    # non-priority) registry entries, then _DRIVER_CHECKED. Four
+    # entries changed this round (they gained the
+    # SPARK_GRAFT_VECTOR_BACKEND routing branch — default behavior
+    # identical, but the rotation rule re-verifies ANY code change),
+    # and three are the new Arrow production twins sharing their
+    # expression entries' oracles verbatim. All well inside the
+    # 50-name sample prefix, so r1∪…∪r7 keeps the
+    # every-name-driver-verified invariant as the registry grows.
+    "semdedup_prune_arrow", "d4_prototype_prune_arrow",
+    "kmeans_lloyd_step_arrow",
+    "semdedup_prune", "d4_prototype_prune", "kmeans_lloyd_step",
+    "semantic_decontamination",
 ]
 
 _DRIVER_CHECKED = frozenset({
+    "abtt_cleaned_topk",
+    "ann_bands_recall",
+    "aqp_groupwise_ci",
+    "aqp_sample_estimate",
+    "array_agg_region_nations",
+    "benford_first_digit",
+    "bm25_doc_ranking",
+    "curation_pipeline_funnel",
+    "doc_rolling_hash",
+    "dq_check_orders",
+    "dsir_importance_weights",
+    "dsir_resample_topk",
+    "embedding_pca_power_iteration",
+    "equidepth_histogram_price",
+    "filtered_aggregates",
+    "histogram2d_qty_price",
+    "k_anonymity_audit",
+    "merge_upsert_orders",
+    "monthly_revenue_ewma",
+    "monthly_trend_by_nation",
+    "ngram_diversity_by_source",
+    "not_in_null_semantics",
+    "price_percentiles_by_status",
+    "robust_dispersion_mad",
+    "sample_deterministic",
+    "sample_n_per_group_orders",
+    "sample_stratified",
+    "sample_weighted_orders",
+    "snapshot_diff_orders",
+    "softdedup_commonness_weights",
+    "tokenizer_fertility_by_lang",
+    "unigram_kl_by_source",
+    "unimax_source_mix",
+    "zipf_slope_by_source",
     "anti_join_no_orders", "approx_count_distinct", "approx_percentile_gate",
     "approx_quantile_tolerance", "argmax_priority_extreme_orders",
     "array_funcs_extended", "array_ops_embeddings", "asof_join_last_click",
@@ -8317,9 +8362,11 @@ def decontaminate_exact_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "semdedup_prune",
-    """
+# Shared by semdedup_prune AND its Arrow production twin
+# semdedup_prune_arrow — one oracle, two execution paths, so the
+# driver independently verifies the production path against the same
+# spec (round-7 VERDICT item 4).
+_SEMDEDUP_PRUNE_SQL = """
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
@@ -8360,8 +8407,10 @@ def decontaminate_exact_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(s.c2c, 6) AS centroid_cos,
            (l.vec_id IS NOT NULL) AS pruned
     FROM assign s LEFT JOIN losers l ON s.vec_id = l.vec_id
-    """,
-)
+    """
+
+
+@q("semdedup_prune", _SEMDEDUP_PRUNE_SQL)
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. '23) semantic pruning: cluster
     embeddings with a coarse quantizer, compute pairwise cosine
@@ -8386,6 +8435,8 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     across the sf0.001→sf0.1 fixtures and bounds realized pair
     counts. Tie-break: equal centroid distance prunes the larger
     vec_id."""
+    if _vector_backend() == "arrow":
+        return _semdedup_prune_arrow_impl(spark, sf_dir)
     from datasette_upload_csvs_spark.functions.vector import cosine
 
     v, assign = _anchor_assignment(spark, sf_dir)
@@ -8463,9 +8514,9 @@ def _anchor_assignment(
     return v, assign
 
 
-@q(
-    "d4_prototype_prune",
-    """
+# Shared by d4_prototype_prune and d4_prototype_prune_arrow — same
+# one-oracle-two-paths arrangement as _SEMDEDUP_PRUNE_SQL.
+_D4_PROTOTYPE_SQL = """
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
@@ -8500,8 +8551,10 @@ def _anchor_assignment(
            proto_rank,
            proto_rank > CAST(FLOOR((3 * cnt) / 10.0) AS BIGINT) AS kept
     FROM ranked
-    """,
-)
+    """
+
+
+@q("d4_prototype_prune", _D4_PROTOTYPE_SQL)
 def d4_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4's second stage (Tirumala et al. '23: SemDeDup, THEN drop
     the most PROTOTYPICAL points): within each cluster, rank by
@@ -8518,6 +8571,8 @@ def d4_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise stage at all, so this is the cheaper D4 leg. The drop
     count floor((3·cnt)/10.0) stays on exact-integer-derived doubles,
     so both engines agree at every boundary."""
+    if _vector_backend() == "arrow":
+        return _d4_prototype_prune_arrow_impl(spark, sf_dir)
     v, assign = _anchor_assignment(spark, sf_dir)
     wc = Window.partitionBy("cluster_id")
     ranked = assign.select(
@@ -8537,6 +8592,47 @@ def d4_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.floor((F.lit(3) * F.col("cnt")) / F.lit(10.0)).cast("bigint")
         ).alias("kept"),
     )
+
+
+def _semdedup_prune_arrow_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datasette_upload_csvs_spark.operators import semdedup_arrow
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semdedup_arrow.semdedup_prune_arrow(emb)
+
+
+def _d4_prototype_prune_arrow_impl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from datasette_upload_csvs_spark.operators import semdedup_arrow
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semdedup_arrow.d4_prototype_prune_arrow(emb)
+
+
+@q("semdedup_prune_arrow", _SEMDEDUP_PRUNE_SQL)
+def semdedup_prune_arrow_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION SemDeDup path as a first-class registry entry:
+    operators/semdedup_arrow.py (one `V @ A.T` matmul per Arrow batch
+    for assignment, one gram matrix per bounded cluster for the
+    pairwise pass) against the SAME oracle SQL as semdedup_prune —
+    the driver's independent harness verifies the fast path, not only
+    the expression spec. Output is pinned EXACTLY equal to
+    semdedup_prune by tests/test_semdedup_arrow.py (same quantizer,
+    same keep-the-outlier rule, same tie semantics), which is what
+    makes reusing the oracle verbatim sound."""
+    return _semdedup_prune_arrow_impl(spark, sf_dir)
+
+
+@q("d4_prototype_prune_arrow", _D4_PROTOTYPE_SQL)
+def d4_prototype_prune_arrow_entry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production D4 stage-2 (prototype pruning) on the Arrow path,
+    sharing d4_prototype_prune's oracle verbatim — exact-equality pin
+    in tests/test_semdedup_arrow.py (same rank order, same integer
+    floor cut)."""
+    return _d4_prototype_prune_arrow_impl(spark, sf_dir)
 
 
 # The DSIR weight table, as oracle-SQL CTEs shared by
@@ -9727,9 +9823,9 @@ def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ====================================================================
 
 
-@q(
-    "kmeans_lloyd_step",
-    """
+# Shared by kmeans_lloyd_step and kmeans_lloyd_step_arrow — same
+# one-oracle-two-paths arrangement as _SEMDEDUP_PRUNE_SQL.
+_KMEANS_LLOYD_SQL = """
     WITH v AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -9770,8 +9866,10 @@ def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(s.inertia, 6) AS inertia,
            round(n.cnorm, 6) AS new_centroid_norm
     FROM stats s JOIN norm n ON s.cid = n.cid
-    """,
-)
+    """
+
+
+@q("kmeans_lloyd_step", _KMEANS_LLOYD_SQL)
 def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One distributed Lloyd iteration of k-means (k=8, centroids
     seeded from the 8 lowest vec_ids): assign every vector to its
@@ -9793,6 +9891,8 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     MLlib-free k-means actually wants. No collect; the argmin is a
     per-vector window over k=8 rows that Spark folds into a
     pre-shuffle WindowGroupLimit."""
+    if _vector_backend() == "arrow":
+        return _kmeans_lloyd_step_arrow_impl(spark, sf_dir)
     from datasette_upload_csvs_spark.operators import kmeans
 
     e = load(spark, sf_dir, "embeddings")
@@ -9801,7 +9901,15 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg = kmeans.assign(v, init)
     # Single corpus pass — see operators/kmeans.py:cent_pos_agg; the
     # full driver loop (lloyd) repeats exactly this step.
-    cent = kmeans.cent_pos_agg(asg)
+    return _lloyd_step_rollup(kmeans.cent_pos_agg(asg))
+
+
+def _lloyd_step_rollup(cent: DataFrame) -> DataFrame:
+    """The (cid, pos)-aggregate → per-cluster stats rollup shared by
+    kmeans_lloyd_step and its Arrow twin: member count and inertia
+    ride the aggregate (identical across a cluster's positions, read
+    back with max()), the new centroid norm is a decimal-exact sum of
+    squared means."""
     return cent.groupBy("cid").agg(
         F.max("cnt").cast("bigint").alias("n_members"),
         F.round(F.max("sd2").cast("double"), 6).alias("inertia"),
@@ -9819,6 +9927,49 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inertia",
         "new_centroid_norm",
     )
+
+
+def _kmeans_lloyd_step_arrow_impl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lloyd step with the ASSIGNMENT on the Arrow matmul path
+    (similarity_arrow.assign_sqdist_arrow) and the recompute on the
+    same decimal-exact JVM aggregate as the expression entry. The
+    Arrow stage picks each vector's centroid; d2 is then re-derived
+    with the positional JVM fold against the chosen centroid
+    (broadcast join on cid), so inertia sums are bit-identical to the
+    oracle — the argmin is the only thing the fast path decides, and
+    the fixtures pin it equal to the expression argmin
+    (tests/test_vector_backend.py)."""
+    from datasette_upload_csvs_spark.operators import kmeans
+    from datasette_upload_csvs_spark.operators.similarity_arrow import (
+        assign_sqdist_arrow,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    init = kmeans.seed_centroids(v, 8)
+    asg = (
+        assign_sqdist_arrow(v, init)
+        .select("vec_id", "v", "cid")  # drop the fp-expanded d2
+        .join(F.broadcast(init), "cid")
+        .select(
+            "vec_id", "v", "cid", kmeans._sqdist("v", "c").alias("d2")
+        )
+    )
+    return _lloyd_step_rollup(kmeans.cent_pos_agg(asg))
+
+
+@q("kmeans_lloyd_step_arrow", _KMEANS_LLOYD_SQL)
+def kmeans_lloyd_step_arrow_entry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Production Lloyd iteration as a first-class registry entry —
+    Arrow-matmul assignment + the expression entry's decimal-exact
+    recompute, against kmeans_lloyd_step's oracle verbatim (see
+    _kmeans_lloyd_step_arrow_impl for why the outputs are
+    bit-identical)."""
+    return _kmeans_lloyd_step_arrow_impl(spark, sf_dir)
 
 
 @q(
@@ -10028,6 +10179,8 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, so the >= flag needs no tolerance) and keeps the
     max, then one tiny-key label aggregate. One corpus pass, zero
     shuffles of vector data."""
+    if _vector_backend() == "arrow":
+        return _semantic_decontamination_arrow_impl(spark, sf_dir)
     e = load(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
@@ -10062,6 +10215,13 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(bl))
         .select("vec_id", "label", max_sim.alias("max_sim"))
     )
+    return _decontamination_rollup(s)
+
+
+def _decontamination_rollup(s: DataFrame) -> DataFrame:
+    """(label, n_vecs, n_flagged, avg_max_sim, top_max_sim) from the
+    per-vector (label, max_sim) frame — shared by both
+    semantic_decontamination backends."""
     return s.groupBy("label").agg(
         F.count("*").cast("bigint").alias("n_vecs"),
         F.count_if(F.col("max_sim") >= 0.35).cast("bigint").alias("n_flagged"),
@@ -10072,6 +10232,32 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_max_sim"),
         F.round(F.max("max_sim"), 6).alias("top_max_sim"),
     )
+
+
+def _semantic_decontamination_arrow_impl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The decontamination screen's production path: one numpy
+    `V @ Q.T` per Arrow batch (operators/similarity_arrow.
+    max_cosine_arrow, 99× the interpreted fold at 256 k vectors —
+    PLANS_r06.md §5c), labels riding the batch as a passthrough
+    column, then the shared label rollup. Scores differ from the
+    expression path only in last-ulp summation order;
+    tests/test_vector_backend.py pins the rolled-up output equal on
+    the fixtures."""
+    from datasette_upload_csvs_spark.operators.similarity_arrow import (
+        max_cosine_arrow,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    bids = [
+        r[0]
+        for r in e.orderBy("vec_id").limit(16).select("vec_id").collect()
+    ]
+    s = max_cosine_arrow(
+        e, bids, vec_col="embedding", id_col="vec_id", passthrough=["label"]
+    )
+    return _decontamination_rollup(s)
 
 
 @q(
