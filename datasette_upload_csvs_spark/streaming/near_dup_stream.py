@@ -11,7 +11,9 @@ index:
               ⋈ stored band table          → new-vs-history candidates
               ⋈ batch's own band keys       → new-vs-new candidates
               exact-verify candidates (Jaccard on shingle-hash sets)
-              append verified pairs; append new bands to the index
+              write pairs/bands/sets into this epoch's `_batch_id`
+              partitions (dynamic partition overwrite — idempotent
+              under replay; see streaming/epoch_write.py)
 
 State is the band table — O(corpus × bands) small keys, a TABLE, not
 executor memory, so it survives restarts and scales with storage.
@@ -30,6 +32,9 @@ from datasette_upload_csvs_spark.operators.dedup import (
     _signatures_from_hashes,
     _MERSENNE,
 )
+from datasette_upload_csvs_spark.streaming.epoch_write import (
+    write_epoch_partition,
+)
 
 
 def _bands(sig: DataFrame, bands: int, rows: int) -> DataFrame:
@@ -42,6 +47,103 @@ def _bands(sig: DataFrame, bands: int, rows: int) -> DataFrame:
     return sig.select(
         "doc_id", F.explode(F.expr(band_sql)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def near_dup_epoch(
+    batch_df: DataFrame,
+    epoch: int,
+    pairs_table: str,
+    index_table: str,
+    threshold: float = 0.7,
+    num_perm: int = 128,
+    n_bands: int = 32,
+) -> None:
+    """One epoch of incremental near-dup maintenance — factored out of
+    the foreachBatch closure so the replay test can invoke a single
+    epoch directly. Exactly-once across the three mutable stores
+    (pairs / bands / sets) under at-least-once redelivery via the
+    shared epoch_write recipe: history reads mask this epoch's own
+    ``_batch_id`` partition, writes are per-epoch dynamic partition
+    overwrites (see streaming/epoch_write.py)."""
+    if batch_df.isEmpty():
+        return
+    spark = batch_df.sparkSession
+    rows = num_perm // n_bands
+    sets_table = f"{index_table}__sets"
+    sets = _hash_shingle_frame(batch_df, "text", "doc_id", 3).persist()
+    hashed = sets.select(
+        "doc_id",
+        F.explode(
+            F.transform("sh", lambda h: F.pmod(h, F.lit(_MERSENNE)))
+        ).alias("h"),
+    )
+    sig = _signatures_from_hashes(hashed, "doc_id", num_perm)
+    new_bands = _bands(sig, n_bands, rows).persist()
+
+    have_index = spark.catalog.tableExists(index_table)
+    if have_index:
+        # the session caches table file listings; inside a
+        # foreachBatch thread a previous batch's append is NOT
+        # automatically visible — without the refresh, batch N
+        # joins against batch N-2's index and silently misses
+        # pairs (observed: stale index_rows across epochs)
+        spark.catalog.refreshTable(index_table)
+        # mask our own partition: on a replay the first attempt may
+        # already have written this batch's bands
+        old_bands = (
+            spark.table(index_table)
+            .filter(F.col("_batch_id") != epoch)
+            .select("doc_id", "band", "bucket")
+        )
+        all_bands = old_bands.unionByName(new_bands)
+    else:
+        all_bands = new_bands
+    # candidates where at least one side is NEW: join new bands
+    # against (old + new); a<b dedups the in-batch mirror pairs
+    cand = (
+        new_bands.alias("a")
+        .join(all_bands.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("id_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    if spark.catalog.tableExists(sets_table):
+        spark.catalog.refreshTable(sets_table)
+        old_sets = (
+            spark.table(sets_table)
+            .filter(F.col("_batch_id") != epoch)  # same replay mask
+            .select(*sets.columns)
+        )
+        all_sets = old_sets.unionByName(sets)
+    else:
+        all_sets = sets
+    a = all_sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = all_sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    shared = F.size(F.array_intersect("sh_a", "sh_b"))
+    denom = F.size("sh_a") + F.size("sh_b") - shared
+    pairs = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", shared.cast("double") / denom.cast("double"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    # The pairs write materializes its plan BEFORE the index/sets
+    # writes mutate the tables that plan reads — keep this order.
+    write_epoch_partition(
+        pairs.withColumn("_batch_id", F.lit(epoch)), pairs_table
+    )
+    write_epoch_partition(
+        new_bands.withColumn("_batch_id", F.lit(epoch)), index_table
+    )
+    write_epoch_partition(
+        sets.withColumn("_batch_id", F.lit(epoch)), sets_table
+    )
+    sets.unpersist()
+    new_bands.unpersist()
 
 
 def maintain_near_dup_stream(
@@ -66,76 +168,24 @@ def maintain_near_dup_stream(
     query restarted with the same checkpoint skips already-committed
     source files, so the maintained index keeps extending instead of
     reprocessing history (restart test proves index == batch-rebuilt).
-    Recovery grain is the micro-batch: foreachBatch offsets commit
-    AFTER the sink returns, so a kill mid-batch replays that whole
-    batch on restart — the three appends (pairs/bands/sets) would
-    then double-apply that batch's rows. At this state shape the fix
-    is an epoch-keyed idempotent append (stage each batch under its
-    epoch id and MERGE); kept out of the default path because the
-    common failure (kill BETWEEN batches, e.g. a drained
-    availableNow run) recovers exactly."""
-    rows = num_perm // n_bands
-    sets_table = f"{index_table}__sets"
+    All three tables are `_batch_id`-partitioned with masked reads +
+    per-epoch dynamic partition overwrite (see near_dup_epoch), so
+    BOTH the common between-batch kill AND a mid-batch kill+replay
+    recover to exactly the contents of an uninterrupted run."""
     batches = {"n": 0}
 
-    def sink(batch_df: DataFrame, _epoch: int) -> None:
+    def sink(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
             return
-        sets = _hash_shingle_frame(batch_df, "text", "doc_id", 3).persist()
-        hashed = sets.select(
-            "doc_id",
-            F.explode(
-                F.transform("sh", lambda h: F.pmod(h, F.lit(_MERSENNE)))
-            ).alias("h"),
+        near_dup_epoch(
+            batch_df,
+            epoch,
+            pairs_table,
+            index_table,
+            threshold=threshold,
+            num_perm=num_perm,
+            n_bands=n_bands,
         )
-        sig = _signatures_from_hashes(hashed, "doc_id", num_perm)
-        new_bands = _bands(sig, n_bands, rows).persist()
-
-        have_index = spark.catalog.tableExists(index_table)
-        if have_index:
-            # the session caches table file listings; inside a
-            # foreachBatch thread a previous batch's append is NOT
-            # automatically visible — without the refresh, batch N
-            # joins against batch N-2's index and silently misses
-            # pairs (observed: stale index_rows across epochs)
-            spark.catalog.refreshTable(index_table)
-            old_bands = spark.table(index_table)
-            all_bands = old_bands.unionByName(new_bands)
-        else:
-            all_bands = new_bands
-        # candidates where at least one side is NEW: join new bands
-        # against (old + new); a<b dedups the in-batch mirror pairs
-        cand = (
-            new_bands.alias("a")
-            .join(all_bands.alias("b"), ["band", "bucket"])
-            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
-            .select(
-                F.least("a.doc_id", "b.doc_id").alias("id_a"),
-                F.greatest("a.doc_id", "b.doc_id").alias("id_b"),
-            )
-            .distinct()
-        )
-        if spark.catalog.tableExists(sets_table):
-            spark.catalog.refreshTable(sets_table)
-            all_sets = spark.table(sets_table).unionByName(sets)
-        else:
-            all_sets = sets
-        a = all_sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-        b = all_sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-        shared = F.size(F.array_intersect("sh_a", "sh_b"))
-        denom = F.size("sh_a") + F.size("sh_b") - shared
-        pairs = (
-            cand.join(a, "id_a")
-            .join(b, "id_b")
-            .withColumn("jaccard", shared.cast("double") / denom.cast("double"))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
-        pairs.write.mode("append").saveAsTable(pairs_table)
-        new_bands.write.mode("append").saveAsTable(index_table)
-        sets.write.mode("append").saveAsTable(sets_table)
-        sets.unpersist()
-        new_bands.unpersist()
         batches["n"] += 1
 
     writer = (

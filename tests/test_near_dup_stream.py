@@ -112,3 +112,51 @@ def test_stream_near_dup_restart_from_checkpoint(spark, sf_dir, tmp_path):
     assert spark.table("ndr_pairs").count() == len(got)
     for t in ("ndr_pairs", "ndr_index", "ndr_index__sets"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_near_dup_epoch_mid_batch_replay_idempotent(spark, sf_dir):
+    """Replaying a fully-written epoch must leave pairs, bands, and
+    sets tables bit-identical (epoch-masked reads + per-epoch dynamic
+    partition overwrite), and the contents must equal the batch
+    MinHash pipeline — the same exactly-once contract the ANN /
+    split / curation streams prove for their stores."""
+    from datasette_upload_csvs_spark.streaming.near_dup_stream import (
+        near_dup_epoch,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    b1 = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    tables = ("ndx_pairs", "ndx_index", "ndx_index__sets")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    near_dup_epoch(b0, 0, "ndx_pairs", "ndx_index", threshold=0.7)
+    near_dup_epoch(b1, 1, "ndx_pairs", "ndx_index", threshold=0.7)
+
+    def snap(t):
+        spark.catalog.refreshTable(t)
+        return sorted(
+            tuple(
+                tuple(v) if isinstance(v, list) else v for v in r
+            )
+            for r in spark.table(t).collect()
+        )
+
+    before = {t: snap(t) for t in tables}
+    # the replay: epoch 1 re-delivered after ALL its writes landed
+    near_dup_epoch(b1, 1, "ndx_pairs", "ndx_index", threshold=0.7)
+    after = {t: snap(t) for t in tables}
+    assert after == before  # no double-append anywhere
+
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in spark.table("ndx_pairs").collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dedup.minhash_near_dup_pairs(docs, threshold=0.7).collect()
+    }
+    assert got == want and got
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
