@@ -93,6 +93,7 @@ _DRIVER_PRIORITY = [
     # every-name-driver-verified invariant as the registry grows.
     "semdedup_prune_arrow", "d4_prototype_prune_arrow",
     "kmeans_lloyd_step_arrow",
+    "data_constrained_epochs", "perplexity_band_filter",  # new r7
     "semdedup_prune", "d4_prototype_prune", "kmeans_lloyd_step",
     "semantic_decontamination",
 ]
@@ -9534,6 +9535,183 @@ def unimax_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return unimax_allocate(
         t, budget_num=7, budget_den=5.0, epochs_num=3, epochs_den=2.0
+    )
+
+
+@q(
+    "data_constrained_epochs",
+    f"""
+    WITH toks AS (
+      SELECT source,
+             len(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                             x -> x <> '')) AS n
+      FROM documents
+    ), s AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS unique_tokens
+      FROM toks GROUP BY source
+    ), t AS (
+      SELECT SUM(unique_tokens) AS tt, COUNT(*) AS ns FROM s
+    ), alloc AS (
+      SELECT source, unique_tokens,
+             4.0 * tt / ns AS budget_tokens,
+             greatest(4.0 * tt / ns / unique_tokens - 1.0, 0.0)
+               AS repeat_epochs
+      FROM s, t
+    ), eff AS (
+      SELECT source, unique_tokens, budget_tokens, repeat_epochs,
+             unique_tokens
+               + unique_tokens * 15.4
+                 * (1 - exp(-repeat_epochs / 15.4)) AS effective_tokens
+      FROM alloc
+    )
+    SELECT source, unique_tokens,
+           round(repeat_epochs, 6) AS repeat_epochs,
+           round(effective_tokens, 6) AS effective_tokens,
+           round(effective_tokens / budget_tokens, 6)
+             AS budget_efficiency
+    FROM eff
+    """,
+)
+def data_constrained_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained scaling allocation (Muennighoff et al.
+    NeurIPS '23): when the token budget exceeds a source's unique
+    data, the source is repeated for R epochs, but repeated tokens
+    decay in value — the paper fits effective data
+    D' = U + U·R*·(1 − e^(−R/R*)) with R* ≈ 15.4 (their Eq. 5's
+    half-life form). This entry gives every source an equal share of
+    a 4× total-token budget and reports how many repeat epochs that
+    implies and what the repeats are WORTH in effective unique
+    tokens — small sources show deep repetition with sharply
+    diminishing budget_efficiency, large sources stay near 1 epoch
+    at full value; the table is the input a budget re-balancer
+    (unimax_source_mix) consumes.
+
+    Scale shape: ONE corpus scan partial-aggregated to a
+    |sources|-row frame; every formula term is closed-form column
+    arithmetic on that tiny frame joined to a broadcast 1-row total.
+    All inputs to the exp/round are doubles derived from exact
+    integer counts, so both engines branch and round identically."""
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.sum(F.size(_text_tokens(F.col("text"))))
+        .cast("bigint")
+        .alias("unique_tokens")
+    )
+    t = s.agg(
+        F.sum("unique_tokens").alias("tt"), F.count("*").alias("ns")
+    )
+    budget = F.lit(4.0) * F.col("tt") / F.col("ns")
+    epochs = F.greatest(
+        budget / F.col("unique_tokens") - F.lit(1.0), F.lit(0.0)
+    )
+    eff = F.col("unique_tokens") + F.col("unique_tokens") * F.lit(15.4) * (
+        F.lit(1.0) - F.exp(-F.col("_re") / F.lit(15.4))
+    )
+    return (
+        s.join(F.broadcast(t))
+        .withColumn("_bt", budget)
+        .withColumn("_re", epochs)
+        .withColumn("_eff", eff)
+        .select(
+            "source",
+            "unique_tokens",
+            F.round("_re", 6).alias("repeat_epochs"),
+            F.round("_eff", 6).alias("effective_tokens"),
+            F.round(F.col("_eff") / F.col("_bt"), 6).alias(
+                "budget_efficiency"
+            ),
+        )
+    )
+
+
+@q(
+    "perplexity_band_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                x -> x <> '')) AS w
+      FROM documents
+    ), freq AS (
+      SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w
+    ), tot AS (SELECT SUM(cnt) AS tot FROM freq),
+    scored AS (
+      SELECT w, CAST(round(-ln(cnt / tot), 10) AS DECIMAL(28,12)) AS nll
+      FROM freq, tot
+    ), doc_nll AS (
+      SELECT doc_id, round(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+      FROM toks JOIN scored USING (w)
+      GROUP BY doc_id
+    ), j AS (
+      SELECT d.doc_id, d.source, n.avg_nll
+      FROM documents d JOIN doc_nll n USING (doc_id)
+    ), r AS (
+      SELECT doc_id, source, avg_nll,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY avg_nll, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS cnt
+      FROM j
+    )
+    SELECT doc_id, source, avg_nll,
+           CAST((4 * (rk - 1)) // cnt AS INTEGER) AS quartile,
+           (4 * (rk - 1)) // cnt IN (1, 2) AS kept
+    FROM r
+    """,
+)
+def perplexity_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-perplexity pruning (Marion et al. '23, "When Less is
+    More"): their strongest result keeps the MIDDLE of the per-domain
+    perplexity distribution — the lowest-perplexity band is
+    boilerplate/templated text, the highest is noise, and training on
+    the middle band beats training on everything. Every document gets
+    its corpus-LM score (the KenLM stand-in ccnet_perplexity_buckets
+    uses), a per-SOURCE quartile, and a kept flag for the middle two
+    quartiles.
+
+    The quartile is rank-based exact integer math ((4·(rank−1)) div
+    count), not an interpolated percentile. The within-source rank
+    uses the repo's two-phase distributed rank (row_number within
+    (source, coarse nll band) + band-count prefix sums) rather than
+    one window per source — |sources| giant partitions is exactly the
+    skew a 100 TB corpus cannot afford; the two-phase form is
+    identical to the oracle's single window by construction (the band
+    is a prefix of the sort key)."""
+    docs = load(spark, sf_dir, "documents")
+    nll = textstats.unigram_logprob(docs).select("doc_id", "avg_nll")
+    j = docs.select("doc_id", "source").join(nll, "doc_id")
+    banded = j.withColumn(
+        "_band", F.floor(F.col("avg_nll") * 4).cast("bigint")
+    )
+    w_in = Window.partitionBy("source", "_band").orderBy(
+        "avg_nll", "doc_id"
+    )
+    within = banded.withColumn("_rn", F.row_number().over(w_in))
+    band_counts = banded.groupBy("source", "_band").agg(
+        F.count("*").alias("_bc")
+    )
+    w_pre = (
+        Window.partitionBy("source")
+        .orderBy("_band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefixes = band_counts.select(
+        "source",
+        "_band",
+        F.coalesce(F.sum("_bc").over(w_pre), F.lit(0)).alias("_pre"),
+    )
+    src_counts = j.groupBy("source").agg(F.count("*").alias("cnt"))
+    ranked = (
+        within.join(F.broadcast(prefixes), ["source", "_band"])
+        .join(F.broadcast(src_counts), "source")
+        .withColumn("rk", F.col("_pre") + F.col("_rn"))
+    )
+    quartile = F.expr("(4 * (rk - 1)) div cnt")
+    return ranked.select(
+        "doc_id",
+        "source",
+        "avg_nll",
+        quartile.cast("int").alias("quartile"),
+        quartile.isin(1, 2).alias("kept"),
     )
 
 
