@@ -37,6 +37,18 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ["SPARK_GRAFT_CPUS"] = cpus
     mults = [int(a) for a in sys.argv[1:]] or [1, 8, 32, 128]
+    # SPARK_GRAFT_SCALE_QUERIES=dedup_groups limits one invocation to
+    # a subset; SPARK_GRAFT_SCALE_WORK pins the corpus dir so a large
+    # widened corpus is written once and shared across invocations
+    # (rows merge into BENCH_DEDUP_SCALE.json either way).
+    queries = [
+        q
+        for q in os.environ.get(
+            "SPARK_GRAFT_SCALE_QUERIES", ",".join(QUERIES)
+        ).split(",")
+        if q
+    ]
+    work_env = os.environ.get("SPARK_GRAFT_SCALE_WORK")
 
     from pyspark.sql import functions as F
 
@@ -50,7 +62,8 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base_n = docs.count()
-    work = tempfile.mkdtemp(prefix="dedup-scale-")
+    work = work_env or tempfile.mkdtemp(prefix="dedup-scale-")
+    os.makedirs(work, exist_ok=True)
 
     results = []
     meter = None
@@ -58,26 +71,30 @@ def main() -> None:
         for m in mults:
             wdir = f"{work}/sf_x{m}"
             os.makedirs(wdir, exist_ok=True)
-            copies = [
-                docs.select(
-                    (F.col("doc_id") + F.lit(i * 10 * base_n)).alias(
-                        "doc_id"
-                    ),
-                    F.regexp_replace(
-                        "text", r"(\S+)", rf"$1_m{i}"
-                    ).alias("text"),
-                    *[c for c in docs.columns if c not in ("doc_id", "text")],
-                )
-                for i in range(m)
-            ]
-            corpus = copies[0]
-            for c in copies[1:]:
-                corpus = corpus.unionByName(c)
-            corpus.write.mode("overwrite").parquet(
-                f"{wdir}/documents.parquet"
-            )
+            corpus_path = f"{wdir}/documents.parquet"
+            if not os.path.exists(f"{corpus_path}/_SUCCESS"):
+                copies = [
+                    docs.select(
+                        (F.col("doc_id") + F.lit(i * 10 * base_n)).alias(
+                            "doc_id"
+                        ),
+                        F.regexp_replace(
+                            "text", r"(\S+)", rf"$1_m{i}"
+                        ).alias("text"),
+                        *[
+                            c
+                            for c in docs.columns
+                            if c not in ("doc_id", "text")
+                        ],
+                    )
+                    for i in range(m)
+                ]
+                corpus = copies[0]
+                for c in copies[1:]:
+                    corpus = corpus.unionByName(c)
+                corpus.write.mode("overwrite").parquet(corpus_path)
 
-            for qname in QUERIES:
+            for qname in queries:
                 fn = registry[qname]
 
                 def run():
@@ -110,9 +127,11 @@ def main() -> None:
                 }
                 results.append(row)
                 print(f"# {row}", file=sys.stderr)
-            shutil.rmtree(wdir, ignore_errors=True)
+            if work_env is None:
+                shutil.rmtree(wdir, ignore_errors=True)
     finally:
-        shutil.rmtree(work, ignore_errors=True)
+        if work_env is None:
+            shutil.rmtree(work, ignore_errors=True)
 
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
