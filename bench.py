@@ -84,6 +84,11 @@ HEADLINE = [
     # run end-to-end (plant twins → bucket 4 tables → verify) with
     # its exact-recall gate
     "ann_bands_recall",
+    # round-7 Arrow production twins: same oracles as their
+    # expression entries, numpy-matmul execution — benching BOTH
+    # paths keeps the interpreted-vs-Arrow gap visible per round
+    "semdedup_prune_arrow",
+    "kmeans_lloyd_step_arrow",
 ]
 
 
