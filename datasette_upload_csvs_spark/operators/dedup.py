@@ -77,6 +77,24 @@ def _shingle_hashes(col, n: int = 3):
     )
 
 
+def _spread(docs: DataFrame, id_col: str) -> DataFrame:
+    """Repartition the corpus ONLY when it arrives under-parallel
+    (small-file fixtures land as 1-2 partitions and shingling is
+    CPU-bound per row). A 100 TB scan already has thousands of input
+    splits — repartitioning it would shuffle the entire corpus TEXT
+    before any work, the most expensive possible no-op — so wide
+    inputs pass through untouched (partition count is scan metadata,
+    no job)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_in = docs.rdd.getNumPartitions()
+    except Exception:
+        n_in = 1
+    if n_in >= par:
+        return docs
+    return docs.repartition(par, F.col(id_col))
+
+
 def _hash_shingle_frame(
     docs: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
@@ -242,10 +260,10 @@ def ngram_jaccard_pairs(
     if restrict_to_ids is not None and max_df is None:
         raise ValueError("restrict_to_ids requires max_df (capped branch)")
     if max_df is not None:
-        par = docs.sparkSession.sparkContext.defaultParallelism
         # shingling is CPU-bound per row; spread single-file inputs
+        # (wide inputs pass through — see _spread)
         sets = _hash_shingle_frame(
-            docs.repartition(par, F.col(id_col)), text_col, id_col, n
+            _spread(docs, id_col), text_col, id_col, n
         ).persist()
         # ONE shuffle on the shingle hash. The df cap rides a
         # count-window (counts only — a hot shingle is dropped before
@@ -594,9 +612,10 @@ def minhash_near_dup_pairs(
     rows = num_perm // bands
     # Small-file inputs arrive as one partition; shingling is
     # CPU-bound per row (higher-order exprs are interpreted, not
-    # codegen'd), so spread the corpus across the cluster first.
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    docs = docs.repartition(par, F.col(id_col))
+    # codegen'd), so spread the corpus across the cluster first —
+    # but ONLY when it arrives under-parallel (_spread): a wide scan
+    # repartitioned here would shuffle the whole corpus text.
+    docs = _spread(docs, id_col)
     # Shingle sets are represented as 64-bit hashes computed straight
     # from token n-tuples with multi-arg xxhash64 — the shingle STRING
     # is never materialized (no slice/array_join/string-distinct, the

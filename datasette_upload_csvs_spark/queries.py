@@ -94,6 +94,14 @@ _DRIVER_PRIORITY = [
     "semdedup_prune_arrow", "d4_prototype_prune_arrow",
     "kmeans_lloyd_step_arrow",
     "data_constrained_epochs", "perplexity_band_filter",  # new r7
+    # transitively changed by the conditional _spread (dedup.py):
+    # output-invariant partitioning decision, but the rotation rule
+    # re-verifies ANY code change under the entry
+    "dedup_containment", "dedup_cross_source_matrix",
+    "dedup_graph_triangles", "dedup_groups", "dedup_keep_best",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped", "dedup_rate_by_source",
+    "split_cluster_safe", "split_incremental_stable",
     "semdedup_prune", "d4_prototype_prune", "kmeans_lloyd_step",
     "semantic_decontamination",
 ]
@@ -146,12 +154,8 @@ _DRIVER_CHECKED = frozenset({
     "curation_pii_redact", "curation_repetition_stats",
     "curation_shuffle_order", "curation_strip_boilerplate",
     "daily_revenue_drawdown", "date_format_funcs", "date_funcs",
-    "decontaminate_exact_ngram", "dedup_containment",
-    "dedup_cross_source_matrix", "dedup_embedding_cosine",
-    "dedup_exact_ranks", "dedup_exact_substr_spans", "dedup_graph_triangles",
-    "dedup_groups", "dedup_keep_best", "dedup_minhash_lsh",
-    "dedup_ngram_coverage", "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_capped", "dedup_rate_by_source", "dedup_simhash",
+    "decontaminate_exact_ngram", "dedup_embedding_cosine",
+    "dedup_exact_ranks", "dedup_exact_substr_spans", "dedup_ngram_coverage", "dedup_simhash",
     "disjunctive_filter_join", "distinct_status_priority", "doc_keywords",
     
     "embedding_centroid_distance", "embedding_quantize_int8",
@@ -192,8 +196,7 @@ _DRIVER_CHECKED = frozenset({
     "similarity_lsh_recall", "similarity_lsh_topk_batch",
     "similarity_pq_recall", "similarity_topk_batch",
     "similarity_topk_bruteforce", "sort_nulls_handling",
-    "source_temperature_mix", "split_cluster_safe",
-    "split_incremental_stable", "sql_scalar_subquery", "sqlite_compat_funcs",
+    "source_temperature_mix", "sql_scalar_subquery", "sqlite_compat_funcs",
     "stats_dispersion", "stratified_split_counts", "string_agg_suppliers",
     "string_funcs", "string_funcs_extended", "supplier_concentration_hhi",
     "table_profile", "text_bigram_freq", "text_bigram_logprob",
