@@ -33,6 +33,26 @@ def as_double_array(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def double_array_frame(emb, vec_col: str = "embedding",
+                       id_col: str = "vec_id"):
+    """(id, v double-array) with the cast MATERIALIZED behind a 1:1
+    explode(array(...)) generator barrier.
+
+    Use this instead of ``select(id, as_double_array(vec))`` whenever
+    the v column feeds MANY expressions (multi-plane LSH codes,
+    multi-anchor scoring): inline, CollapseProject substitutes the
+    cast into every reference, so a 32-projection bucketing pays 32
+    redundant 64-wide casts per row — measured 13.7 s → 3.4 s on the
+    sf0.1 ANN recall gate. The generator is a projection barrier the
+    optimizer cannot collapse through, so the cast runs once per row
+    (the operators/dedup._hash_shingle_frame lesson applied to
+    vectors)."""
+    return emb.select(
+        F.col(id_col),
+        F.explode(F.array(as_double_array(F.col(vec_col)))).alias("v"),
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two numeric arrays (left-to-right fold)."""
     return F.aggregate(

