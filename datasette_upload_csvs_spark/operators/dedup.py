@@ -860,14 +860,34 @@ def embedding_anchor_block_pairs(
     The DuckDB oracle reproduces the anchor assignment exactly, so
     the emitted pair set is pinned, not approximated.
     """
-    v = emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+    from datasette_upload_csvs_spark.functions.vector import (
+        dot,
+        double_array_frame,
+        l2_norm,
+    )
+
+    # Norms are precomputed ONCE per vector (generator-barrier frame,
+    # so the cast+norm aren't re-inlined per reference): both the
+    # O(n·k) scoring join and the candidate verify then pay ONE
+    # interpreted fold per pair (the dot) plus a divide, instead of
+    # three folds — the verify stage runs over Σ bucket² pairs, where
+    # a 3× fold cut is the dominant cost. cos = dot / (nrm_a · nrm_b)
+    # evaluates the exact expression tree cosine() builds, so every
+    # emitted double is bit-identical to the oracle's inline form.
+    v = double_array_frame(emb, vec_col, id_col).withColumn(
+        "nrm", l2_norm(F.col("v"))
+    )
     anchors = v.filter(F.col(id_col) < k_anchors).select(
-        F.col(id_col).alias("anchor_id"), F.col("v").alias("av")
+        F.col(id_col).alias("anchor_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("anrm"),
     )
     scored = v.join(F.broadcast(anchors)).select(
         id_col,
         "anchor_id",
-        cosine(F.col("v"), F.col("av")).alias("ac"),
+        (dot(F.col("v"), F.col("av")) / (F.col("nrm") * F.col("anrm"))).alias(
+            "ac"
+        ),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("ac").desc(), F.col("anchor_id").asc()
@@ -888,13 +908,26 @@ def embedding_anchor_block_pairs(
         )
         .distinct()
     )
-    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    va = v.select(
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    vb = v.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nrm_b"),
+    )
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_raw")
+            "id_a",
+            "id_b",
+            (
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("nrm_a") * F.col("nrm_b"))
+            ).alias("cos_raw"),
         )
         .filter(F.col("cos_raw") >= threshold)
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))

@@ -103,6 +103,7 @@ _DRIVER_PRIORITY = [
     "dedup_ngram_jaccard_capped", "dedup_rate_by_source",
     "split_cluster_safe", "split_incremental_stable",
     "ann_bands_recall",  # bands single-scan + closed-form planted count
+    "dedup_embedding_cosine",  # norm-precompute verify (bit-identical)
     "semdedup_prune", "d4_prototype_prune", "kmeans_lloyd_step",
     "semantic_decontamination",
 ]
@@ -154,7 +155,7 @@ _DRIVER_CHECKED = frozenset({
     "curation_pii_redact", "curation_repetition_stats",
     "curation_shuffle_order", "curation_strip_boilerplate",
     "daily_revenue_drawdown", "date_format_funcs", "date_funcs",
-    "decontaminate_exact_ngram", "dedup_embedding_cosine",
+    "decontaminate_exact_ngram", 
     "dedup_exact_ranks", "dedup_exact_substr_spans", "dedup_ngram_coverage", "dedup_simhash",
     "disjunctive_filter_join", "distinct_status_priority", "doc_keywords",
     
@@ -8441,7 +8442,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id."""
     if _vector_backend() == "arrow":
         return _semdedup_prune_arrow_impl(spark, sf_dir)
-    from datasette_upload_csvs_spark.functions.vector import cosine
+    from datasette_upload_csvs_spark.functions.vector import dot
 
     v, assign = _anchor_assignment(spark, sf_dir)
     m = assign.join(v, "vec_id")
@@ -8450,17 +8451,25 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id"),
         F.col("c2c").alias("c2c_a"),
         F.col("v").alias("v_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = m.select(
         F.col("vec_id").alias("id_b"),
         F.col("cluster_id"),
         F.col("c2c").alias("c2c_b"),
         F.col("v").alias("v_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     losers = (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("v_a"), F.col("v_b")) >= 0.4)
+        # one fold + divide per pair; bit-identical to cosine()'s
+        # inline tree (see _anchor_assignment)
+        .filter(
+            dot(F.col("v_a"), F.col("v_b"))
+            / (F.col("nrm_a") * F.col("nrm_b"))
+            >= 0.4
+        )
         .select(
             F.when(F.col("c2c_a") > F.col("c2c_b"), F.col("id_a"))
             .otherwise(F.col("id_b"))
@@ -8484,11 +8493,21 @@ def _anchor_assignment(
     d4_prototype_prune): k = max(32, ceil(sqrt(n))) smallest-id
     anchor vectors (broadcast), nearest-anchor assignment as one
     k-rows-per-key window. Returns ``(v, assign)`` — the
-    (vec_id, v) double-array frame and the (vec_id, cluster_id, c2c)
+    (vec_id, v, nrm) double-array frame (norm precomputed ONCE per
+    vector behind the generator barrier, so the n×k scoring and the
+    within-cluster pairwise pass pay one fold + a divide per pair
+    instead of three folds; dot/(nrm·nrm) evaluates the exact tree
+    cosine() builds, so every double is bit-identical to the
+    oracle's inline form) and the (vec_id, cluster_id, c2c)
     assignment frame."""
+    from datasette_upload_csvs_spark.functions.vector import (
+        dot,
+        double_array_frame,
+        l2_norm,
+    )
+
     emb = load(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
-    from datasette_upload_csvs_spark.functions.vector import cosine
+    v = double_array_frame(emb).withColumn("nrm", l2_norm(F.col("v")))
 
     kdf = v.agg(
         F.greatest(F.lit(32), F.ceil(F.sqrt(F.count("*"))))
@@ -8498,10 +8517,18 @@ def _anchor_assignment(
     anchors = (
         v.join(F.broadcast(kdf))
         .filter(F.col("vec_id") < F.col("k"))
-        .select(F.col("vec_id").alias("anchor_id"), F.col("v").alias("av"))
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("v").alias("av"),
+            F.col("nrm").alias("anrm"),
+        )
     )
     scored = v.join(F.broadcast(anchors)).select(
-        "vec_id", "anchor_id", cosine(F.col("v"), F.col("av")).alias("ac")
+        "vec_id",
+        "anchor_id",
+        (dot(F.col("v"), F.col("av")) / (F.col("nrm") * F.col("anrm"))).alias(
+            "ac"
+        ),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("ac").desc(), F.col("anchor_id").asc()
