@@ -294,6 +294,106 @@ def anchor_topk_batch(
 
 # Deterministic pseudo-random hyperplanes: component h[p][d] derived
 # from xxhash64-free integer mixing so plans contain only literals.
+def _numpy_lloyd(x, k: int, seed: int, iters: int = 25):
+    """Deterministic seeded k-means over a DRIVER-SIDE sample matrix
+    (k-means++ init from a seeded RandomState, Lloyd to stability or
+    `iters`). The coarse-quantizer fits in this module train on a
+    bounded sample by design (O(k·dim) effective parameters — the
+    FAISS convention), so the fit itself is a milliseconds-scale
+    numpy loop; running it as m sequential MLlib jobs paid hundreds
+    of scheduler round-trips to move the same few megabytes
+    (measured: 16 sub-quantizer fits = ~15 s of wall for ~50 ms of
+    arithmetic). Distributed work stays distributed: encoding /
+    assignment over the full corpus runs as one Arrow mapInPandas
+    argmin against these centroids."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    rs = np.random.RandomState(seed)
+    k = min(k, n)
+    cent = np.empty((k, x.shape[1]), dtype=np.float64)
+    cent[0] = x[rs.randint(n)]
+    d2 = ((x - cent[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        tot = d2.sum()
+        if tot > 0:
+            idx = rs.choice(n, p=d2 / tot)
+        else:  # all remaining points identical to a chosen center
+            idx = rs.randint(n)
+        cent[j] = x[idx]
+        d2 = np.minimum(d2, ((x - cent[j]) ** 2).sum(axis=1))
+    xn2 = (x * x).sum(axis=1, keepdims=True)
+    for _ in range(iters):
+        dist = xn2 - 2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+        asg = dist.argmin(axis=1)
+        new = cent.copy()
+        for j in range(k):
+            mask = asg == j
+            if mask.any():
+                new[j] = x[mask].mean(axis=0)
+        if np.allclose(new, cent, rtol=0, atol=1e-12):
+            cent = new
+            break
+        cent = new
+    return cent
+
+
+def _argmin_codes_arrow(
+    v_df: DataFrame,
+    codebooks,
+    sub: int,
+    id_col: str,
+    keep_v: bool = False,
+    out_prefix: str = "code_",
+):
+    """One Arrow pass assigning every vector its nearest-centroid
+    code per subspace (ties → lowest code, numpy argmin's rule).
+    `codebooks` is an m×k×sub nested list; m=1 with sub=dim is the
+    plain IVF assignment."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    mats = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    cn2 = [(c * c).sum(axis=1) for c in mats]
+    m = len(mats)
+    fields = [StructField(id_col, LongType())]
+    if keep_v:
+        fields.append(StructField("v", ArrayType(DoubleType())))
+    fields += [
+        StructField(f"{out_prefix}{j}", IntegerType()) for j in range(m)
+    ]
+    schema = StructType(fields)
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf["v"]), dtype=np.float64)
+            out = {id_col: pdf[id_col].values}
+            if keep_v:
+                out["v"] = pdf["v"]
+            for j in range(m):
+                xj = x[:, j * sub:(j + 1) * sub]
+                d = (
+                    (xj * xj).sum(axis=1, keepdims=True)
+                    - 2.0 * (xj @ mats[j].T)
+                    + cn2[j][None, :]
+                )
+                out[f"{out_prefix}{j}"] = d.argmin(axis=1).astype(np.int32)
+            yield pd.DataFrame(out)
+
+    return v_df.select(id_col, "v").mapInPandas(enc, schema)
+
+
 def _hyperplane(p: int, dim: int) -> list[float]:
     comps = []
     s = (p + 1) * 0x9E3779B97F4A7C15 % (1 << 63)
@@ -393,31 +493,36 @@ def ivf_index(
     inverted list is co-located: a probe of n_probe clusters touches
     n_probe partitions, not a shard of every partition — the
     IVF-Flat layout (FAISS) expressed as a DataFrame partitioning.
-    Assignment itself is a map-side argmin against broadcast
-    centroids (model.transform), no shuffle before the repartition.
+    Assignment itself is a map-side Arrow argmin against the
+    centroid matrix riding the task closure, no shuffle before the
+    repartition. The fit is the driver-side seeded numpy Lloyd over
+    the bounded sample (_numpy_lloyd) — one sample collect replaces
+    an MLlib KMeans job chain.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     v = emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
-    ml = v.withColumn("features", array_to_vector("v"))
-    n = ml.count()
+    n = v.count()
     fraction = min(1.0, float(fit_sample_target) / max(n, 1))
-    fit_input = ml.sample(fraction=fraction, seed=seed) if fraction < 1.0 else ml
-    fit_input = fit_input.persist()
-    fit_count = fit_input.count()
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(
-        fit_input
+    fit_input = v.sample(fraction=fraction, seed=seed) if fraction < 1.0 else v
+    sample = np.array(
+        [row["v"] for row in fit_input.select("v").collect()],
+        dtype=np.float64,
     )
-    fit_input.unpersist()
+    fit_count = len(sample)
+    cent = _numpy_lloyd(sample, n_clusters, seed)
+    dim = sample.shape[1]
+    codebook = [[float(x) for x in c] for c in cent]
     assigned = (
-        model.transform(ml)
-        .select(id_col, "v", F.col("prediction").alias("cluster"))
+        _argmin_codes_arrow(
+            v, [codebook], dim, id_col, keep_v=True, out_prefix="cluster_"
+        )
+        .withColumnRenamed("cluster_0", "cluster")
         .repartition(n_clusters, "cluster")
     )
     spark = emb.sparkSession
     centers = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, c) for i, c in enumerate(codebook)],
         "cluster int, center array<double>",
     )
     return assigned, centers, fit_count
@@ -517,14 +622,14 @@ def pq_index(
 
     Codebooks train on a deterministic-seed sample (the ivf_index
     rule: k-means needs O(k·dim) effective parameters, never a full
-    pass); encoding is m chained map-side KMeansModel.transform
-    calls — no shuffle anywhere. Returns (codes DF with code_0..m-1
-    int columns, codebooks as an m×n_codes×sub_dim nested list for
-    driver-side distance tables).
+    pass) via the driver-side seeded numpy Lloyd (_numpy_lloyd —
+    the earlier m sequential MLlib fits paid ~15 s of scheduler
+    round-trips for ~50 ms of arithmetic); encoding over the full
+    corpus is ONE Arrow mapInPandas argmin pass across all m
+    subspaces — no shuffle anywhere. Returns (codes DF with
+    code_0..m-1 int columns, codebooks as an m×n_codes×sub_dim
+    nested list for driver-side distance tables).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     v = emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
     dim = len(v.select("v").first()["v"])
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
@@ -534,24 +639,23 @@ def pq_index(
     fraction = min(1.0, float(fit_sample_target) / max(n, 1))
     fit_base = v.sample(fraction=fraction, seed=seed) if fraction < 1.0 else v
 
-    ml = v
-    codebooks: list[list[list[float]]] = []
-    for j in range(m):
-        sl = F.slice(F.col("v"), j * sub + 1, sub)
-        fit_j = fit_base.select(array_to_vector(sl).alias("features"))
-        model = (
-            KMeans(k=n_codes, seed=seed + j, featuresCol="features")
-            .fit(fit_j)
-        )
-        codebooks.append(
-            [[float(x) for x in c] for c in model.clusterCenters()]
-        )
-        ml = ml.withColumn(f"_f{j}", array_to_vector(sl))
-        model = model.copy().setFeaturesCol(f"_f{j}").setPredictionCol(
-            f"code_{j}"
-        )
-        ml = model.transform(ml).drop(f"_f{j}")
-    return ml.drop("v"), codebooks
+    import numpy as np
+
+    sample = np.array(
+        [row["v"] for row in fit_base.select("v").collect()],
+        dtype=np.float64,
+    )
+    codebooks = [
+        [
+            [float(x) for x in c]
+            for c in _numpy_lloyd(
+                sample[:, j * sub:(j + 1) * sub], n_codes, seed + j
+            )
+        ]
+        for j in range(m)
+    ]
+    codes = _argmin_codes_arrow(v, codebooks, sub, id_col)
+    return codes, codebooks
 
 
 def pq_topk(

@@ -104,6 +104,10 @@ _DRIVER_PRIORITY = [
     "split_cluster_safe", "split_incremental_stable",
     "ann_bands_recall",  # bands single-scan + closed-form planted count
     "dedup_embedding_cosine",  # norm-precompute verify (bit-identical)
+    # driver-side numpy Lloyd for the sampled coarse-quantizer fits
+    # + Arrow argmin assignment (verdict-pinned entries):
+    "similarity_pq_recall", "similarity_ivf_recall",
+    "cms_token_heavy_hitters",  # vocab pre-agg before sketch hashing
     "semdedup_prune", "d4_prototype_prune", "kmeans_lloyd_step",
     "semantic_decontamination",
 ]
@@ -148,7 +152,7 @@ _DRIVER_CHECKED = frozenset({
     "attribution_first_last_touch", "bag_set_ops", "basket_brand_lift",
     "bigram_pmi_collocations", "bitwise_ops", "bloom_contamination_screen",
     "bool_aggs", "ccnet_perplexity_buckets", "chisq_contingency_flag_status",
-    "cms_token_heavy_hitters", "conditional_case", "contamination_overlap",
+    "conditional_case", "contamination_overlap",
     "corr_regression_qty_price", "correlated_avg_filter", "count_distinct",
     "cross_join_region_pairs", "cube_flag_status",
     "curation_mixture_rebalance", "curation_pack_chunks",
@@ -193,9 +197,8 @@ _DRIVER_CHECKED = frozenset({
     "rollup_nation_priority", "scd2_customer_versions",
     "semi_join_big_spenders", "sessionize_events_lag",
     "simhash_fingerprints_portable", "similarity_anchor_topk_batch",
-    "similarity_anchor_topk_results", "similarity_ivf_recall",
-    "similarity_lsh_recall", "similarity_lsh_topk_batch",
-    "similarity_pq_recall", "similarity_topk_batch",
+    "similarity_anchor_topk_results", "similarity_lsh_recall", "similarity_lsh_topk_batch",
+    "similarity_topk_batch",
     "similarity_topk_bruteforce", "sort_nulls_handling",
     "source_temperature_mix", "sql_scalar_subquery", "sqlite_compat_funcs",
     "stats_dispersion", "stratified_split_counts", "string_agg_suppliers",
@@ -7491,8 +7494,17 @@ def cms_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(_text_tokens("text")).alias("w")
     )
     rows_ = F.array(*[F.lit(i) for i in range(4)])
-    keyed = toks.select(
-        "w", F.explode(rows_).alias("r")
+    # Pre-aggregate to VOCAB counts before any hashing: the counter
+    # for (r, col) is Σ counts of the tokens mapping there, so
+    # building the sketch from (w, cnt) is value-identical to
+    # counting the raw stream — but the 4 md5 hashes per key run
+    # over |vocab| rows instead of |token occurrences| (three orders
+    # of magnitude at corpus scale), and the corpus is tokenized
+    # ONCE for both the sketch and the truth branch (the vocab
+    # aggregate persists; it is vocabulary-sized).
+    vocab = toks.groupBy("w").agg(F.count("*").alias("true_cnt")).persist()
+    keyed = vocab.select(
+        "w", "true_cnt", F.explode(rows_).alias("r")
     ).withColumn(
         "col",
         F.pmod(
@@ -7500,13 +7512,8 @@ def cms_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1024),
         ).cast("int"),
     )
-    cms = keyed.groupBy("r", "col").agg(F.count("*").alias("c"))
-    truth = (
-        toks.groupBy("w")
-        .agg(F.count("*").alias("true_cnt"))
-        .orderBy(F.desc("true_cnt"), "w")
-        .limit(10)
-    )
+    cms = keyed.groupBy("r", "col").agg(F.sum("true_cnt").alias("c"))
+    truth = vocab.orderBy(F.desc("true_cnt"), "w").limit(10)
     probes = truth.select(
         "w", "true_cnt", F.explode(rows_).alias("r")
     ).withColumn(
