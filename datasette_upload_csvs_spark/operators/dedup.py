@@ -702,35 +702,39 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     tok = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
-    contrib = tok.withColumn(
-        "bits",
-        F.array(
-            *[
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-                .alias(f"b{i}")
-                for i in range(64)
-            ]
-        ),
+    # aggregate ONES-counts per bit directly (s_i > 0 ⟺ 2·ones_i >
+    # n_tokens) — the earlier form materialized a 64-element ±1 array
+    # per TOKEN and summed its slots, paying a per-token allocation
+    # plus 64 interpreted array reads; plain bit-op sums stay inside
+    # codegen with no allocation
+    summed = tok.groupBy(id_col).agg(
+        F.count("*").alias("cnt"),
+        *[
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(
+                f"o{i}"
+            )
+            for i in range(64)
+        ],
     )
-    summed = contrib.groupBy(id_col).agg(
-        *[F.sum(F.col("bits")[i]).alias(f"s{i}") for i in range(64)]
-    )
-    return summed.select(id_col, _fingerprint_from_sums().alias("simhash64"))
+    return summed.select(id_col, _fingerprint_from_ones().alias("simhash64"))
 
 
-def _fingerprint_from_sums():
-    """64-bit fingerprint from the per-bit sign sums s0..s63. Bit 63
-    can't be expressed as a positive literal (1<<63 overflows signed
-    long); in two's complement, setting it means adding -(2^63)."""
+def _fingerprint_from_ones():
+    """64-bit fingerprint from per-bit ONES counts o0..o63 plus the
+    token count: the sign sum s_i = 2·o_i − cnt, so s_i > 0 ⟺
+    2·o_i > cnt — identical fingerprints to the ±1 formulation. Bit
+    63 can't be expressed as a positive literal (1<<63 overflows
+    signed long); in two's complement, setting it means adding
+    -(2^63)."""
+    bit = lambda i: (F.lit(2) * F.col(f"o{i}")) > F.col("cnt")  # noqa: E731
     return sum(
         [
-            F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.when(bit(i), F.lit(1 << i).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
             for i in range(63)
         ],
-        F.when(F.col("s63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+        F.when(bit(63), F.lit(-(1 << 63)).cast("long")).otherwise(
             F.lit(0).cast("long")
         ),
     )
@@ -749,25 +753,31 @@ def simhash_portable(
     tok = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("hhex", F.md5("tok"))
-    hbytes = [
-        F.conv(F.substring("hhex", 17 + 2 * j, 2), 16, 10).cast("int")
-        for j in range(8)
-    ]
-    contrib = tok.withColumn(
-        "bits",
-        F.array(
-            *[
-                F.when(
-                    F.shiftright(hbytes[i // 8], i % 8).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-                for i in range(64)
-            ]
-        ),
+    # parse each hex byte ONCE into its own column (the bit
+    # expressions below would otherwise each re-run the conv), then
+    # aggregate ones-counts per bit directly — see simhash() for why
+    # this beats the per-token ±1 array
+    tok = tok.select(
+        id_col,
+        *[
+            F.conv(F.substring("hhex", 17 + 2 * j, 2), 16, 10)
+            .cast("int")
+            .alias(f"hb{j}")
+            for j in range(8)
+        ],
     )
-    summed = contrib.groupBy(id_col).agg(
-        *[F.sum(F.col("bits")[i]).alias(f"s{i}") for i in range(64)]
+    summed = tok.groupBy(id_col).agg(
+        F.count("*").alias("cnt"),
+        *[
+            F.sum(
+                F.shiftright(F.col(f"hb{i // 8}"), i % 8).bitwiseAND(
+                    F.lit(1)
+                )
+            ).alias(f"o{i}")
+            for i in range(64)
+        ],
     )
-    return summed.select(id_col, _fingerprint_from_sums().alias("simhash64"))
+    return summed.select(id_col, _fingerprint_from_ones().alias("simhash64"))
 
 
 def simhash_near_dup_pairs(

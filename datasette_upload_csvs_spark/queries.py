@@ -108,6 +108,7 @@ _DRIVER_PRIORITY = [
     # + Arrow argmin assignment (verdict-pinned entries):
     "similarity_pq_recall", "similarity_ivf_recall",
     "cms_token_heavy_hitters",  # vocab pre-agg before sketch hashing
+    "dedup_simhash", "simhash_fingerprints_portable",  # ones-count agg
     "semdedup_prune", "d4_prototype_prune", "kmeans_lloyd_step",
     "semantic_decontamination",
 ]
@@ -160,8 +161,7 @@ _DRIVER_CHECKED = frozenset({
     "curation_shuffle_order", "curation_strip_boilerplate",
     "daily_revenue_drawdown", "date_format_funcs", "date_funcs",
     "decontaminate_exact_ngram", 
-    "dedup_exact_ranks", "dedup_exact_substr_spans", "dedup_ngram_coverage", "dedup_simhash",
-    "disjunctive_filter_join", "distinct_status_priority", "doc_keywords",
+    "dedup_exact_ranks", "dedup_exact_substr_spans", "dedup_ngram_coverage", "disjunctive_filter_join", "distinct_status_priority", "doc_keywords",
     
     "embedding_centroid_distance", "embedding_quantize_int8",
     "event_type_transition_matrix", "events_anomaly_mad_daily",
@@ -196,7 +196,7 @@ _DRIVER_CHECKED = frozenset({
     "revenue_share_by_nation", "rfm_customer_segments",
     "rollup_nation_priority", "scd2_customer_versions",
     "semi_join_big_spenders", "sessionize_events_lag",
-    "simhash_fingerprints_portable", "similarity_anchor_topk_batch",
+    "similarity_anchor_topk_batch",
     "similarity_anchor_topk_results", "similarity_lsh_recall", "similarity_lsh_topk_batch",
     "similarity_topk_batch",
     "similarity_topk_bruteforce", "sort_nulls_handling",
