@@ -94,6 +94,7 @@ _DRIVER_PRIORITY = [
     "semdedup_prune_arrow", "d4_prototype_prune_arrow",
     "kmeans_lloyd_step_arrow",
     "data_constrained_epochs", "perplexity_band_filter",  # new r7
+    "doremi_domain_reweight",  # new r7 (late-session)
     # transitively changed by the conditional _spread (dedup.py):
     # output-invariant partitioning decision, but the rotation rule
     # re-verifies ANY code change under the entry
@@ -10948,6 +10949,146 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("grp_size").cast("bigint").alias("grp_size"),
             F.col("n_groups_total").cast("bigint").alias("n_groups_total"),
         )
+    )
+
+
+@q(
+    "doremi_domain_reweight",
+    f"""
+    WITH tok AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                x -> x <> '')) AS word
+      FROM documents
+    ), cnt AS (
+      SELECT source, word, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ), corpus AS (
+      SELECT word, SUM(c) AS cc FROM cnt GROUP BY 1
+    ), vstats AS (
+      SELECT COUNT(*) AS v, SUM(cc) AS nc FROM corpus
+    ), tot AS (
+      SELECT source, SUM(c) AS ns FROM cnt GROUP BY 1
+    ), grid AS (
+      SELECT t.source, w.word, w.cc, t.ns, s.v, s.nc
+      FROM tot t, corpus w, vstats s
+    ), j AS (
+      SELECT g.source, g.ns, g.nc,
+             (COALESCE(c.c, 0) + 1.0) / (g.ns + g.v) AS ps,
+             (g.cc + 1.0) / (g.nc + g.v) AS pc
+      FROM grid g LEFT JOIN cnt c
+        ON g.source = c.source AND g.word = c.word
+    ), kl AS (
+      SELECT source, MAX(ns) AS ns, MAX(nc) AS nc,
+             round(CAST(SUM(CAST(ps * ln(ps / pc) AS DECIMAL(28,14)))
+                        AS DOUBLE), 6) AS excess
+      FROM j GROUP BY source
+    ), upd AS (
+      SELECT source, ns, excess,
+             1.0 * ns / nc AS alpha0,
+             (1.0 * ns / nc) * exp(excess) AS alpha_up,
+             COUNT(*) OVER () AS k,
+             CAST(SUM(CAST((1.0 * ns / nc) * exp(excess)
+                           AS DECIMAL(28,18))) OVER () AS DOUBLE) AS zz
+      FROM kl
+    )
+    SELECT source,
+           CAST(ns AS BIGINT) AS n_tokens,
+           round(alpha0, 6) AS baseline_weight,
+           excess AS excess_loss,
+           round(0.999 * alpha_up / zz + 0.001 / k, 6) AS domain_weight,
+           round((0.999 * alpha_up / zz + 0.001 / k) / alpha0, 6)
+             AS reweight_ratio
+    FROM upd
+    """,
+)
+def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi Group-DRO domain-reweighting step (Xie et al.
+    NeurIPS '23, Algorithm 1): w'_i ∝ w_i · exp(η·λ_i) with the
+    paper's η = 1, then the c = 1e-3 uniform smoothing
+    α_i = (1−c)·w'_i/Z + c/k. Baseline weights w_i are the token
+    shares (the paper's initialization); the per-domain excess loss
+    λ_i = max(0, L_proxy,i − L_ref,i) is stood in by the source's
+    unigram KL to the corpus — EXACTLY the expected NLL gap between
+    scoring the source under the corpus LM vs its own LM
+    (E_src[−ln p_corpus] − E_src[−ln p_src] = KL(src‖corpus) ≥ 0, so
+    the paper's max(0,·) clamp is satisfied by construction), the
+    same smoothed-distribution machinery unigram_kl_by_source
+    verifies. Emits per source the baseline share, the excess loss,
+    the updated mixture weight, and the resampling ratio a weighted
+    sampler consumes (sample_weighted_orders is the mechanism twin).
+
+    Cross-engine determinism: the KL rides the DECIMAL(28,14)
+    order-independent sum and is ROUNDED to 6 dp before exp() in
+    BOTH engines, so the exponential's input is bit-identical; the
+    normalizer Z is a DECIMAL(28,18) sum over the |sources|-row
+    frame.
+
+    Scale shape: identical to unigram_kl_by_source — one corpus
+    explode into a (source, word) hash aggregate (checkpointed,
+    four consumers), everything after on vocabulary-sized frames;
+    the DRO update itself is closed-form column arithmetic on a
+    |sources|-row frame under a single-partition window (k rows)."""
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select("source", F.explode(_text_tokens("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    corpus = cnt.groupBy("word").agg(F.sum("c").alias("cc"))
+    vstats = corpus.agg(F.count("*").alias("v"), F.sum("cc").alias("nc"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("ns"))
+    grid = tot.crossJoin(corpus).crossJoin(F.broadcast(vstats))
+    j = grid.join(cnt, ["source", "word"], "left").select(
+        "source",
+        "ns",
+        "nc",
+        (
+            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+            / (F.col("ns") + F.col("v"))
+        ).alias("ps"),
+        ((F.col("cc") + F.lit(1.0)) / (F.col("nc") + F.col("v"))).alias(
+            "pc"
+        ),
+    )
+    kl = j.groupBy("source").agg(
+        F.max("ns").alias("ns"),
+        F.max("nc").alias("nc"),
+        F.round(
+            F.sum(
+                (F.col("ps") * F.log(F.col("ps") / F.col("pc"))).cast(
+                    "decimal(28,14)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("excess"),
+    )
+    w_all = Window.partitionBy()
+    alpha0 = F.lit(1.0) * F.col("ns") / F.col("nc")
+    alpha_up = alpha0 * F.exp(F.col("excess"))
+    upd = kl.select(
+        "source",
+        "ns",
+        "excess",
+        alpha0.alias("alpha0"),
+        alpha_up.alias("alpha_up"),
+        F.count("*").over(w_all).alias("k"),
+        F.sum(alpha_up.cast("decimal(28,18)"))
+        .over(w_all)
+        .cast("double")
+        .alias("zz"),
+    )
+    dw = (
+        F.lit(0.999) * F.col("alpha_up") / F.col("zz")
+        + F.lit(0.001) / F.col("k")
+    )
+    return upd.select(
+        "source",
+        F.col("ns").cast("bigint").alias("n_tokens"),
+        F.round("alpha0", 6).alias("baseline_weight"),
+        F.col("excess").alias("excess_loss"),
+        F.round(dw, 6).alias("domain_weight"),
+        F.round(dw / F.col("alpha0"), 6).alias("reweight_ratio"),
     )
 
 
