@@ -89,3 +89,64 @@ def unimax_allocate(
             F.round(alloc / F.col("c"), 6).alias("epochs_used"),
         )
     )
+
+
+def doremi_reweight(
+    kl: DataFrame,
+    keep: float = 0.999,
+    smooth: float = 0.001,
+    source_col: str = "source",
+    count_col: str = "ns",
+    excess_col: str = "excess",
+) -> DataFrame:
+    """One DoReMi Group-DRO domain-weight update (Xie et al. NeurIPS
+    '23, Algorithm 1, the α step): from one row per domain carrying
+    its token count and its non-negative excess loss λ, compute
+
+        w_i   = n_i / Σn          (token-share baseline, the paper's
+                                   initialization)
+        w'_i  ∝ w_i · exp(η·λ_i)  with the paper's η = 1
+        α_i   = keep·w'_i/Z + smooth/k   (c = 1e-3 uniform smoothing;
+                                          keep/smooth are passed as
+                                          LITERALS, never derived as
+                                          1−c — that subtraction can
+                                          land 1 ulp off the parsed
+                                          SQL literal an oracle uses)
+
+    Emits (source, n_tokens, baseline_weight, excess_loss,
+    domain_weight, reweight_ratio); the ratio α_i/w_i is what a
+    weighted resampler consumes.
+
+    All arithmetic runs on the |domains|-row frame under a
+    single-partition window (k rows — domains are tens, not
+    millions); the normalizer rides the repo's DECIMAL
+    order-independent-sum discipline so partition order cannot move
+    the result."""
+    w_all = Window.partitionBy()
+    nc = F.sum(count_col).over(w_all)
+    alpha0 = F.lit(1.0) * F.col(count_col) / nc
+    alpha_up = alpha0 * F.exp(F.col(excess_col))
+    upd = kl.select(
+        F.col(source_col).alias("source"),
+        F.col(count_col).alias("ns"),
+        F.col(excess_col).alias("excess"),
+        alpha0.alias("alpha0"),
+        alpha_up.alias("alpha_up"),
+        F.count("*").over(w_all).alias("k"),
+        F.sum(alpha_up.cast("decimal(28,18)"))
+        .over(w_all)
+        .cast("double")
+        .alias("zz"),
+    )
+    dw = (
+        F.lit(keep) * F.col("alpha_up") / F.col("zz")
+        + F.lit(smooth) / F.col("k")
+    )
+    return upd.select(
+        "source",
+        F.col("ns").cast("bigint").alias("n_tokens"),
+        F.round("alpha0", 6).alias("baseline_weight"),
+        F.col("excess").alias("excess_loss"),
+        F.round(dw, 6).alias("domain_weight"),
+        F.round(dw / F.col("alpha0"), 6).alias("reweight_ratio"),
+    )

@@ -11053,7 +11053,6 @@ def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kl = j.groupBy("source").agg(
         F.max("ns").alias("ns"),
-        F.max("nc").alias("nc"),
         F.round(
             F.sum(
                 (F.col("ps") * F.log(F.col("ps") / F.col("pc"))).cast(
@@ -11063,33 +11062,13 @@ def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("excess"),
     )
-    w_all = Window.partitionBy()
-    alpha0 = F.lit(1.0) * F.col("ns") / F.col("nc")
-    alpha_up = alpha0 * F.exp(F.col("excess"))
-    upd = kl.select(
-        "source",
-        "ns",
-        "excess",
-        alpha0.alias("alpha0"),
-        alpha_up.alias("alpha_up"),
-        F.count("*").over(w_all).alias("k"),
-        F.sum(alpha_up.cast("decimal(28,18)"))
-        .over(w_all)
-        .cast("double")
-        .alias("zz"),
-    )
-    dw = (
-        F.lit(0.999) * F.col("alpha_up") / F.col("zz")
-        + F.lit(0.001) / F.col("k")
-    )
-    return upd.select(
-        "source",
-        F.col("ns").cast("bigint").alias("n_tokens"),
-        F.round("alpha0", 6).alias("baseline_weight"),
-        F.col("excess").alias("excess_loss"),
-        F.round(dw, 6).alias("domain_weight"),
-        F.round(dw / F.col("alpha0"), 6).alias("reweight_ratio"),
-    )
+    from datasette_upload_csvs_spark.operators import mixing
+
+    # the DRO update itself (operators/mixing.py) derives the corpus
+    # total as SUM(ns) over the |sources|-row frame — the same exact
+    # integer the oracle's vstats.nc carries, since every token
+    # belongs to exactly one source
+    return mixing.doremi_reweight(kl)
 
 
 # ====================================================================

@@ -79,3 +79,69 @@ def test_water_filling_matches_paper_loop(spark, name, counts, bn, bd):
         min(budget, sum(v[1] for v in want.values())),
         abs=1e-4 * len(counts),
     )
+
+
+# ---------------------------------------------------------------------------
+# doremi_reweight vs a transcription of DoReMi Algorithm 1's alpha step
+# ---------------------------------------------------------------------------
+
+import math
+
+from datasette_upload_csvs_spark.operators.mixing import doremi_reweight
+
+
+def _doremi_reference(rows, keep=0.999, smooth=0.001):
+    """Algorithm 1's update, written the naive sequential way."""
+    tot = sum(ns for _, ns, _ in rows)
+    k = len(rows)
+    a0 = {s: ns / tot for s, ns, _ in rows}
+    up = {s: a0[s] * math.exp(ex) for s, _, ex in rows}
+    z = sum(up.values())
+    return {
+        s: (a0[s], keep * up[s] / z + smooth / k)
+        for s, _, _ in rows
+    }
+
+
+DOREMI_CASES = [
+    ("single", [("only", 100, 0.5)]),
+    # zero excess everywhere: alpha = keep*baseline + smooth/k exactly
+    ("zero_excess", [("a", 100, 0.0), ("b", 300, 0.0), ("c", 600, 0.0)]),
+    # one domain dominates the excess loss
+    ("one_hot", [("a", 500, 2.0), ("b", 500, 0.0), ("c", 500, 0.0)]),
+    # skewed counts AND skewed excess
+    (
+        "skewed",
+        [
+            (f"s{i}", (7 * i * i + 13 * i + 5) % 997 + 1,
+             ((3 * i + 1) % 11) / 10.0)
+            for i in range(17)
+        ],
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,rows", [(c[0], c[1]) for c in DOREMI_CASES]
+)
+def test_doremi_matches_paper_update(spark, name, rows):
+    df = spark.createDataFrame(
+        rows, "source string, ns long, excess double"
+    )
+    got = {
+        r["source"]: r for r in doremi_reweight(df).collect()
+    }
+    ref = _doremi_reference(rows)
+    assert set(got) == set(ref)
+    for s, (a0, dw) in ref.items():
+        # operator rounds to 6 dp; allow that plus fp noise
+        assert abs(got[s]["baseline_weight"] - a0) <= 1.5e-6
+        assert abs(got[s]["domain_weight"] - dw) <= 1.5e-6
+        assert abs(got[s]["reweight_ratio"] - dw / a0) <= 1e-4
+    # the smoothed weights are a distribution: sum 1, floor smooth/k
+    k = len(rows)
+    assert abs(sum(r["domain_weight"] for r in got.values()) - 1.0) \
+        <= 2e-6 * k
+    assert all(
+        r["domain_weight"] >= 0.001 / k - 1.5e-6 for r in got.values()
+    )
