@@ -94,7 +94,7 @@ _DRIVER_PRIORITY = [
     "semdedup_prune_arrow", "d4_prototype_prune_arrow",
     "kmeans_lloyd_step_arrow",
     "data_constrained_epochs", "perplexity_band_filter",  # new r7
-    "doremi_domain_reweight",  # new r7 (late-session)
+    "doremi_domain_reweight", "lsh_band_scurve",  # new r7 (late-session)
     # transitively changed by the conditional _spread (dedup.py):
     # output-invariant partitioning decision, but the rotation rule
     # re-verifies ANY code change under the entry
@@ -11069,6 +11069,66 @@ def doremi_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer the oracle's vstats.nc carries, since every token
     # belongs to exactly one source
     return mixing.doremi_reweight(kl)
+
+
+@q(
+    "lsh_band_scurve",
+    """
+    WITH cfg AS (
+      SELECT * FROM (VALUES (8, 16), (16, 8), (32, 4), (64, 2))
+        AS t(bands, rows_per_band)
+    )
+    SELECT bands, rows_per_band,
+           round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS threshold,
+           round(1 - pow(1 - pow(0.5, rows_per_band), bands), 6) AS p_s50,
+           round(1 - pow(1 - pow(0.7, rows_per_band), bands), 6) AS p_s70,
+           round(1 - pow(1 - pow(0.8, rows_per_band), bands), 6) AS p_s80,
+           round(1 - pow(1 - pow(0.9, rows_per_band), bands), 6) AS p_s90,
+           round(1 - pow(1 - pow(0.95, rows_per_band), bands), 6) AS p_s95
+    FROM cfg
+    """,
+)
+def lsh_band_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded-MinHash S-curve design table (Broder '97 banding
+    analysis as presented in Leskovec/Rajaraman/Ullman, MMDS ch. 3):
+    for every (b, r) factorization of the 128-permutation signature
+    dedup_minhash_lsh uses, the candidate probability at Jaccard s is
+    1 − (1 − s^r)^b and the curve's waterline sits at t ≈ (1/b)^(1/r).
+    This is the table a 100 TB dedup run reads to PICK its banding —
+    e.g. b=32/r=4 puts the threshold at 0.42 with p(0.8) ≈ 0.9999,
+    while b=8/r=16 pushes the threshold to 0.88 and drops sub-0.7
+    candidates to noise. The engine's own default (32 bands × 4 rows)
+    is one of the rows, so the filed curve documents the recall/cost
+    tradeoff behind minhash_near_dup_pairs' candidate volume.
+
+    Closed-form column math over a 4-row literal frame — no table
+    read, no shuffle; outputs rounded to 6 dp (pow is the only libm
+    call and feeds no branch, so cross-engine ulp drift cannot flip
+    a value past the rounding boundary)."""
+    cfg = spark.createDataFrame(
+        [(8, 16), (16, 8), (32, 4), (64, 2)],
+        "bands int, rows_per_band int",
+    )
+    b = F.col("bands").cast("double")
+    r = F.col("rows_per_band").cast("double")
+
+    def p_at(s: float):
+        return F.round(
+            F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(F.lit(s), r), b), 6
+        )
+
+    return cfg.select(
+        "bands",
+        "rows_per_band",
+        F.round(F.pow(F.lit(1.0) / b, F.lit(1.0) / r), 6).alias(
+            "threshold"
+        ),
+        p_at(0.5).alias("p_s50"),
+        p_at(0.7).alias("p_s70"),
+        p_at(0.8).alias("p_s80"),
+        p_at(0.9).alias("p_s90"),
+        p_at(0.95).alias("p_s95"),
+    )
 
 
 # ====================================================================
