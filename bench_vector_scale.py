@@ -51,6 +51,34 @@ QUERIES = {
 }
 
 
+def widened_copy(vecs, i: int, dim: int, base_n: int):
+    """Copy ``i`` of the base vector frame under a signed permutation
+    (cyclic shift by i + murmur3 sign pattern): an orthogonal
+    transform, so within-copy pairwise cosine structure is preserved
+    (up to fp summation order) while cross-copy cosines are
+    ~N(0, 1/sqrt(dim)) sign-noise. Copy 0 is the base frame itself.
+    tests/test_vector_widening.py pins both properties."""
+    from pyspark.sql import functions as F
+
+    if i == 0:
+        return vecs
+    shifted = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.element_at(
+            "embedding", F.pmod(j + F.lit(i), F.lit(dim)) + 1
+        )
+        * F.when(
+            F.pmod(F.hash(j, F.lit(i)), F.lit(2)) == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    ).cast("array<float>")
+    return vecs.select(
+        (F.col("vec_id") + F.lit(i * 10 * base_n)).alias("vec_id"),
+        shifted.alias("embedding"),
+        *[c for c in vecs.columns if c not in ("vec_id", "embedding")],
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -89,37 +117,9 @@ def main() -> None:
             os.makedirs(wdir, exist_ok=True)
             corpus_path = f"{wdir}/embeddings.parquet"
             if not os.path.exists(f"{corpus_path}/_SUCCESS"):
-                copies = []
-                for i in range(m):
-                    if i == 0:
-                        copies.append(vecs)
-                        continue
-                    # signed permutation: orthogonal per copy, so
-                    # within-copy cosines are preserved exactly and
-                    # cross-copy cosines are sign-noise
-                    shifted = F.transform(
-                        F.sequence(F.lit(0), F.lit(dim - 1)),
-                        lambda j: F.element_at(
-                            "embedding", F.pmod(j + F.lit(i), F.lit(dim)) + 1
-                        )
-                        * F.when(
-                            F.pmod(F.hash(j, F.lit(i)), F.lit(2)) == 0,
-                            F.lit(1.0),
-                        ).otherwise(F.lit(-1.0)),
-                    ).cast("array<float>")
-                    copies.append(
-                        vecs.select(
-                            (F.col("vec_id") + F.lit(i * 10 * base_n)).alias(
-                                "vec_id"
-                            ),
-                            shifted.alias("embedding"),
-                            *[
-                                c
-                                for c in vecs.columns
-                                if c not in ("vec_id", "embedding")
-                            ],
-                        )
-                    )
+                copies = [
+                    widened_copy(vecs, i, dim, base_n) for i in range(m)
+                ]
                 corpus = copies[0]
                 for c in copies[1:]:
                     corpus = corpus.unionByName(c)
