@@ -182,6 +182,61 @@ def _doclist_pair_structs(ds):
     )
 
 
+# exact-dup collapse activates only past this many duplicated docs
+# (or 1% of the corpus, whichever is larger): below it the bucket
+# self-join's 32·Σg² work is bounded and the collapse's extra stages
+# cost more than they save — measured at sf0.1 (see
+# minhash_near_dup_pairs docstring).
+_COLLAPSE_MIN_DUP = 1024
+
+
+def _intra_clique_pairs(members: DataFrame, id_col: str, blocks: int = 32) -> DataFrame:
+    """All C(K,2) pairs within each exact-duplicate group, emitted as
+    a DISTRIBUTED blocked expansion: each group's sorted member list
+    is exploded into `blocks` slices and repartitioned on
+    (group, slice), so a 10⁴+-member group's clique materializes
+    across the cluster instead of inside one task's nested transform
+    (the output size is the pair contract's floor — this spreads the
+    work, it never inflates it). ds is sorted, so emitting (x, later
+    y) yields id_a < id_b with no normalization."""
+    g = (
+        members.filter(F.col("_gc") >= 2)
+        .groupBy("_rep")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ds"))
+    )
+    k = F.size("ds")
+    chunk = F.greatest(
+        F.ceil((k - F.lit(1)).cast("double") / F.lit(blocks)).cast("int"),
+        F.lit(1),
+    )
+    blk = (
+        g.select(
+            "_rep",
+            "ds",
+            F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("blk"),
+        )
+        .withColumn("_start", F.col("blk") * chunk + 1)
+        .filter(F.col("_start") <= F.size("ds") - 1)
+    )
+    ds = F.col("ds")
+    start = F.col("_start")
+    mine = F.slice(ds, start, chunk)
+    pairs = F.flatten(
+        F.transform(
+            mine,
+            lambda x, i: F.transform(
+                F.slice(ds, start + i + F.lit(1), F.size(ds)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        blk.repartition(F.col("_rep"), F.col("blk"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -575,8 +630,41 @@ def minhash_near_dup_pairs(
     bands: int = 32,
     threshold: float = 0.7,
     exact_floor_max_df: int | None = None,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
+
+    `collapse_exact` (default ON) closes the classic banded-LSH skew
+    hole: K exact-duplicate documents share an identical signature,
+    so they land in the SAME bucket of every band and the bucket
+    self-join does 32·K²/2 work before `distinct` — at real-corpus
+    skew (boilerplate pages duplicated 10⁴-10⁶×) that single bucket
+    dwarfs the rest of the corpus. The fix groups docs by their
+    shingle-set key (xxhash64 of the sorted hash set + set size, a
+    map-side projection of the already-persisted sets frame — same
+    2^-64 collision class the shingle hashing itself documents),
+    bands and VERIFIES one representative per group, expands the
+    verified rep pairs back to member pairs (which inherit the rep
+    pair's exact jaccard — identical sets), and emits intra-group
+    pairs directly with jaccard 1.0 through a distributed blocked
+    clique expansion (_intra_clique_pairs). The OUTPUT is provably
+    identical: members have identical signatures (collide iff their
+    reps collide, and always collide intra-group), the df floor
+    still counts real documents and loses no cross-group coverage
+    under rep mapping (identical sets ⟹ the floor catches all
+    member pairs of a group pair or none), and intra jaccard is
+    exactly shared/denom = 1.0. Only the quadratic bucket work and
+    the per-member re-verifies disappear. A dup-MASS gate
+    (_COLLAPSE_MIN_DUP duplicated docs, or 1 % of the corpus)
+    decides from one cheap aggregate over the cached sets frame;
+    below it the plan is identical to collapse_exact=False.
+
+    Intra-group output is still the C(K,2) clique the pair-relation
+    contract requires; a consumer that only needs connectivity (the
+    CC/cluster queries) gets identical components from it, and a
+    future star mode (rep→member edges) would cut output for
+    degenerate 10⁶-dup groups — work, not output, is what this flag
+    fixes.
 
     Candidate generation is sub-quadratic (LSH); verification joins
     candidates back to the shingle index, so false positives cost one
@@ -626,7 +714,43 @@ def minhash_near_dup_pairs(
     # persisted, reused by the signature stage and both verify sides
     # (token array materialized per row — see _hash_shingle_frame).
     sets = _hash_shingle_frame(docs, text_col, id_col, n).persist()
-    hashed = sets.select(
+    # Exact-dup collapse (see docstring): group key = hash of the
+    # sorted shingle-hash set + its size, map-side over the cached
+    # sets frame (ids and 16-byte keys ride the exchanges — never
+    # text, never the hash arrays). The gate is dup MASS, not dup
+    # existence: below ~1k duplicated docs the bucket self-join's
+    # 32·Σg² is bounded and the collapse's extra stages cost more
+    # than they save (measured at sf0.1), so light-dup corpora keep
+    # the plain plan; a skewed corpus (boilerplate duplicated 10⁴+×)
+    # trips the gate and the quadratic bucket work disappears.
+    members = None
+    sig_sets = sets
+    if collapse_exact:
+        keyed = sets.select(
+            F.col(id_col),
+            F.xxhash64(F.sort_array("sh")).alias("_k"),
+            F.size("sh").alias("_sz"),
+        )
+        groups = (
+            keyed.groupBy("_k", "_sz")
+            .agg(F.min(id_col).alias("_rep"), F.count("*").alias("_gc"))
+            .persist()
+        )
+        stats = groups.agg(
+            F.sum("_gc").alias("nd"), F.count("*").alias("ng")
+        ).first()
+        dup_extra = (stats["nd"] or 0) - (stats["ng"] or 0)
+        if dup_extra >= max(_COLLAPSE_MIN_DUP, 0.01 * (stats["nd"] or 0)):
+            members = (
+                keyed.join(groups, ["_k", "_sz"])
+                .select(F.col(id_col), "_rep", "_gc")
+                .persist()
+            )
+            rep_ids = groups.select(F.col("_rep").alias(id_col))
+            sig_sets = sets.join(rep_ids, id_col, "left_semi")
+        else:
+            groups.unpersist()
+    hashed = sig_sets.select(
         F.col(id_col),
         F.explode(
             F.transform("sh", lambda h: F.pmod(h, F.lit(_MERSENNE)))
@@ -671,21 +795,80 @@ def minhash_near_dup_pairs(
             .select("p.id_a", "p.id_b")
             .distinct()
         )
+        if members is not None:
+            # map the (member-level) floor pairs to rep pairs; the
+            # same-group pairs drop here and come back exactly once
+            # through the intra clique below. Coverage is preserved:
+            # identical sets contain identical shingles, so if the
+            # floor caught ONE cross-group member pair via a low-df
+            # shingle it caught them ALL — rep-level collapse loses
+            # nothing (df itself is still counted over real docs).
+            floor_cand = (
+                floor_cand.join(
+                    members.select(
+                        F.col(id_col).alias("id_a"),
+                        F.col("_rep").alias("_ra"),
+                    ),
+                    "id_a",
+                )
+                .join(
+                    members.select(
+                        F.col(id_col).alias("id_b"),
+                        F.col("_rep").alias("_rb"),
+                    ),
+                    "id_b",
+                )
+                .filter(F.col("_ra") != F.col("_rb"))
+                .select(
+                    F.least("_ra", "_rb").alias("id_a"),
+                    F.greatest("_ra", "_rb").alias("id_b"),
+                )
+                .distinct()
+            )
         cand = cand.select("id_a", "id_b").unionByName(floor_cand).distinct()
     # Verify ONLY the candidate pairs: join each side to its shingle
     # set and intersect arrays. Cost is O(candidates), not O(pairs
     # sharing a shingle) — the whole point of LSH at corpus scale.
+    # In collapsed mode candidates are REP pairs, so the expensive
+    # verify runs once per group pair, not once per member pair.
     a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     shared = F.size(F.array_intersect("sh_a", "sh_b"))
     denom = F.size("sh_a") + F.size("sh_b") - shared
-    return (
+    verified = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("jaccard", shared.cast("double") / denom.cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if members is None:
+        return verified
+    # Expand verified rep pairs to member pairs AFTER the verify —
+    # members share their rep's shingle set, so every member pair
+    # inherits the rep pair's exact jaccard. Same-group pairs have
+    # jaccard exactly 1.0 (shared = denom = |sh|) and are emitted by
+    # the distributed clique expansion; both unions are disjoint
+    # (expansion is cross-group only), so no distinct is needed.
+    ma = members.select(
+        F.col("_rep").alias("id_a"), F.col(id_col).alias("_ma")
+    )
+    mb = members.select(
+        F.col("_rep").alias("id_b"), F.col(id_col).alias("_mb")
+    )
+    cross = (
+        verified.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    intra = _intra_clique_pairs(members, id_col).withColumn(
+        "jaccard", F.lit(1.0)
+    )
+    return cross.unionByName(intra)
 
 
 # ------------------------------------------------------------- SimHash

@@ -1,0 +1,90 @@
+"""Exact-dup collapse in minhash_near_dup_pairs (the banded-LSH skew
+hole): K identical docs share a signature, land in the same bucket of
+all 32 bands, and the bucket self-join does 32·K²/2 work. The
+collapse bands/verifies one representative per shingle-set group and
+expands afterward — these tests pin that the OUTPUT is identical to
+the plain path (both floor settings), that the distributed clique
+expansion enumerates exactly C(K,2) pairs, and that the dup-mass
+gate leaves light-dup corpora on the plain plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datasette_upload_csvs_spark.operators import dedup
+
+
+@pytest.fixture()
+def dup_corpus(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    copies = [
+        docs.filter(F.pmod("doc_id", F.lit(7)) == 0).select(
+            (F.col("doc_id") + F.lit((i + 1) * 10 * n)).alias("doc_id"),
+            "text",
+        )
+        for i in range(3)
+    ]
+    corpus = docs
+    for c in copies:
+        corpus = corpus.unionByName(c)
+    yield corpus.persist()
+    spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("floor", [None, 5])
+def test_collapsed_output_identical(spark, dup_corpus, floor, monkeypatch):
+    # force the gate open so the collapsed path runs on the small
+    # fixture (the production gate needs >=1024 duplicated docs)
+    monkeypatch.setattr(dedup, "_COLLAPSE_MIN_DUP", 1)
+    kw = dict(threshold=0.7, exact_floor_max_df=floor)
+    a = sorted(
+        map(
+            tuple,
+            dedup.minhash_near_dup_pairs(
+                dup_corpus, collapse_exact=True, **kw
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            dedup.minhash_near_dup_pairs(
+                dup_corpus, collapse_exact=False, **kw
+            ).collect(),
+        )
+    )
+    assert a == b
+    assert len(a) > 0
+    spark.catalog.clearCache()
+
+
+def test_gate_skips_light_dup_corpora(spark, dup_corpus):
+    # default gate (1024 duplicated docs): this fixture is far below
+    # it, so collapse_exact=True must produce the PLAIN plan — no
+    # group/member machinery in the executed plan, output unchanged
+    df = dedup.minhash_near_dup_pairs(dup_corpus, threshold=0.7)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_rep" not in plan
+    assert df.count() > 0
+    spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("k", [2, 5, 100])
+def test_intra_clique_enumerates_exactly(spark, k):
+    ids = [(i * 3 + 7) for i in range(k)]  # non-contiguous ids
+    members = spark.createDataFrame(
+        [(i, 7, k) for i in ids], "doc_id long, _rep long, _gc long"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup._intra_clique_pairs(members, "doc_id").collect()
+    }
+    s = sorted(ids)
+    want = {(a, b) for i, a in enumerate(s) for b in s[i + 1 :]}
+    assert got == want
+    assert len(got) == k * (k - 1) // 2
