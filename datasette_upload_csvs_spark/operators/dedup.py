@@ -190,7 +190,12 @@ def _doclist_pair_structs(ds):
 _COLLAPSE_MIN_DUP = 1024
 
 
-def _intra_clique_pairs(members: DataFrame, id_col: str, blocks: int = 32) -> DataFrame:
+def _intra_clique_pairs(
+    members: DataFrame,
+    id_col: str,
+    blocks: int = 32,
+    keep_group: bool = False,
+) -> DataFrame:
     """All C(K,2) pairs within each exact-duplicate group, emitted as
     a DISTRIBUTED blocked expansion: each group's sorted member list
     is exploded into `blocks` slices and repartitioned on
@@ -230,11 +235,11 @@ def _intra_clique_pairs(members: DataFrame, id_col: str, blocks: int = 32) -> Da
             ),
         )
     )
-    return (
-        blk.repartition(F.col("_rep"), F.col("blk"))
-        .select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b")
+    out = blk.repartition(F.col("_rep"), F.col("blk")).select(
+        "_rep", F.explode(pairs).alias("p")
     )
+    cols = (["_rep"] if keep_group else []) + ["p.id_a", "p.id_b"]
+    return out.select(*cols)
 
 
 def ngram_jaccard_pairs(

@@ -188,6 +188,7 @@ def embedding_ann_batch(
     n_tables: int = 4,
     n_planes: int = 8,
     dim: int = 64,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """One-shot banded near-neighbor pairs over a corpus snapshot —
     the equality twin the streaming path is pinned against.
@@ -198,11 +199,60 @@ def embedding_ann_batch(
     feeds both sides of the candidate self-join; the verify sides
     read the double-array frame directly instead of distinct-ing the
     exploded bands relation. Caching contract as elsewhere: callers
-    running many jobs clearCache() between them (bench.py does)."""
+    running many jobs clearCache() between them (bench.py does).
+
+    `collapse_exact` is the vector twin of the dedup-side fix
+    (operators/dedup.minhash_near_dup_pairs): K identical embeddings
+    — duplicate documents produce EXACTLY these — share every
+    (table, bucket) key, so the candidate self-join does
+    n_tables·K²/2 work and the verify re-scores every member pair.
+    Behind the same dup-mass gate, identical vectors (grouped by the
+    hash of the double array) band and verify once per GROUP;
+    verified rep pairs expand to member pairs (identical arrays ⟹
+    the member cosine IS the rep cosine), and intra-group pairs take
+    the group's SELF-cosine, verified once per group through the
+    same _verified_pairs expression — identical input arrays give
+    the bit-identical value any member pair would, zero-vector /
+    non-finite groups drop exactly as the plain path drops them, and
+    the per-pair cost is a long-key join, not an interpreted cosine.
+    The streaming twin needs no collapse: its per-epoch join is
+    already candidate=output-bound for exact dups (each new copy
+    joins its group's history bucket once)."""
+    from datasette_upload_csvs_spark.operators.dedup import (
+        _COLLAPSE_MIN_DUP,
+        _intra_clique_pairs,
+    )
+
     v = double_array_frame(emb)
+    members = None
+    bands_src = v
+    if collapse_exact:
+        keyed = v.select("vec_id", F.xxhash64("v").alias("_k"))
+        groups = (
+            keyed.groupBy("_k")
+            .agg(F.min("vec_id").alias("_rep"), F.count("*").alias("_gc"))
+            .persist()
+        )
+        stats = groups.agg(
+            F.sum("_gc").alias("nd"), F.count("*").alias("ng")
+        ).first()
+        dup_extra = (stats["nd"] or 0) - (stats["ng"] or 0)
+        if dup_extra >= max(_COLLAPSE_MIN_DUP, 0.01 * (stats["nd"] or 0)):
+            members = (
+                keyed.join(groups, "_k")
+                .select("vec_id", "_rep", "_gc")
+                .persist()
+            )
+            bands_src = v.join(
+                groups.select(F.col("_rep").alias("vec_id")),
+                "vec_id",
+                "left_semi",
+            )
+        else:
+            groups.unpersist()
     entries = _table_bucket_entries(n_tables, n_planes, dim)
     bands = (
-        v.select("vec_id", F.explode(F.array(*entries)).alias("tb"))
+        bands_src.select("vec_id", F.explode(F.array(*entries)).alias("tb"))
         .select("vec_id", F.col("tb.table_id"), F.col("tb.bucket"))
         .persist()
     )
@@ -214,7 +264,37 @@ def embedding_ann_batch(
         .select("id_a", "id_b")
         .distinct()
     )
-    return _verified_pairs(cand, v, v, threshold)
+    verified = _verified_pairs(cand, v, v, threshold)
+    if members is None:
+        return verified
+    ma = members.select(F.col("_rep").alias("id_a"), F.col("vec_id").alias("_ma"))
+    mb = members.select(F.col("_rep").alias("id_b"), F.col("vec_id").alias("_mb"))
+    cross = (
+        verified.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "cos_sim",
+        )
+    )
+    # one self-cosine per dup GROUP: bit-identical to the cosine the
+    # plain path computes for any member pair (same input arrays),
+    # including the NaN drop for zero/non-finite vectors
+    self_cand = (
+        members.filter(F.col("_gc") >= 2)
+        .select(F.col("_rep").alias("id_a"), F.col("_rep").alias("id_b"))
+        .distinct()
+    )
+    group_cos = _verified_pairs(self_cand, v, v, threshold).select(
+        F.col("id_a").alias("_rep"), "cos_sim"
+    )
+    intra = (
+        _intra_clique_pairs(members, "vec_id", keep_group=True)
+        .join(group_cos, "_rep")
+        .select("id_a", "id_b", "cos_sim")
+    )
+    return cross.unionByName(intra)
 
 
 def ann_epoch(

@@ -88,3 +88,52 @@ def test_intra_clique_enumerates_exactly(spark, k):
     want = {(a, b) for i, a in enumerate(s) for b in s[i + 1 :]}
     assert got == want
     assert len(got) == k * (k - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# the vector twin: embedding_ann_batch's exact-dup collapse
+# ---------------------------------------------------------------------------
+
+from datasette_upload_csvs_spark.streaming.ann_stream import (
+    embedding_ann_batch,
+)
+
+
+def test_ann_collapsed_output_identical(spark, sf_dir, monkeypatch):
+    monkeypatch.setattr(dedup, "_COLLAPSE_MIN_DUP", 1)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n = emb.count()
+    copies = [
+        emb.filter(F.pmod("vec_id", F.lit(5)) == 0).select(
+            (F.col("vec_id") + F.lit((i + 1) * 10 * n)).alias("vec_id"),
+            "embedding",
+        )
+        for i in range(3)
+    ]
+    corpus = emb
+    for c in copies:
+        corpus = corpus.unionByName(c)
+    corpus = corpus.persist()
+    a = sorted(
+        map(tuple, embedding_ann_batch(corpus, collapse_exact=True).collect())
+    )
+    b = sorted(
+        map(tuple, embedding_ann_batch(corpus, collapse_exact=False).collect())
+    )
+    assert a == b
+    # the planted copies guarantee intra-group pairs exist, so the
+    # collapse's expansion + self-cosine path actually ran
+    assert len(a) >= 3 * (n // 5 + (1 if n % 5 else 0))
+    spark.catalog.clearCache()
+
+
+def test_ann_gate_skips_light_dup(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    df = embedding_ann_batch(emb)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_rep" not in plan
+    spark.catalog.clearCache()
