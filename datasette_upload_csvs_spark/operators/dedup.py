@@ -974,6 +974,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     portable: bool = False,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Pairs within Hamming distance k, bucketed by 16-bit chunks.
 
@@ -988,8 +989,40 @@ def simhash_near_dup_pairs(
     portable=True derives bits from md5 (cross-engine reproducible,
     oracle-checkable); False keeps the xxhash64 fast path for
     engine-internal dedup passes.
+
+    `collapse_exact` is this pipeline's copy of the skew fix in
+    minhash_near_dup_pairs — and here the group key is SEMANTICALLY
+    exact, no hash-collision caveat: docs with equal fingerprints
+    have hamming 0 to each other and identical hamming to every
+    third doc, so collapsing them to one chunked representative
+    (behind the same dup-mass gate) changes no output row. Member
+    pairs inherit the rep pair's hamming; intra-group pairs are
+    hamming 0 by definition.
     """
     fp = (simhash_portable if portable else simhash)(docs, text_col, id_col)
+    members = None
+    if collapse_exact:
+        fp = fp.persist()  # detection + members + chunks all read it
+        groups = (
+            fp.groupBy("simhash64")
+            .agg(F.min(id_col).alias("_rep"), F.count("*").alias("_gc"))
+            .persist()
+        )
+        stats = groups.agg(
+            F.sum("_gc").alias("nd"), F.count("*").alias("ng")
+        ).first()
+        dup_extra = (stats["nd"] or 0) - (stats["ng"] or 0)
+        if dup_extra >= max(_COLLAPSE_MIN_DUP, 0.01 * (stats["nd"] or 0)):
+            members = (
+                fp.join(groups, "simhash64")
+                .select(F.col(id_col), "_rep", "_gc")
+                .persist()
+            )
+            fp = groups.select(
+                F.col("_rep").alias(id_col), "simhash64"
+            )
+        else:
+            groups.unpersist()
     chunks = fp.select(
         F.col(id_col),
         F.col("simhash64"),
@@ -1009,7 +1042,7 @@ def simhash_near_dup_pairs(
     ).select(id_col, "simhash64", "cc.chunk", "cc.val")
     a = chunks.alias("a")
     b = chunks.alias("b")
-    return (
+    pairs = (
         a.join(b, on=["chunk", "val"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
@@ -1022,6 +1055,27 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    if members is None:
+        return pairs
+    ma = members.select(
+        F.col("_rep").alias("id_a"), F.col(id_col).alias("_ma")
+    )
+    mb = members.select(
+        F.col("_rep").alias("id_b"), F.col(id_col).alias("_mb")
+    )
+    cross = (
+        pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_ma", "_mb").alias("id_a"),
+            F.greatest("_ma", "_mb").alias("id_b"),
+            "hamming",
+        )
+    )
+    intra = _intra_clique_pairs(members, id_col).withColumn(
+        "hamming", F.bit_count(F.lit(0).cast("long"))
+    )
+    return cross.unionByName(intra)
 
 
 # ----------------------------------------------------- embedding cosine

@@ -137,3 +137,43 @@ def test_ann_gate_skips_light_dup(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "_rep" not in plan
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# the SimHash twin: fingerprint-equality collapse (semantically exact)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_simhash_collapsed_output_identical(
+    spark, dup_corpus, portable, monkeypatch
+):
+    monkeypatch.setattr(dedup, "_COLLAPSE_MIN_DUP", 1)
+    kw = dict(max_hamming=3, portable=portable)
+    a = sorted(
+        map(
+            tuple,
+            dedup.simhash_near_dup_pairs(
+                dup_corpus, collapse_exact=True, **kw
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            dedup.simhash_near_dup_pairs(
+                dup_corpus, collapse_exact=False, **kw
+            ).collect(),
+        )
+    )
+    assert a == b
+    assert len(a) > 0
+    spark.catalog.clearCache()
+
+
+def test_simhash_gate_skips_light_dup(spark, dup_corpus):
+    df = dedup.simhash_near_dup_pairs(dup_corpus, max_hamming=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_rep" not in plan
+    assert df.count() > 0
+    spark.catalog.clearCache()
