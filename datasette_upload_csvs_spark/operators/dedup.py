@@ -731,9 +731,13 @@ def minhash_near_dup_pairs(
     members = None
     sig_sets = sets
     if collapse_exact:
+        # key on the UNSORTED array: identical texts shingle in
+        # identical order, which is the duplication mode the collapse
+        # targets (a permuted-token doc with the same set merely
+        # stays uncollapsed — still correct, just unoptimized)
         keyed = sets.select(
             F.col(id_col),
-            F.xxhash64(F.sort_array("sh")).alias("_k"),
+            F.xxhash64("sh").alias("_k"),
             F.size("sh").alias("_sz"),
         )
         groups = (
