@@ -636,6 +636,7 @@ def minhash_near_dup_pairs(
     threshold: float = 0.7,
     exact_floor_max_df: int | None = None,
     collapse_exact: bool = True,
+    pair_mode: str = "clique",
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
 
@@ -644,32 +645,56 @@ def minhash_near_dup_pairs(
     so they land in the SAME bucket of every band and the bucket
     self-join does 32·K²/2 work before `distinct` — at real-corpus
     skew (boilerplate pages duplicated 10⁴-10⁶×) that single bucket
-    dwarfs the rest of the corpus. The fix groups docs by their
-    shingle-set key (xxhash64 of the sorted hash set + set size, a
-    map-side projection of the already-persisted sets frame — same
-    2^-64 collision class the shingle hashing itself documents),
-    bands and VERIFIES one representative per group, expands the
-    verified rep pairs back to member pairs (which inherit the rep
-    pair's exact jaccard — identical sets), and emits intra-group
-    pairs directly with jaccard 1.0 through a distributed blocked
-    clique expansion (_intra_clique_pairs). The OUTPUT is provably
-    identical: members have identical signatures (collide iff their
-    reps collide, and always collide intra-group), the df floor
-    still counts real documents and loses no cross-group coverage
-    under rep mapping (identical sets ⟹ the floor catches all
-    member pairs of a group pair or none), and intra jaccard is
-    exactly shared/denom = 1.0. Only the quadratic bucket work and
-    the per-member re-verifies disappear. A dup-MASS gate
-    (_COLLAPSE_MIN_DUP duplicated docs, or 1 % of the corpus)
-    decides from one cheap aggregate over the cached sets frame;
-    below it the plan is identical to collapse_exact=False.
+    dwarfs the rest of the corpus. The fix groups docs by raw-text
+    key (xxhash64 of the text + its length, a map-side projection
+    of the input scan — identical text ⟹ identical token sequence
+    ⟹ identical shingle array, so the key is a refinement of
+    set-equality: it collapses exactly the identical-text
+    duplication mode the skew hole comes from, and a permuted or
+    re-whitespaced doc with the same shingle set merely stays
+    uncollapsed — still correct, just unoptimized), bands and
+    VERIFIES one representative per group, expands the verified rep
+    pairs back to member pairs (which inherit the rep pair's exact
+    jaccard — identical sets), and emits intra-group pairs directly
+    with jaccard 1.0 through a distributed blocked clique expansion
+    (_intra_clique_pairs). The OUTPUT is provably identical: members
+    have identical signatures (collide iff their reps collide, and
+    always collide intra-group), the df floor still counts real
+    documents and loses no cross-group coverage under rep mapping
+    (identical sets ⟹ the floor catches all member pairs of a group
+    pair or none), and intra jaccard is exactly shared/denom = 1.0.
+    Only the quadratic bucket work and the per-member re-verifies
+    disappear. A dup-MASS gate (_COLLAPSE_MIN_DUP duplicated docs,
+    or 1 % of the corpus) decides from ONE map+tiny-agg job over the
+    raw scan — it never touches the shingle frame, so the expensive
+    set materialization stays inside the main pipeline where it
+    overlaps with everything else (keying the gate on the shingle
+    sets instead was measured at ~1 s extra per call at sf0.1: it
+    serialized the whole shingle computation into a standalone
+    blocking job). Below the gate the plan is identical to
+    collapse_exact=False.
 
-    Intra-group output is still the C(K,2) clique the pair-relation
-    contract requires; a consumer that only needs connectivity (the
-    CC/cluster queries) gets identical components from it, and a
-    future star mode (rep→member edges) would cut output for
-    degenerate 10⁶-dup groups — work, not output, is what this flag
-    fixes.
+    `pair_mode` picks the output contract:
+
+    - "clique" (default): the full pair RELATION — intra-group
+      output is the C(K,2) clique; consumers that read per-pair
+      evidence (triangle census, cross-source matrix) need this. At
+      K=10⁶ boilerplate dups the clique is 5·10¹¹ rows — the output
+      itself is quadratic, by contract.
+    - "star": a connectivity-equivalent edge SET, linear in K —
+      intra-group output is the K−1 rep→member edges and verified
+      cross-group pairs stay at REP level (one edge per group pair).
+      The transitive closure and the vertex set are provably
+      identical to the clique's: every member reaches its rep
+      (star), reps of verified group pairs reach each other (rep
+      edge), so any clique edge (mᵃ, mᵇ) is the path mᵃ–repᵃ–repᵇ–mᵇ;
+      conversely every star edge is in the clique (reps are
+      members). Consumers that only need connected components or
+      the duplicated-vertex set (dedup_groups, cluster-safe splits,
+      keep-best, dup-rate audits) get identical results with
+      output linear in K. jaccard on star rows is the rep-pair /
+      intra-group value, NOT a per-member-pair claim. When the gate
+      does not trip, star output IS the full relation.
 
     Candidate generation is sub-quadratic (LSH); verification joins
     candidates back to the shingle index, so false positives cost one
@@ -702,6 +727,8 @@ def minhash_near_dup_pairs(
     (ngram_jaccard_pairs(max_df=...)) is the right tool when you
     want full coverage of mid-frequency shingles.
     """
+    if pair_mode not in ("clique", "star"):
+        raise ValueError(f"pair_mode must be 'clique' or 'star', got {pair_mode!r}")
     rows = num_perm // bands
     # Small-file inputs arrive as one partition; shingling is
     # CPU-bound per row (higher-order exprs are interpreted, not
@@ -720,25 +747,27 @@ def minhash_near_dup_pairs(
     # (token array materialized per row — see _hash_shingle_frame).
     sets = _hash_shingle_frame(docs, text_col, id_col, n).persist()
     # Exact-dup collapse (see docstring): group key = hash of the
-    # sorted shingle-hash set + its size, map-side over the cached
-    # sets frame (ids and 16-byte keys ride the exchanges — never
-    # text, never the hash arrays). The gate is dup MASS, not dup
-    # existence: below ~1k duplicated docs the bucket self-join's
-    # 32·Σg² is bounded and the collapse's extra stages cost more
-    # than they save (measured at sf0.1), so light-dup corpora keep
-    # the plain plan; a skewed corpus (boilerplate duplicated 10⁴+×)
-    # trips the gate and the quadratic bucket work disappears.
+    # raw text + its length, a map-side projection of the input scan
+    # (ids and 16-byte keys ride the exchanges — never text, never
+    # the hash arrays; the gate job reads the text column once and
+    # aggregates ~16 bytes/doc, it never forces the shingle frame).
+    # The gate is dup MASS, not dup existence: below ~1k duplicated
+    # docs the bucket self-join's 32·Σg² is bounded and the
+    # collapse's extra stages cost more than they save (measured at
+    # sf0.1), so light-dup corpora keep the plain plan; a skewed
+    # corpus (boilerplate duplicated 10⁴+×) trips the gate and the
+    # quadratic bucket work disappears.
     members = None
     sig_sets = sets
     if collapse_exact:
-        # key on the UNSORTED array: identical texts shingle in
-        # identical order, which is the duplication mode the collapse
-        # targets (a permuted-token doc with the same set merely
-        # stays uncollapsed — still correct, just unoptimized)
-        keyed = sets.select(
+        # key on the raw TEXT: identical text ⟹ identical shingle
+        # array, which is the duplication mode the collapse targets
+        # (a permuted-token doc with the same set merely stays
+        # uncollapsed — still correct, just unoptimized)
+        keyed = docs.select(
             F.col(id_col),
-            F.xxhash64("sh").alias("_k"),
-            F.size("sh").alias("_sz"),
+            F.xxhash64(F.col(text_col)).alias("_k"),
+            F.length(F.col(text_col)).alias("_sz"),
         )
         groups = (
             keyed.groupBy("_k", "_sz")
@@ -853,6 +882,25 @@ def minhash_near_dup_pairs(
     )
     if members is None:
         return verified
+    if pair_mode == "star":
+        # Connectivity-equivalent linear output (see docstring):
+        # verified pairs are already at REP level — keep them as the
+        # one edge per group pair — and each group contributes its
+        # K−1 rep→member star edges (rep = min id of the group, so
+        # id_a < id_b holds with no normalization). Output is
+        # |verified group pairs| + Σ(K−1): linear in dup mass where
+        # the clique is quadratic.
+        intra = (
+            members.filter(
+                (F.col("_gc") >= 2) & (F.col(id_col) != F.col("_rep"))
+            )
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        return verified.unionByName(intra)
     # Expand verified rep pairs to member pairs AFTER the verify —
     # members share their rep's shingle set, so every member pair
     # inherits the rep pair's exact jaccard. Same-group pairs have
@@ -979,6 +1027,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     portable: bool = False,
     collapse_exact: bool = True,
+    pair_mode: str = "clique",
 ) -> DataFrame:
     """Pairs within Hamming distance k, bucketed by 16-bit chunks.
 
@@ -1002,7 +1051,15 @@ def simhash_near_dup_pairs(
     (behind the same dup-mass gate) changes no output row. Member
     pairs inherit the rep pair's hamming; intra-group pairs are
     hamming 0 by definition.
+
+    `pair_mode="star"` emits the connectivity-equivalent linear edge
+    set instead of the full relation — rep-level cross pairs plus
+    K−1 rep→member star edges per group (identical transitive
+    closure and vertex set; see minhash_near_dup_pairs). hamming on
+    star rows is the rep-pair / intra-group value.
     """
+    if pair_mode not in ("clique", "star"):
+        raise ValueError(f"pair_mode must be 'clique' or 'star', got {pair_mode!r}")
     fp = (simhash_portable if portable else simhash)(docs, text_col, id_col)
     members = None
     if collapse_exact:
@@ -1061,6 +1118,21 @@ def simhash_near_dup_pairs(
     )
     if members is None:
         return pairs
+    if pair_mode == "star":
+        # rep-level cross pairs + K−1 star edges per group: same
+        # transitive closure / vertex set as the clique, output
+        # linear in dup mass (see minhash_near_dup_pairs)
+        intra = (
+            members.filter(
+                (F.col("_gc") >= 2) & (F.col(id_col) != F.col("_rep"))
+            )
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.bit_count(F.lit(0).cast("long")).alias("hamming"),
+            )
+        )
+        return pairs.unionByName(intra)
     ma = members.select(
         F.col("_rep").alias("id_a"), F.col(id_col).alias("_ma")
     )

@@ -2042,12 +2042,19 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     other's blind spot, see minhash_near_dup_pairs), and still
     sub-quadratic (bounded C(df,2) expansion per low-df shingle).
     Oracle = recursive CTE transitive closure over the exact-Jaccard
-    ≥ 0.7 edge set."""
+    ≥ 0.7 edge set.
+
+    pair_mode="star": CC only needs a connectivity-equivalent edge
+    set, so exact-dup groups contribute K−1 rep→member edges instead
+    of the C(K,2) clique — identical components (the star and the
+    clique have the same transitive closure, see
+    dedup.minhash_near_dup_pairs), output linear in dup mass."""
     from datasette_upload_csvs_spark.operators import graph
 
     docs = load(spark, sf_dir, "documents")
     pairs = dedup.minhash_near_dup_pairs(
-        docs, threshold=0.7, exact_floor_max_df=_FLOOR_MAX_DF
+        docs, threshold=0.7, exact_floor_max_df=_FLOOR_MAX_DF,
+        pair_mode="star",
     ).select(
         "id_a", "id_b"
     )
@@ -2378,12 +2385,15 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank is a window partitioned by group_id — near-dup clusters are
     small by construction (LSH bucket caps), so the window never sees
     a hot partition. Ranking uses the ROUNDED quality score on both
-    engines so sub-ulp double drift can't flip a tie."""
+    engines so sub-ulp double drift can't flip a tie. pair_mode=
+    "star": CC consumes a connectivity-equivalent edge set, linear
+    in dup mass (see dedup_groups)."""
     from datasette_upload_csvs_spark.operators import graph
 
     docs = load(spark, sf_dir, "documents")
     pairs = dedup.minhash_near_dup_pairs(
-        docs, threshold=0.7, exact_floor_max_df=_FLOOR_MAX_DF
+        docs, threshold=0.7, exact_floor_max_df=_FLOOR_MAX_DF,
+        pair_mode="star",
     ).select(
         "id_a", "id_b"
     )
@@ -8094,12 +8104,18 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     other contributes less unique signal than its row count claims).
     Documents in ≥1 verified near-dup pair, as a fraction of the
     source; edges come from the exact-Jaccard-verified MinHash
-    pipeline, membership is a broadcast semi-style left join."""
+    pipeline, membership is a broadcast semi-style left join.
+    pair_mode="star": this audit only reads the duplicated VERTEX
+    set, which the star edge set preserves exactly (every member of
+    a dup group touches a star edge; every doc in a verified pair
+    touches a rep edge — see dedup.minhash_near_dup_pairs), with
+    output linear in dup mass."""
     from datasette_upload_csvs_spark.operators import dedup
 
     d = load(spark, sf_dir, "documents")
     pairs = dedup.minhash_near_dup_pairs(
-        d, threshold=0.7, exact_floor_max_df=_FLOOR_MAX_DF
+        d, threshold=0.7, exact_floor_max_df=_FLOOR_MAX_DF,
+        pair_mode="star",
     )
     dupd = (
         pairs.select(F.col("id_a").alias("v"))
@@ -8149,12 +8165,14 @@ def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     immune to hot-shingle O(df²) buckets), so the full-corpus split
     run is the 100 TB-shaped job; membership is md5(cluster) —
     deterministic, engine-portable. Output audits docs and clusters
-    per split."""
+    per split. pair_mode="star": CC consumes a connectivity-
+    equivalent edge set, linear in dup mass (see dedup_groups)."""
     from datasette_upload_csvs_spark.operators import graph
 
     docs = load(spark, sf_dir, "documents")
     pairs = dedup.minhash_near_dup_pairs(
-        docs, threshold=0.7, exact_floor_max_df=_FLOOR_MAX_DF
+        docs, threshold=0.7, exact_floor_max_df=_FLOOR_MAX_DF,
+        pair_mode="star",
     ).select(
         "id_a", "id_b"
     )

@@ -189,6 +189,7 @@ def embedding_ann_batch(
     n_planes: int = 8,
     dim: int = 64,
     collapse_exact: bool = True,
+    pair_mode: str = "clique",
 ) -> DataFrame:
     """One-shot banded near-neighbor pairs over a corpus snapshot —
     the equality twin the streaming path is pinned against.
@@ -217,7 +218,17 @@ def embedding_ann_batch(
     the per-pair cost is a long-key join, not an interpreted cosine.
     The streaming twin needs no collapse: its per-epoch join is
     already candidate=output-bound for exact dups (each new copy
-    joins its group's history bucket once)."""
+    joins its group's history bucket once).
+
+    `pair_mode="star"` emits the connectivity-equivalent linear edge
+    set instead of the full relation — rep-level cross pairs plus
+    K−1 rep→member star edges per group, each star edge carrying the
+    group's verified self-cosine (identical transitive closure and
+    vertex set; see dedup.minhash_near_dup_pairs). Use for cluster /
+    dup-set consumers where a 10⁶-identical-vector group must not
+    emit C(K,2) rows."""
+    if pair_mode not in ("clique", "star"):
+        raise ValueError(f"pair_mode must be 'clique' or 'star', got {pair_mode!r}")
     from datasette_upload_csvs_spark.operators.dedup import (
         _COLLAPSE_MIN_DUP,
         _intra_clique_pairs,
@@ -267,6 +278,30 @@ def embedding_ann_batch(
     verified = _verified_pairs(cand, v, v, threshold)
     if members is None:
         return verified
+    if pair_mode == "star":
+        # one self-cosine per dup GROUP (zero/non-finite groups drop
+        # exactly as the plain path drops them), fanned out to the
+        # K−1 star edges; verified cross pairs stay at rep level
+        self_cand = (
+            members.filter(F.col("_gc") >= 2)
+            .select(F.col("_rep").alias("id_a"), F.col("_rep").alias("id_b"))
+            .distinct()
+        )
+        group_cos = _verified_pairs(self_cand, v, v, threshold).select(
+            F.col("id_a").alias("_rep"), "cos_sim"
+        )
+        intra = (
+            members.filter(
+                (F.col("_gc") >= 2) & (F.col("vec_id") != F.col("_rep"))
+            )
+            .join(group_cos, "_rep")
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col("vec_id").alias("id_b"),
+                "cos_sim",
+            )
+        )
+        return verified.unionByName(intra)
     ma = members.select(F.col("_rep").alias("id_a"), F.col("vec_id").alias("_ma"))
     mb = members.select(F.col("_rep").alias("id_b"), F.col("vec_id").alias("_mb"))
     cross = (
