@@ -180,7 +180,12 @@ def topk_batch_arrow(
             out_q, out_n, out_s = [], [], []
             for j, qid in enumerate(qids):
                 col = sims[:, j]
-                valid = ids != qid  # self-match excluded
+                # self-match excluded; non-finite cosines (zero-norm
+                # vectors normalize to NaN) masked out BEFORE the
+                # partition step — a NaN boundary score would make
+                # `colc >= thresh` keep fewer than kk rows and the
+                # output columns would disagree in length
+                valid = (ids != qid) & np.isfinite(col)
                 cand_idx = np.nonzero(valid)[0]
                 if cand_idx.size == 0:
                     continue
@@ -201,7 +206,8 @@ def topk_batch_arrow(
                     keep = cand_idx
                 order = np.lexsort((ids[keep], -col[keep]))
                 top = keep[order[:kk]]
-                out_q.extend([qid] * kk)
+                # len(top), not kk: column lengths must always match
+                out_q.extend([qid] * len(top))
                 out_n.extend(ids[top])
                 out_s.extend(col[top])
             if out_q:

@@ -10760,9 +10760,20 @@ def ann_bands_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = base.count()
+    # ONE aggregate yields corpus size AND the planted count — no
+    # second scan, and no contiguous-0..n-1 id assumption (the old
+    # (n+4)//5 closed form silently diverged from the oracle's actual
+    # vec_id % 5 = 0 count on non-contiguous or 1-based fixtures).
+    # The twin OFFSET still needs ids disjoint from the base range,
+    # so it uses max_id+1 instead of assuming n == max_id+1.
+    st = base.agg(
+        F.count("*").alias("n"),
+        F.sum((F.pmod("vec_id", F.lit(5)) == 0).cast("long")).alias("p"),
+        F.max("vec_id").alias("mx"),
+    ).first()
+    n_planted, off = int(st["p"] or 0), int(st["mx"]) + 1
     twins = base.filter(F.pmod("vec_id", F.lit(5)) == 0).select(
-        (F.col("vec_id") + n).alias("vec_id"),
+        (F.col("vec_id") + off).alias("vec_id"),
         F.transform(
             "embedding",
             lambda x, i: x + F.when(i == 0, F.lit(0.001)).otherwise(F.lit(0.0)),
@@ -10771,11 +10782,8 @@ def ann_bands_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = base.unionByName(twins)
     pairs = embedding_ann_batch(corpus, threshold=0.99)
     twin_pairs = pairs.filter(
-        (F.col("id_b") >= n) & (F.col("id_a") == F.col("id_b") - n)
+        (F.col("id_b") >= off) & (F.col("id_a") == F.col("id_b") - off)
     )
-    # planted = vec_ids ≡ 0 (mod 5) in [0, n): exact closed form —
-    # saves a second scan-and-count job over the twins plan
-    n_planted = (n + 4) // 5
     found = twin_pairs.count()
     return spark.createDataFrame(
         [(n_planted, found, found == n_planted)],

@@ -365,6 +365,12 @@ def ann_epoch(
 
     cands = []
     if sp.catalog.tableExists(index_table):
+        # the session caches table file listings; inside a
+        # foreachBatch thread a previous batch's append is NOT
+        # automatically visible — without the refresh, batch N joins
+        # against batch N-2's index and silently misses pairs (the
+        # stale-listing bug observed in near_dup_epoch)
+        sp.catalog.refreshTable(index_table)
         # mask our own partition: on a replay the first attempt may
         # already have appended this batch's bands
         hist = sp.table(index_table).filter(F.col("_batch_id") != epoch)
@@ -395,13 +401,15 @@ def ann_epoch(
         cand = cand.unionByName(c)
     cand = cand.distinct()
 
-    old_vecs = (
-        sp.table(vecs_table)
-        .filter(F.col("_batch_id") != epoch)  # same replay mask
-        .select("vec_id", "v")
-        if sp.catalog.tableExists(vecs_table)
-        else new_vecs.limit(0)
-    )
+    if sp.catalog.tableExists(vecs_table):
+        sp.catalog.refreshTable(vecs_table)  # same stale-listing hazard
+        old_vecs = (
+            sp.table(vecs_table)
+            .filter(F.col("_batch_id") != epoch)  # same replay mask
+            .select("vec_id", "v")
+        )
+    else:
+        old_vecs = new_vecs.limit(0)
     all_vecs = old_vecs.unionByName(new_vecs)
     pairs = _verified_pairs(cand, all_vecs, all_vecs, threshold)
     # The pairs write materializes its plan BEFORE the index/vecs
