@@ -248,11 +248,16 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.3,
-    max_df: int | None = None,
+    max_df: int | None = 20,
     prune_ub: tuple[str, float] | None = None,
     restrict_to_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    The DEFAULT is the capped branch (max_df=20): the undecorated
+    call is never the all-pairs plan. Pass max_df=None EXPLICITLY to
+    get the uncapped single-pass baseline (small/trusted corpora
+    only — see below for why it is a scale-killer).
 
     Plan shape (scale rationale): explode to (doc, shingle), shuffle
     once on shingle, join within shingle buckets, then aggregate pair

@@ -20,10 +20,26 @@ tests/test_semdedup_arrow.py pins the OUTPUT EQUAL to the registry
 entry on the fixtures — same clusters, same rounded centroid
 cosines, same pruned set.
 
-Anchor matrix rides the task closure (k×dim doubles; at k=sqrt(n)
-and 1B vectors that is ~16 MB — at that point swap in the
-sample-trained IVF centroid TABLE from operators/similarity.py,
-which this API accepts unchanged as the `anchors` frame).
+Anchor matrix distribution (round-8 VERDICT item 3): the anchors are
+shipped as CHUNKED Spark broadcast variables, never a task closure.
+A closure re-serializes the full k×dim matrix into every task; a
+broadcast moves it once per executor (torrent), and chunking bounds
+the DRIVER's peak residency at chunk_size×dim doubles — each chunk
+is collected, wrapped in a broadcast, and released before the next
+is fetched (completed broadcasts live in the spillable block
+manager, not the Python heap). Scoring stays one corpus scan: the
+Arrow UDF folds a running (best_cos, best_aid) across chunks in
+ascending anchor-id order with a STRICT > update, which is exactly
+argmax-with-first-max over the concatenated matrix — assignments
+are bit-identical to the single-matrix form (pinned by
+tests/test_semdedup_arrow.py with a forced tiny chunk_size).
+Driver-memory model at the 100 TB point: n=10^10 vectors, dim 768,
+k=⌈√n⌉=10^5 anchors → full matrix 614 MB; with chunk_size=16384 the
+driver peak is ~100 MB per chunk (plus spillable block-manager
+blocks), and no task ever deserializes more than one chunk beyond
+the running fold. Past ~10^11 vectors, swap the √n quantizer for the
+sample-trained IVF centroid table (operators/similarity.py), which
+this API accepts unchanged as the anchor source.
 """
 
 from __future__ import annotations
@@ -49,23 +65,43 @@ def anchor_assignment_arrow(
     k: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    chunk_size: int = 16384,
 ) -> DataFrame:
     """(vec_id, cluster_id, c2c, v): nearest-anchor assignment by max
     cosine against the k smallest-id vectors, k = max(32,
     ceil(sqrt(n))) when not given — the registry quantizer, one
-    matmul per batch."""
+    matmul per batch per anchor chunk.
+
+    Anchors ship as chunked BROADCAST variables (see module
+    docstring): driver peak residency is one chunk_size×dim matrix;
+    tasks deserialize each chunk once per executor, not per task.
+    The cross-chunk fold (ascending anchor ids, strict > update) is
+    exactly argmax-with-first-max over the concatenated matrix, so
+    assignments are bit-identical for any chunk_size."""
     if k is None:
         n = emb.count()
         k = max(32, int(np.ceil(np.sqrt(n))))
-    arows = (
-        emb.filter(F.col(id_col) < k)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    arows.sort(key=lambda r: r[0])
-    aids = np.array([r[0] for r in arows], dtype=np.int64)
-    amat = np.array([list(r[1]) for r in arows], dtype=np.float64)
-    amat /= np.linalg.norm(amat, axis=1, keepdims=True)
+    sc = emb.sparkSession.sparkContext
+    anchors_df = emb.filter(F.col(id_col) < k).select(id_col, vec_col)
+    chunks = []
+    lo = 0
+    while lo < k:
+        hi = min(lo + chunk_size, k)
+        sel = anchors_df if k <= chunk_size else anchors_df.filter(
+            (F.col(id_col) >= lo) & (F.col(id_col) < hi)
+        )
+        arows = sel.collect()
+        arows.sort(key=lambda r: r[0])
+        if arows:
+            aids = np.array([r[0] for r in arows], dtype=np.int64)
+            amat = np.array([list(r[1]) for r in arows], dtype=np.float64)
+            amat /= np.linalg.norm(amat, axis=1, keepdims=True)
+            # broadcast, then drop the local reference: completed
+            # broadcasts live in the (spillable) block manager, so
+            # the Python-heap peak stays one chunk
+            chunks.append(sc.broadcast((aids, amat)))
+            del aids, amat, arows
+        lo = hi
     schema = StructType(
         [
             StructField(id_col, LongType()),
@@ -81,13 +117,27 @@ def anchor_assignment_arrow(
                 continue
             v = np.array(list(pdf[vec_col]), dtype=np.float64)
             vn = v / np.linalg.norm(v, axis=1, keepdims=True)
-            sims = vn @ amat.T  # anchors are aid-ascending, so the
-            best = sims.argmax(axis=1)  # first max = lowest anchor_id
+            best_cos = None
+            best_aid = None
+            for bc in chunks:  # ascending anchor-id order
+                aids, amat = bc.value
+                sims = vn @ amat.T  # chunk is aid-ascending, so the
+                bi = sims.argmax(axis=1)  # first max = lowest aid
+                bcos = sims[np.arange(len(bi)), bi]
+                baid = aids[bi]
+                if best_cos is None:
+                    best_cos, best_aid = bcos, baid
+                else:
+                    # STRICT >: an exact tie keeps the earlier chunk's
+                    # (lower) anchor id — the single-matrix argmax rule
+                    upd = bcos > best_cos
+                    best_cos = np.where(upd, bcos, best_cos)
+                    best_aid = np.where(upd, baid, best_aid)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
-                    "cluster_id": aids[best],
-                    "c2c": sims[np.arange(len(best)), best],
+                    "cluster_id": best_aid,
+                    "c2c": best_cos,
                     "v": list(v),
                 }
             )
@@ -101,12 +151,13 @@ def semdedup_prune_arrow(
     k: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    chunk_size: int = 16384,
 ) -> DataFrame:
     """(vec_id, cluster_id, centroid_cos, pruned) — the registry
     semdedup_prune output, computed with one matmul per batch for
     assignment and one gram matrix per cluster for the pairwise
     pass."""
-    assigned = anchor_assignment_arrow(emb, k, vec_col, id_col)
+    assigned = anchor_assignment_arrow(emb, k, vec_col, id_col, chunk_size)
     schema = StructType(
         [
             StructField(id_col, LongType()),
@@ -154,6 +205,7 @@ def d4_prototype_prune_arrow(
     k: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    chunk_size: int = 16384,
 ) -> DataFrame:
     """(vec_id, cluster_id, centroid_cos, proto_rank, kept) — the
     registry d4_prototype_prune output on the Arrow path: the shared
@@ -165,7 +217,7 @@ def d4_prototype_prune_arrow(
     fraction (0.3*n) would diverge at exact multiples."""
     from pyspark.sql.types import IntegerType
 
-    assigned = anchor_assignment_arrow(emb, k, vec_col, id_col)
+    assigned = anchor_assignment_arrow(emb, k, vec_col, id_col, chunk_size)
     schema = StructType(
         [
             StructField(id_col, LongType()),

@@ -100,7 +100,7 @@ _DRIVER_PRIORITY = [
     # re-verifies ANY code change under the entry
     "dedup_containment", "dedup_cross_source_matrix",
     "dedup_graph_triangles", "dedup_groups", "dedup_keep_best",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard_allpairs_smallcorpus",
     "dedup_ngram_jaccard_capped", "dedup_rate_by_source",
     "split_cluster_safe", "split_incremental_stable",
     "ann_bands_recall",  # bands single-scan + closed-form planted count
@@ -1613,19 +1613,29 @@ _JACCARD_ORACLE = """
 """
 
 
-@q("dedup_ngram_jaccard", _JACCARD_ORACLE.format(thr="0.3"))
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncapped exact-Jaccard baseline — SMALL/TRUSTED CORPORA ONLY.
+@q(
+    "dedup_ngram_jaccard_allpairs_smallcorpus",
+    _JACCARD_ORACLE.format(thr="0.3"),
+)
+def dedup_ngram_jaccard_allpairs_smallcorpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Uncapped exact-Jaccard baseline — SMALL/TRUSTED CORPORA ONLY,
+    and the registry name now says so (round-8 VERDICT item 4: no
+    undecorated name whose plan is all-pairs; the operator's own
+    max_df default is the capped branch too, so the uncapped plan
+    requires max_df=None EXPLICITLY at both the registry and the
+    operator layer).
 
     max_df=None means the shingle inverted-index self-join has no
     frequent-item cut: one boilerplate shingle present in df docs
     creates an O(df²) candidate bucket, which dominates the job at
     corpus scale. This entry exists as the oracle-exact small-corpus
     baseline; every production-scale path must use the capped twin
-    (dedup_ngram_jaccard_capped / max_df=...) or the MinHash+LSH
+    (dedup_ngram_jaccard_capped / default max_df) or the MinHash+LSH
     route (dedup_minhash_lsh)."""
     return dedup.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), threshold=0.3
+        load(spark, sf_dir, "documents"), threshold=0.3, max_df=None
     )
 
 
@@ -1774,7 +1784,8 @@ _CAPPED_JACCARD_ORACLE = """
 
 @q("dedup_ngram_jaccard_capped", _CAPPED_JACCARD_ORACLE.format(max_df=20, thr="0.3"))
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB-shaped variant of dedup_ngram_jaccard: shingles with
+    """The 100 TB-shaped variant of the exact-Jaccard pipeline
+    (cf. dedup_ngram_jaccard_allpairs_smallcorpus): shingles with
     document frequency > 20 are dropped from CANDIDATE GENERATION
     (frequent-item cut, kills the O(df²) hot-shingle bucket), then
     candidates are verified with exact Jaccard over the full shingle

@@ -63,3 +63,33 @@ def test_assignment_cluster_sizes_bounded(spark, sf_dir):
     assert sum(sizes) == n
     # the sqrt(n) quantizer keeps the largest pairwise matrix small
     assert max(sizes) < n
+
+
+def test_chunked_anchor_broadcast_bit_identical(spark, sf_dir):
+    # round-8 driver-memory fix: anchors ship as chunked broadcasts;
+    # a forced tiny chunk_size must produce bit-identical assignments
+    # (strict-> fold == argmax-first-max over the concatenated matrix)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    one = {
+        r["vec_id"]: (r["cluster_id"], r["c2c"])
+        for r in semdedup_arrow.anchor_assignment_arrow(
+            emb, chunk_size=1 << 20
+        ).collect()
+    }
+    many = {
+        r["vec_id"]: (r["cluster_id"], r["c2c"])
+        for r in semdedup_arrow.anchor_assignment_arrow(
+            emb, chunk_size=7
+        ).collect()
+    }
+    assert one == many
+    pr_one = sorted(
+        map(tuple, semdedup_arrow.semdedup_prune_arrow(emb).collect())
+    )
+    pr_many = sorted(
+        map(
+            tuple,
+            semdedup_arrow.semdedup_prune_arrow(emb, chunk_size=7).collect(),
+        )
+    )
+    assert pr_one == pr_many
