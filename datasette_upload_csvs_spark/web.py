@@ -33,6 +33,7 @@ import os
 import tempfile
 from email.parser import BytesParser
 from email.policy import HTTP
+from html import escape
 from urllib.parse import parse_qs, quote_plus, unquote
 
 from datasette_upload_csvs_spark import ingest
@@ -129,6 +130,45 @@ FORM_HTML = """<!DOCTYPE html>
       .then(poll)
       .catch(function (err) {{ alert(err); }});
   }});
+}})();
+</script>
+</body></html>
+"""
+
+
+DONE_HTML = """<!DOCTYPE html>
+<html><head><title>Upload in progress</title></head>
+<body>
+<h1>Upload in progress</h1>
+
+<p>Importing rows into
+    <a href="{table_url}">{table}</a>
+</p>
+<script>
+/* Reference parity (templates/upload_csv_done.html:1-11 via
+   __init__.py:243-252): the non-xhr form post lands here instead of
+   302-ing to a table that may not exist yet. The reference page is
+   static (the user clicks through when ready); this port adds the
+   same 1 Hz progress poll the upload form uses so a JS-capable
+   browser navigates to the table automatically on completion — a
+   no-JS client still gets the reference's exact affordance (the
+   page + the link). */
+(function () {{
+  var url =
+    "/{database_path}/_csv_progress_.json?id={task_id}&_shape=array";
+  var timer = setInterval(function () {{
+    fetch(url)
+      .then(function (r) {{ return r.json(); }})
+      .then(function (rows) {{
+        if (!rows.length) return;
+        var row = rows[0];
+        if (row.error) {{ clearInterval(timer); return; }}
+        if (row.completed) {{
+          clearInterval(timer);
+          window.location = "{table_url}";
+        }}
+      }});
+  }}, 1000);
 }})();
 </script>
 </body></html>
@@ -524,8 +564,19 @@ class UploadApp:
         if (fields.get("xhr") or {}).get("value") == b"1":
             await self._respond(send, 200, payload)
         else:
+            # reference __init__.py:243-252: a plain form post renders
+            # the "Upload in progress" page (upload_csv_done.html) —
+            # NOT a redirect, which would land a no-JS client on a
+            # table that does not exist yet while ingest runs
             await self._respond(
-                send, 302, "", [(b"location", payload["url"].encode())]
+                send,
+                200,
+                DONE_HTML.format(
+                    table=escape(table),
+                    table_url=payload["url"],
+                    database_path=db_path,
+                    task_id=task.task_id,
+                ),
             )
 
     async def _get_progress(self, scope, path, query, send):

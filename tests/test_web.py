@@ -138,19 +138,30 @@ def test_upload_xhr_roundtrip(app, spark):
     spark.sql(f"DROP TABLE IF EXISTS {result.table}")
 
 
-def test_upload_non_xhr_redirects(app, spark):
+def test_upload_non_xhr_renders_progress_page(app, spark):
+    # reference __init__.py:243-252 + templates/upload_csv_done.html:
+    # a plain (no-JS) form post gets the "Upload in progress" page
+    # with a link to the destination table — never a redirect to a
+    # table that may not exist yet
     body = multipart_body(
         {"csv": ("redir_web.csv", b"a,b\n1,2\n"), "table_name": (None, b"redir_web")}
     )
-    status, headers, _ = call(
+    status, headers, payload = call(
         app, "POST", "/-/upload-csvs", body=body,
         ctype=f"multipart/form-data; boundary={BOUNDARY}",
     )
-    assert status == 302
-    assert headers[b"location"].endswith(b"/redir_web")
+    assert status == 200
+    page = payload.decode() if isinstance(payload, bytes) else payload
+    assert "Upload in progress" in page
+    assert 'href="/default/redir_web"' in page
+    assert ">redir_web</a>" in page
+    # ...and the upload it describes really lands: eventual table
+    # contents are the posted rows
     [t] = app.tasks.values()
     res = t.result(timeout=120)
     assert res.error is None
+    got = {tuple(r) for r in spark.table(res.table).collect()}
+    assert got == {(1, 2)}
     spark.sql(f"DROP TABLE IF EXISTS {res.table}")
 
 
