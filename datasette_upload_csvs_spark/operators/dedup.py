@@ -1066,6 +1066,47 @@ def simhash_near_dup_pairs(
     if pair_mode not in ("clique", "star"):
         raise ValueError(f"pair_mode must be 'clique' or 'star', got {pair_mode!r}")
     fp = (simhash_portable if portable else simhash)(docs, text_col, id_col)
+    return _fp_near_dup_pairs(
+        fp, "simhash64", id_col, max_hamming, collapse_exact, pair_mode
+    )
+
+
+def fingerprint_hamming_pairs(
+    fp: DataFrame,
+    fp_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    collapse_exact: bool = True,
+    pair_mode: str = "clique",
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs within Hamming distance of a
+    64-bit fingerprint column — the SimHash pigeonhole chunk join
+    exposed for ANY fingerprint source (SimHash, perceptual image
+    hashes, rolling content hashes). Same bucketing, collapse gate,
+    and pair_mode contract as simhash_near_dup_pairs; recall is
+    exact for max_hamming ≤ 3 (4 chunks of 16 bits: fewer differing
+    bits than chunks pigeonholes ≥1 identical chunk)."""
+    if pair_mode not in ("clique", "star"):
+        raise ValueError(f"pair_mode must be 'clique' or 'star', got {pair_mode!r}")
+    out = _fp_near_dup_pairs(
+        fp.select(F.col(id_col), F.col(fp_col).alias("simhash64")),
+        "simhash64",
+        id_col,
+        max_hamming,
+        collapse_exact,
+        pair_mode,
+    )
+    return out
+
+
+def _fp_near_dup_pairs(
+    fp: DataFrame,
+    fp_col: str,
+    id_col: str,
+    max_hamming: int,
+    collapse_exact: bool,
+    pair_mode: str,
+) -> DataFrame:
     members = None
     if collapse_exact:
         fp = fp.persist()  # detection + members + chunks all read it

@@ -113,6 +113,85 @@ def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFra
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+# stride primes for the deterministic decode-stub pixel samplers:
+# pixel i reads payload byte (i * STRIDE) mod n_bytes — a fixed,
+# engine-portable stand-in for "decode then downsample to a tiny
+# grayscale matrix" that any SQL engine can reproduce byte-for-byte
+DHASH_STRIDE = 7919
+AHASH_STRIDE = 104729
+
+
+def perceptual_hashes(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(media_id, dhash64, ahash64) — perceptual image hashes over a
+    binary payload column.
+
+    The HASH MATH is the real published algorithm; only the decode
+    step is the environment stub (no image codecs in this container):
+
+    - decode stub: an 8×9 "grayscale matrix" whose pixel i is payload
+      byte (i·7919 mod n) — with a real codec this is
+      decode→grayscale→resize(9×8), one swap-in function;
+    - dHash (difference hash): bit r·8+c set iff pixel[r][c] >
+      pixel[r][c+1] — 64 horizontal-gradient signs (the
+      standard 9×8 dHash construction);
+    - aHash (average hash): 64 pixels via stride 104729; bit i set
+      iff 64·q_i > Σq — the integer-exact form of q_i > mean(q), so
+      no float mean can drift between engines.
+
+    Bit 63 uses the two's-complement trick (adding -(2^63)) so the
+    fingerprint is an ordinary signed BIGINT on both engines —
+    identical to the SimHash convention. Hashes feed
+    dedup.fingerprint_hamming_pairs for binary-column near-dup
+    detection (pigeonhole chunk join, exact for hamming ≤ 3).
+    """
+    from pyspark.sql.types import LongType as _Long
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType(), False),
+            StructField("dhash64", _Long(), True),
+            StructField("ahash64", _Long(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        di = np.arange(72, dtype=np.int64) * DHASH_STRIDE
+        ai = np.arange(64, dtype=np.int64) * AHASH_STRIDE
+        w = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+        def signed(bits: "np.ndarray") -> int:
+            u = int((bits.astype(np.uint64) * w).sum(dtype=np.uint64))
+            return u - (1 << 64) if u >= (1 << 63) else u
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            dh, ah = [], []
+            for p in pdf[payload_col]:
+                b = np.frombuffer(bytes(p or b"\x00"), dtype=np.uint8)
+                b = b.astype(np.int64)
+                n = len(b)
+                px = b[di % n].reshape(8, 9)
+                dh.append(signed((px[:, :8] > px[:, 1:]).ravel()))
+                q = b[ai % n]
+                ah.append(signed(64 * q > q.sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "dhash64": np.array(dh, dtype=np.int64),
+                    "ahash64": np.array(ah, dtype=np.int64),
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(run, schema)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan* — metadata-only at this layer.
 

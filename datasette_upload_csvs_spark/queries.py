@@ -2848,6 +2848,116 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# perceptual-hash oracle terms: dHash bit j (row r=j//8, col c=j%8)
+# compares stub pixels p[r*9+c] and p[r*9+c+1] (1-based in SQL lists);
+# aHash bit i is the integer-exact mean test 64*q[i] > Σq. Bit 63 is
+# the two's-complement add of -(2^63) — the SimHash convention, so
+# fingerprints are plain signed BIGINTs on both engines.
+_DHASH_TERMS = " + ".join(
+    f"(CASE WHEN p[{(j // 8) * 9 + (j % 8) + 1}] > "
+    f"p[{(j // 8) * 9 + (j % 8) + 2}] THEN {1 << j} ELSE 0 END)"
+    for j in range(63)
+) + f" + (CASE WHEN p[71] > p[72] THEN {-(1 << 63)} ELSE 0 END)"
+_AHASH_TERMS = " + ".join(
+    f"(CASE WHEN 64 * q[{i + 1}] > qs THEN {1 << i} ELSE 0 END)"
+    for i in range(63)
+) + f" + (CASE WHEN 64 * q[64] > qs THEN {-(1 << 63)} ELSE 0 END)"
+
+# the decode-stub pixel lists in SQL: pixel i = byte (i*stride mod n)
+# of the payload; payload is the utf-8 text and the fixture corpus is
+# ASCII (asserted cheap: ascii(char k) == byte k), so ascii(substr())
+# reproduces the byte-indexed stub exactly
+_DHASH_PX = """
+         list_transform(range(0, 72),
+           i -> ascii(substr(text,
+                CAST((i * 7919) % length(text) AS INTEGER) + 1, 1))) AS p
+"""
+_PHASH_PX = _DHASH_PX + """,
+         list_transform(range(0, 64),
+           i -> ascii(substr(text,
+                CAST((i * 104729) % length(text) AS INTEGER) + 1, 1))) AS q
+"""
+
+
+@q(
+    "multimodal_phash_fingerprints",
+    f"""
+    WITH px AS (
+      SELECT doc_id AS media_id,
+{_PHASH_PX}
+      FROM documents
+    ), s AS (
+      SELECT media_id, p, q, list_sum(q) AS qs FROM px
+    )
+    SELECT media_id,
+           CAST({_DHASH_TERMS} AS BIGINT) AS dhash64,
+           CAST({_AHASH_TERMS} AS BIGINT) AS ahash64
+    FROM s
+    """,
+)
+def multimodal_phash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing over a binary column: dHash (9×8
+    horizontal-gradient signs) + aHash (64-pixel integer-exact mean
+    test) computed in one Arrow pass over the payload bytes
+    (operators/multimodal.perceptual_hashes). The decode step is the
+    deterministic stride-sampling stub (no codecs in this
+    environment — with PIL it becomes decode→grayscale→resize, one
+    swapped function); the HASH MATH is the real published
+    algorithm, and the oracle recomputes both fingerprints from the
+    same bytes in SQL, so the bit patterns are cross-engine pinned,
+    not just shaped."""
+    from datasette_upload_csvs_spark.operators import multimodal
+
+    media = multimodal.fake_documents_media(load(spark, sf_dir, "documents"))
+    return multimodal.perceptual_hashes(media)
+
+
+@q(
+    "multimodal_near_dup_pairs",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS media_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 5 = 0
+    ), px AS (
+      SELECT media_id,
+{_DHASH_PX}
+      FROM base
+    ), fp AS (
+      SELECT media_id, CAST({_DHASH_TERMS} AS BIGINT) AS f FROM px
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.f, b.f)) <= 2
+    """,
+)
+def multimodal_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column near-dup pairs: dHash fingerprints over payload
+    bytes, then the banded pigeonhole chunk join
+    (dedup.fingerprint_hamming_pairs — the SimHash machinery reused
+    for a perceptual-hash source) at Hamming ≤ 2, where the 4×16-bit
+    bucketing is recall-EXACT. An exact-payload twin of every 5th
+    document is planted so the pipeline provably has pairs to find
+    (twin pairs are hamming 0); the oracle is the all-pairs SQL over
+    the same planted corpus — valid as the oracle precisely because
+    pigeonhole recall is exact at this distance, while the Spark
+    side only ever joins within chunk buckets (the 100 TB shape)."""
+    from datasette_upload_csvs_spark.operators import dedup as _dedup
+    from datasette_upload_csvs_spark.operators import multimodal
+
+    media = multimodal.fake_documents_media(load(spark, sf_dir, "documents"))
+    twins = media.filter(F.pmod("media_id", F.lit(5)) == 0).withColumn(
+        "media_id", F.col("media_id") + F.lit(10_000_000)
+    )
+    fp = multimodal.perceptual_hashes(media.unionByName(twins)).select(
+        "media_id", "dhash64"
+    )
+    return _dedup.fingerprint_hamming_pairs(
+        fp, "dhash64", "media_id", max_hamming=2
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 # ====================================================================
 # B36 — UDTF-style row expansion (posexplode)
 # ====================================================================
