@@ -47,6 +47,7 @@ from datasette_upload_csvs_spark.functions.vector import (
 )
 from datasette_upload_csvs_spark.operators.similarity import _hyperplane
 from datasette_upload_csvs_spark.streaming.epoch_write import (
+    read_state,
     write_epoch_partition,
 )
 
@@ -373,7 +374,9 @@ def ann_epoch(
         sp.catalog.refreshTable(index_table)
         # mask our own partition: on a replay the first attempt may
         # already have appended this batch's bands
-        hist = sp.table(index_table).filter(F.col("_batch_id") != epoch)
+        # read_state also masks sub-BASE partitions (a staging left
+        # by a crashed compaction) — see epoch_write.read_state
+        hist = read_state(sp, index_table, epoch)
         cands.append(  # new vs history — direction normalized
             bands.select(
                 F.col("vec_id").alias("id_n"), "table_id", "bucket"
@@ -403,11 +406,7 @@ def ann_epoch(
 
     if sp.catalog.tableExists(vecs_table):
         sp.catalog.refreshTable(vecs_table)  # same stale-listing hazard
-        old_vecs = (
-            sp.table(vecs_table)
-            .filter(F.col("_batch_id") != epoch)  # same replay mask
-            .select("vec_id", "v")
-        )
+        old_vecs = read_state(sp, vecs_table, epoch).select("vec_id", "v")
     else:
         old_vecs = new_vecs.limit(0)
     all_vecs = old_vecs.unionByName(new_vecs)

@@ -33,6 +33,7 @@ from datasette_upload_csvs_spark.operators.dedup import (
     _MERSENNE,
 )
 from datasette_upload_csvs_spark.streaming.epoch_write import (
+    read_state,
     write_epoch_partition,
 )
 
@@ -90,10 +91,8 @@ def near_dup_epoch(
         spark.catalog.refreshTable(index_table)
         # mask our own partition: on a replay the first attempt may
         # already have written this batch's bands
-        old_bands = (
-            spark.table(index_table)
-            .filter(F.col("_batch_id") != epoch)
-            .select("doc_id", "band", "bucket")
+        old_bands = read_state(spark, index_table, epoch).select(
+            "doc_id", "band", "bucket"
         )
         all_bands = old_bands.unionByName(new_bands)
     else:
@@ -112,10 +111,8 @@ def near_dup_epoch(
     )
     if spark.catalog.tableExists(sets_table):
         spark.catalog.refreshTable(sets_table)
-        old_sets = (
-            spark.table(sets_table)
-            .filter(F.col("_batch_id") != epoch)  # same replay mask
-            .select(*sets.columns)
+        old_sets = read_state(spark, sets_table, epoch).select(
+            *sets.columns
         )
         all_sets = old_sets.unionByName(sets)
     else:

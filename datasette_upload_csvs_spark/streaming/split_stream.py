@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from datasette_upload_csvs_spark.operators import splits
 from datasette_upload_csvs_spark.operators.shingle_index import ShingleIndex
 from datasette_upload_csvs_spark.streaming.epoch_write import (
+    read_state,
     write_epoch_partition,
 )
 
@@ -82,10 +83,8 @@ def assign_batch(
     index.release_batch_cache()
 
     if spark.catalog.tableExists(splits_table):
-        prev = (
-            spark.table(splits_table)
-            .filter(F.col("_batch_id") != epoch)  # mask own replayed rows
-            .select("doc_id", "cluster_id", "split", "bridged")
+        prev = read_state(spark, splits_table, epoch).select(
+            "doc_id", "cluster_id", "split", "bridged"
         )
     else:
         prev = spark.createDataFrame([], _EMPTY_SPLITS)
