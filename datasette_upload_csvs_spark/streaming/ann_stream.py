@@ -440,6 +440,7 @@ def maintain_embedding_ann_stream(
     n_planes: int = 8,
     dim: int = 64,
     checkpoint_dir: str | None = None,
+    compact_every: int | None = None,
 ) -> int:
     """Drain a parquet stream of (vec_id, embedding) into near-
     neighbor PAIRS (pairs_table) while maintaining the band index
@@ -455,12 +456,31 @@ def maintain_embedding_ann_stream(
     between-batch kill AND a mid-batch kill+replay recover to exactly
     the contents of an uninterrupted run — the same exactly-once
     contract as split_stream/curation_stream, proven by
-    tests/test_ann_stream.py's replay test."""
+    tests/test_ann_stream.py's replay test.
+
+    `compact_every=N` folds closed epoch partitions (< the current
+    epoch) into each table's BASE partition every N epochs
+    (epoch_write.compact_state_table) — bounded partition counts
+    under unbounded streams. Safe inside the sink: the epoch being
+    processed is the ONLY epoch the engine can still replay (its
+    predecessors' offsets are committed), it is never folded, and a
+    crash mid-fold replays the epoch, whose deterministic watermark
+    resumes the fold at the right step. Each fold rewrites the base
+    (O(history)), so N tunes rewrite amplification vs partition
+    count — amortized O(history/N) per epoch."""
+    from datasette_upload_csvs_spark.streaming.epoch_write import (
+        compact_state_table,
+    )
+
     batches = {"n": 0}
 
     def sink(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
             return
+        if compact_every and epoch > 0 and epoch % compact_every == 0:
+            sp = batch_df.sparkSession
+            for t in (pairs_table, index_table, f"{index_table}__vecs"):
+                compact_state_table(sp, t, before_epoch=epoch)
         ann_epoch(
             batch_df,
             epoch,

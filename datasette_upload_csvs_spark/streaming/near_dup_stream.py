@@ -153,6 +153,7 @@ def maintain_near_dup_stream(
     num_perm: int = 128,
     n_bands: int = 32,
     checkpoint_dir: str | None = None,
+    compact_every: int | None = None,
 ) -> int:
     """Drain a parquet stream of (doc_id, text) into near-dup PAIRS
     (pairs_table) while maintaining the LSH band index + shingle-set
@@ -168,12 +169,25 @@ def maintain_near_dup_stream(
     All three tables are `_batch_id`-partitioned with masked reads +
     per-epoch dynamic partition overwrite (see near_dup_epoch), so
     BOTH the common between-batch kill AND a mid-batch kill+replay
-    recover to exactly the contents of an uninterrupted run."""
+    recover to exactly the contents of an uninterrupted run.
+
+    `compact_every=N` folds closed epochs into each table's BASE
+    partition every N epochs — bounded partitions under unbounded
+    streams; see maintain_embedding_ann_stream for the replay-safety
+    argument and the rewrite-amplification tradeoff."""
+    from datasette_upload_csvs_spark.streaming.epoch_write import (
+        compact_state_table,
+    )
+
     batches = {"n": 0}
 
     def sink(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
             return
+        if compact_every and epoch > 0 and epoch % compact_every == 0:
+            sp = batch_df.sparkSession
+            for t in (pairs_table, index_table, f"{index_table}__sets"):
+                compact_state_table(sp, t, before_epoch=epoch)
         near_dup_epoch(
             batch_df,
             epoch,

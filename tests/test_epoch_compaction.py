@@ -147,3 +147,60 @@ def test_read_state_masks_lingering_staging(spark, clean):
     assert sorted(r["val"] for r in hist.collect()) == sorted(
         e * 1000 + i for e in range(3) for i in range(3)
     )
+
+
+def test_ann_stream_with_compaction_equals_batch(spark, sf_dir, tmp_path):
+    # the wired-in form: maintain_embedding_ann_stream(compact_every=2)
+    # over 6 arrival files — pairs identical to the one-shot batch run,
+    # partition count bounded by base + epochs-since-last-fold
+    import os
+    import shutil
+
+    from datasette_upload_csvs_spark.streaming.ann_stream import (
+        embedding_ann_batch,
+        maintain_embedding_ann_stream,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    src = str(tmp_path / "emb_stream_c")
+    os.makedirs(src)
+    for i in range(6):
+        part = corpus.filter(F.pmod("vec_id", F.lit(6)) == i)
+        d = str(tmp_path / f"ec{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        name = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        shutil.copy(
+            os.path.join(d, name), os.path.join(src, f"arrival_{i}.parquet")
+        )
+    for t in ("annc_pairs", "annc_index", "annc_index__vecs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    n = maintain_embedding_ann_stream(
+        spark,
+        src,
+        "vec_id bigint, embedding array<float>",
+        pairs_table="annc_pairs",
+        index_table="annc_index",
+        threshold=0.99,
+        compact_every=2,
+    )
+    assert n == 6
+    got = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in spark.table("annc_pairs").collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in embedding_ann_batch(corpus, threshold=0.99).collect()
+    }
+    assert got == want
+    for t in ("annc_index", "annc_index__vecs"):
+        parts = _partitions(spark, t)
+        assert len(parts) <= 3, (t, parts)  # base + epochs since fold
+        assert parts[0] == BASE_EPOCH
+    # the folded index is intact: each vector stored exactly once
+    vc = spark.table("annc_index__vecs")
+    assert vc.count() == vc.select("vec_id").distinct().count() == corpus.count()
+    for t in ("annc_pairs", "annc_index", "annc_index__vecs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
