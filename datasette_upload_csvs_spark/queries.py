@@ -82,39 +82,44 @@ def q(name: str, oracle: str | None = None):
 # in _DRIVER_PRIORITY so the independent check re-runs on the new
 # code.
 _DRIVER_PRIORITY = [
-    # Round-7 sample = this list, then any fresh (never-checked,
-    # non-priority) registry entries, then _DRIVER_CHECKED. Four
-    # entries changed this round (they gained the
-    # SPARK_GRAFT_VECTOR_BACKEND routing branch — default behavior
-    # identical, but the rotation rule re-verifies ANY code change),
-    # and three are the new Arrow production twins sharing their
-    # expression entries' oracles verbatim. All well inside the
-    # 50-name sample prefix, so r1∪…∪r7 keeps the
-    # every-name-driver-verified invariant as the registry grows.
+    # Round-8 sample = this list, then any fresh (never-checked,
+    # non-priority) registry entries, then _DRIVER_CHECKED. Every
+    # name here has code that changed THIS round (rotation rule:
+    # changed entries re-queue for an independent driver check); the
+    # 12 r7-green priority names whose code did NOT change moved to
+    # _DRIVER_CHECKED. All inside the 50-name sample prefix.
+    #
+    # minhash pipeline: gate re-keyed on xxhash64(text) + pair_mode
+    # param (star routing for the four connectivity consumers):
+    "dedup_groups", "dedup_keep_best", "split_cluster_safe",
+    "dedup_rate_by_source",  # star-routed
+    "dedup_minhash_lsh", "dedup_cross_source_matrix",
+    "dedup_graph_triangles",  # clique, gate-key change
+    # simhash pipeline: delegates to the factored _fp_near_dup_pairs:
+    "dedup_simhash",
+    # ngram_jaccard_pairs default flipped to the capped branch;
+    # the uncapped entry renamed (fresh name):
+    "dedup_containment", "dedup_ngram_jaccard_capped",
+    "split_incremental_stable",
+    "dedup_ngram_jaccard_allpairs_smallcorpus",
+    # embedding_ann_batch gained pair_mode + the single-agg planted
+    # count replaced the closed form:
+    "ann_bands_recall",
+    # chunked-broadcast anchor quantizer (semdedup_arrow):
     "semdedup_prune_arrow", "d4_prototype_prune_arrow",
-    "kmeans_lloyd_step_arrow",
-    "data_constrained_epochs", "perplexity_band_filter",  # new r7
-    "doremi_domain_reweight", "lsh_band_scurve",  # new r7 (late-session)
-    # transitively changed by the conditional _spread (dedup.py):
-    # output-invariant partitioning decision, but the rotation rule
-    # re-verifies ANY code change under the entry
-    "dedup_containment", "dedup_cross_source_matrix",
-    "dedup_graph_triangles", "dedup_groups", "dedup_keep_best",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard_allpairs_smallcorpus",
-    "dedup_ngram_jaccard_capped", "dedup_rate_by_source",
-    "split_cluster_safe", "split_incremental_stable",
-    "ann_bands_recall",  # bands single-scan + closed-form planted count
-    "dedup_embedding_cosine",  # norm-precompute verify (bit-identical)
-    # driver-side numpy Lloyd for the sampled coarse-quantizer fits
-    # + Arrow argmin assignment (verdict-pinned entries):
-    "similarity_pq_recall", "similarity_ivf_recall",
-    "cms_token_heavy_hitters",  # vocab pre-agg before sketch hashing
-    "dedup_simhash", "simhash_fingerprints_portable",  # ones-count agg
-    "semdedup_prune", "d4_prototype_prune", "kmeans_lloyd_step",
-    "semantic_decontamination",
+    "semdedup_prune", "d4_prototype_prune",  # arrow-routed branch
+    # new round-8 multimodal entries:
+    "multimodal_phash_fingerprints", "multimodal_near_dup_pairs",
 ]
 
 _DRIVER_CHECKED = frozenset({
+    # r7-green priority names whose code did not change in round 8:
+    "kmeans_lloyd_step_arrow", "data_constrained_epochs",
+    "perplexity_band_filter", "doremi_domain_reweight",
+    "lsh_band_scurve", "dedup_embedding_cosine",
+    "similarity_pq_recall", "similarity_ivf_recall",
+    "cms_token_heavy_hitters", "simhash_fingerprints_portable",
+    "kmeans_lloyd_step", "semantic_decontamination",
     "abtt_cleaned_topk",
     "aqp_groupwise_ci",
     "aqp_sample_estimate",

@@ -120,7 +120,11 @@ def test_max_df_cap_kills_hot_shingle_bucket(spark):
         rows.append((i, text))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
-    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.0).count()
+    # all-pairs baseline needs an EXPLICIT max_df=None since round 8:
+    # the undecorated call defaults to the capped branch
+    uncapped = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.0, max_df=None
+    ).count()
     capped = dedup.ngram_jaccard_pairs(docs, threshold=0.0, max_df=20).count()
     # 100 hot docs → C(100,2)=4950 quadratic pairs without the cap
     assert uncapped >= 4950

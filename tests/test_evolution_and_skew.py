@@ -103,7 +103,10 @@ def test_shingle_df_cap_kills_hot_shingle(spark):
         rows.append((101 + 2 * j, base + " extratwo"))
     docs = spark.createDataFrame(rows, "doc_id int, text string")
 
-    uncapped = dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    # all-pairs baseline needs an EXPLICIT max_df=None since round 8
+    uncapped = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.0, max_df=None
+    ).collect()
     capped = dedup.ngram_jaccard_pairs(docs, threshold=0.0, max_df=10).collect()
 
     # without the cap the hot shingle makes 30*29/2 = 435 boilerplate pairs
