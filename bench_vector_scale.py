@@ -46,7 +46,10 @@ import time
 # ceiling the Arrow twin replaces; see PLANS_r06 §5c)
 QUERIES = {
     "ann_bands_recall": 128,
-    "semdedup_prune_arrow": 128,
+    # 512 (2.56 M vectors): the round-8 chunked-broadcast quantizer
+    # ceiling check — k=ceil(sqrt(n))=1600 anchors, shuffle must stay
+    # corpus-linear
+    "semdedup_prune_arrow": 512,
     "semdedup_prune": 8,
 }
 

@@ -451,7 +451,74 @@ class UploadApp:
         if path.endswith("/_csv_progress_.json") and method == "GET":
             await self._get_progress(scope, path, query, send)
             return
+        if path == "/-/menu" and method == "GET":
+            await self._get_menu(scope, send)
+            return
         await self._respond(send, 404, "not found")
+
+    # -- navigation affordances ----------------------------------------
+    # (reference __init__.py:36-69: the menu_links / database_actions
+    #  plugin hooks — "Upload CSVs" entries shown only to actors the
+    #  permission gate allows and only for mutable, non-internal
+    #  databases. Standalone mapping: every selectable Spark database
+    #  is a writable catalog, so "mutable" = listed in self.databases
+    #  (or the implicit session default when none are listed); the
+    #  reference's _memory/_internal exclusions are kept verbatim.)
+
+    _INTERNAL_DBS = ("_memory", "_internal")
+
+    def _target_databases(self) -> list[str]:
+        names = self.databases or ["default"]
+        return [n for n in names if n not in self._INTERNAL_DBS]
+
+    def menu_links(self, actor) -> list[dict]:
+        """Reference menu_links hook: one "Upload CSVs" entry iff the
+        actor passes the upload-csvs permission gate and at least one
+        mutable target database exists; empty list otherwise (the
+        menu HIDES, it never 403s)."""
+        try:
+            ingest._check_allowed(actor)
+        except ingest.Forbidden:
+            return []
+        if not self._target_databases():
+            return []
+        return [{"href": "/-/upload-csvs", "label": "Upload CSVs"}]
+
+    def database_actions(self, actor, database: str) -> list[dict]:
+        """Reference database_actions hook: the per-database "Upload
+        CSV" action, same gating plus this database being a mutable
+        target."""
+        try:
+            ingest._check_allowed(actor)
+        except ingest.Forbidden:
+            return []
+        if database not in self._target_databases():
+            return []
+        return [
+            {
+                "href": f"/-/upload-csvs?database={quote_plus(database)}",
+                "label": "Upload CSV",
+                "description": "Create a new table by uploading a CSV file",
+            }
+        ]
+
+    async def _get_menu(self, scope, send):
+        """JSON introspection of the navigation affordances — the
+        standalone analogue of the entries Datasette renders into its
+        pages. Hidden-not-forbidden semantics: an unauthorized actor
+        gets empty lists, not 403, exactly like the reference menus."""
+        actor = self.actor_from_scope(scope)
+        await self._respond(
+            send,
+            200,
+            {
+                "menu_links": self.menu_links(actor),
+                "database_actions": {
+                    db: self.database_actions(actor, db)
+                    for db in self._target_databases()
+                },
+            },
+        )
 
     async def _respond(self, send, status, body, headers=None, ctype="text/html"):
         if isinstance(body, (dict, list)):

@@ -710,3 +710,50 @@ def test_sniff_override_rejects_non_integer(app):
     assert status == 400
     assert b"_num_bytes_to_detect_with" in payload
     assert not app.tasks  # rejected before any ingest task started
+
+
+def test_menu_links_mirror_reference_gating(app):
+    """Reference __init__.py:36-69 (menu_links / database_actions) +
+    its test_menu matrix: the "Upload CSVs" entries appear iff the
+    actor passes the permission gate AND a mutable target database
+    exists; unauthorized actors get EMPTY menus (hidden), never 403."""
+    ingest.set_allow_hook(lambda actor, action: actor == "root")
+    try:
+        # unauthorized: hidden, not forbidden
+        status, _, payload = call(app, "GET", "/-/menu")
+        assert status == 200
+        menu = json.loads(payload)
+        assert menu["menu_links"] == []
+        assert all(v == [] for v in menu["database_actions"].values())
+
+        app.actor_from_scope = lambda scope: "root"
+        status, _, payload = call(app, "GET", "/-/menu")
+        menu = json.loads(payload)
+        assert menu["menu_links"] == [
+            {"href": "/-/upload-csvs", "label": "Upload CSVs"}
+        ]
+        [(db, actions)] = menu["database_actions"].items()
+        assert db == "default"
+        assert actions[0]["href"] == "/-/upload-csvs?database=default"
+        assert actions[0]["label"] == "Upload CSV"
+
+        # per-database gating: internal names never get entries, and
+        # actions for unlisted databases are empty
+        app.databases = ["analytics", "_internal"]
+        assert app.menu_links("root") == [
+            {"href": "/-/upload-csvs", "label": "Upload CSVs"}
+        ]
+        assert app.database_actions("root", "_internal") == []
+        assert app.database_actions("root", "nope") == []
+        assert app.database_actions("root", "analytics")[0]["href"] == (
+            "/-/upload-csvs?database=analytics"
+        )
+
+        # no mutable database at all (reference: only _memory/_internal
+        # present) -> no menu entry even when authorized
+        app.databases = ["_internal"]
+        assert app.menu_links("root") == []
+    finally:
+        ingest.set_allow_hook(None)
+        app.actor_from_scope = lambda scope: None
+        app.databases = []
