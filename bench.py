@@ -89,6 +89,11 @@ HEADLINE = [
     # paths keeps the interpreted-vs-Arrow gap visible per round
     "semdedup_prune_arrow",
     "kmeans_lloyd_step_arrow",
+    # round-8 multimodal tier: perceptual hashing over binary
+    # payloads (Arrow pass) and the binary near-dup pipeline
+    # (planted twins + generalized pigeonhole chunk join)
+    "multimodal_phash_fingerprints",
+    "multimodal_near_dup_pairs",
 ]
 
 
