@@ -110,6 +110,8 @@ _DRIVER_PRIORITY = [
     "semdedup_prune", "d4_prototype_prune",  # arrow-routed branch
     # new round-8 multimodal entries:
     "multimodal_phash_fingerprints", "multimodal_near_dup_pairs",
+    # new round-8 group consumers over exact-recall pigeonhole tiers:
+    "simhash_dup_groups", "multimodal_dup_groups",
 ]
 
 _DRIVER_CHECKED = frozenset({
@@ -1876,6 +1878,169 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# perceptual-hash oracle terms: dHash bit j (row r=j//8, col c=j%8)
+# compares stub pixels p[r*9+c] and p[r*9+c+1] (1-based in SQL lists);
+# aHash bit i is the integer-exact mean test 64*q[i] > Σq. Bit 63 is
+# the two's-complement add of -(2^63) — the SimHash convention, so
+# fingerprints are plain signed BIGINTs on both engines.
+_DHASH_TERMS = " + ".join(
+    f"(CASE WHEN p[{(j // 8) * 9 + (j % 8) + 1}] > "
+    f"p[{(j // 8) * 9 + (j % 8) + 2}] THEN {1 << j} ELSE 0 END)"
+    for j in range(63)
+) + f" + (CASE WHEN p[71] > p[72] THEN {-(1 << 63)} ELSE 0 END)"
+_AHASH_TERMS = " + ".join(
+    f"(CASE WHEN 64 * q[{i + 1}] > qs THEN {1 << i} ELSE 0 END)"
+    for i in range(63)
+) + f" + (CASE WHEN 64 * q[64] > qs THEN {-(1 << 63)} ELSE 0 END)"
+
+# the decode-stub pixel lists in SQL: pixel i = byte (i*stride mod n)
+# of the payload; payload is the utf-8 text and the fixture corpus is
+# ASCII (asserted cheap: ascii(char k) == byte k), so ascii(substr())
+# reproduces the byte-indexed stub exactly
+_DHASH_PX = """
+         list_transform(range(0, 72),
+           i -> ascii(substr(text,
+                CAST((i * 7919) % length(text) AS INTEGER) + 1, 1))) AS p
+"""
+_PHASH_PX = _DHASH_PX + """,
+         list_transform(range(0, 64),
+           i -> ascii(substr(text,
+                CAST((i * 104729) % length(text) AS INTEGER) + 1, 1))) AS q
+"""
+
+
+@q(
+    "simhash_dup_groups",
+    f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                        x -> x <> '')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id, md5_number_lower(tok) AS h FROM tok
+    ), s AS (
+      SELECT doc_id, {_SIMHASH_SUMS}
+      FROM h GROUP BY doc_id
+    ), fp AS (
+      SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash64 FROM s
+    ), good AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash64, b.simhash64)) <= 3
+    ), edges AS (
+      SELECT id_a AS v, id_b AS n FROM good
+      UNION
+      SELECT id_b AS v, id_a AS n FROM good
+    ), walk(v, c) AS (
+      SELECT v, v FROM (SELECT DISTINCT v FROM edges) t
+      UNION
+      SELECT e.v, w.c FROM edges e JOIN walk w ON w.v = e.n
+    ), comp AS (
+      SELECT v, MIN(c) AS component FROM walk GROUP BY v
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS group_id,
+           COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+    """,
+)
+def simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup GROUPS: connected components over the
+    portable-fingerprint pigeonhole pairs at Hamming ≤ 3 — the
+    distance where 4×16-bit bucketing is recall-EXACT (fewer
+    differing bits than chunks ⟹ ≥1 identical chunk), which is what
+    lets the oracle close over the ALL-PAIRS Hamming relation while
+    Spark only ever joins within chunk buckets. pair_mode="star": CC
+    needs only a connectivity-equivalent edge set, so exact-dup
+    fingerprint groups contribute K−1 edges, never C(K,2) (see
+    dedup_groups). group_id = min doc_id, singletons their own
+    group."""
+    from datasette_upload_csvs_spark.operators import graph
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_dup_pairs(
+        docs, max_hamming=3, portable=True, pair_mode="star"
+    ).select("id_a", "id_b")
+    cc = graph.connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(cc, F.col("doc_id") == F.col("vertex"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("group_id"),
+            (F.coalesce("component", "doc_id") == F.col("doc_id")).alias(
+                "is_canonical"
+            ),
+        )
+    )
+
+
+@q(
+    "multimodal_dup_groups",
+    f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id AS media_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 5 = 0
+    ), px AS (
+      SELECT media_id,
+{_DHASH_PX}
+      FROM base
+    ), fp AS (
+      SELECT media_id, CAST({_DHASH_TERMS} AS BIGINT) AS f FROM px
+    ), good AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b
+      FROM fp a JOIN fp b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.f, b.f)) <= 2
+    ), edges AS (
+      SELECT id_a AS v, id_b AS n FROM good
+      UNION
+      SELECT id_b AS v, id_a AS n FROM good
+    ), walk(v, c) AS (
+      SELECT v, v FROM (SELECT DISTINCT v FROM edges) t
+      UNION
+      SELECT e.v, w.c FROM edges e JOIN walk w ON w.v = e.n
+    ), comp AS (
+      SELECT v, MIN(c) AS component FROM walk GROUP BY v
+    )
+    SELECT b.media_id,
+           COALESCE(c.component, b.media_id) AS group_id,
+           COALESCE(c.component, b.media_id) = b.media_id AS is_canonical
+    FROM base b LEFT JOIN comp c ON b.media_id = c.v
+    """,
+)
+def multimodal_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload duplicate GROUPS: perceptual dHash → pigeonhole
+    pairs at Hamming ≤ 2 (recall-exact bucketing, so the all-pairs
+    SQL closure is a valid oracle) → connected components, over the
+    planted-twin corpus (every 5th payload duplicated) so each twin
+    lands in its base's group. The image-corpus form of dedup_groups;
+    pair_mode="star" keeps the edge set linear in dup mass."""
+    from datasette_upload_csvs_spark.operators import graph, multimodal
+
+    media = multimodal.fake_documents_media(load(spark, sf_dir, "documents"))
+    twins = media.filter(F.pmod("media_id", F.lit(5)) == 0).withColumn(
+        "media_id", F.col("media_id") + F.lit(10_000_000)
+    )
+    corpus = media.unionByName(twins)
+    fp = multimodal.perceptual_hashes(corpus).select("media_id", "dhash64")
+    pairs = dedup.fingerprint_hamming_pairs(
+        fp, "dhash64", "media_id", max_hamming=2, pair_mode="star"
+    ).select("id_a", "id_b")
+    cc = graph.connected_components(pairs)
+    return (
+        corpus.select("media_id")
+        .join(cc, F.col("media_id") == F.col("vertex"), "left")
+        .select(
+            "media_id",
+            F.coalesce("component", "media_id").alias("group_id"),
+            (F.coalesce("component", "media_id") == F.col("media_id")).alias(
+                "is_canonical"
+            ),
+        )
+    )
+
+
 @q(
     "dedup_embedding_cosine",
     """
@@ -2851,37 +3016,6 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("payload").cast("bigint").alias("n_bytes"),
         F.lower(F.hex(F.substring("payload", 1, 16))).alias("head_hex"),
     )
-
-
-# perceptual-hash oracle terms: dHash bit j (row r=j//8, col c=j%8)
-# compares stub pixels p[r*9+c] and p[r*9+c+1] (1-based in SQL lists);
-# aHash bit i is the integer-exact mean test 64*q[i] > Σq. Bit 63 is
-# the two's-complement add of -(2^63) — the SimHash convention, so
-# fingerprints are plain signed BIGINTs on both engines.
-_DHASH_TERMS = " + ".join(
-    f"(CASE WHEN p[{(j // 8) * 9 + (j % 8) + 1}] > "
-    f"p[{(j // 8) * 9 + (j % 8) + 2}] THEN {1 << j} ELSE 0 END)"
-    for j in range(63)
-) + f" + (CASE WHEN p[71] > p[72] THEN {-(1 << 63)} ELSE 0 END)"
-_AHASH_TERMS = " + ".join(
-    f"(CASE WHEN 64 * q[{i + 1}] > qs THEN {1 << i} ELSE 0 END)"
-    for i in range(63)
-) + f" + (CASE WHEN 64 * q[64] > qs THEN {-(1 << 63)} ELSE 0 END)"
-
-# the decode-stub pixel lists in SQL: pixel i = byte (i*stride mod n)
-# of the payload; payload is the utf-8 text and the fixture corpus is
-# ASCII (asserted cheap: ascii(char k) == byte k), so ascii(substr())
-# reproduces the byte-indexed stub exactly
-_DHASH_PX = """
-         list_transform(range(0, 72),
-           i -> ascii(substr(text,
-                CAST((i * 7919) % length(text) AS INTEGER) + 1, 1))) AS p
-"""
-_PHASH_PX = _DHASH_PX + """,
-         list_transform(range(0, 64),
-           i -> ascii(substr(text,
-                CAST((i * 104729) % length(text) AS INTEGER) + 1, 1))) AS q
-"""
 
 
 @q(
