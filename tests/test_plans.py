@@ -341,3 +341,36 @@ def test_exact_substr_windows_are_doc_keyed(spark, sf_dir):
     assert seq_windows and all("doc_id" in ln for ln in seq_windows), txt
     assert "partial_count" in txt or "partial" in txt.lower()
     assert set(plans.read_schema_columns(df)) <= {"doc_id", "text"}
+
+
+def test_multimodal_near_dup_no_cartesian(spark, sf_dir):
+    """The binary near-dup pipeline must candidate-join on the
+    pigeonhole (chunk, val) keys — a cartesian/nested-loop product
+    in the plan would mean the bucketing regressed to all-pairs."""
+    df = Q.multimodal_near_dup_pairs(spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_star_groups_no_clique_expansion(spark, sf_dir):
+    """The star-routed group consumers never build the blocked clique
+    expansion (its _start/blk slicing machinery), even when present:
+    connectivity comes from K-1 star edges. (At fixture dup mass the
+    gate is closed so neither path runs — the pin still catches a
+    routing regression that would inline the expansion operators.)"""
+    for fn in (Q.dedup_groups, Q.simhash_dup_groups, Q.multimodal_dup_groups):
+        df = fn(spark, sf_dir)
+        plan = plans.executed_plan(df)
+        assert "_start" not in plan, fn.__name__
+        spark.catalog.clearCache()
+
+
+def test_phash_fingerprints_single_scan(spark, sf_dir):
+    """Both perceptual hashes come from ONE Arrow pass over the
+    payload column: exactly one parquet scan of documents in the
+    plan, no shuffle at all (map-only)."""
+    df = Q.multimodal_phash_fingerprints(spark, sf_dir)
+    assert plans.shuffle_count(df) == 0
+    plan = plans.executed_plan(df)
+    assert plan.count("Scan parquet") == 1
