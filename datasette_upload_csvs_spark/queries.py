@@ -1894,9 +1894,12 @@ _AHASH_TERMS = " + ".join(
 ) + f" + (CASE WHEN 64 * q[64] > qs THEN {-(1 << 63)} ELSE 0 END)"
 
 # the decode-stub pixel lists in SQL: pixel i = byte (i*stride mod n)
-# of the payload; payload is the utf-8 text and the fixture corpus is
-# ASCII (asserted cheap: ascii(char k) == byte k), so ascii(substr())
-# reproduces the byte-indexed stub exactly
+# of the payload. The phash entries SANITIZE the text to printable
+# ASCII plus a '.' sentinel on BOTH engines before building the
+# payload (regexp_replace('[^ -~]') || '.'), so ascii(char k) == byte
+# k holds by construction — robust to any future non-ASCII fixture
+# corpus, and the sentinel keeps the modulo base nonzero for texts
+# that sanitize to empty
 _DHASH_PX = """
          list_transform(range(0, 72),
            i -> ascii(substr(text,
@@ -1979,9 +1982,13 @@ def simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_dup_groups",
     f"""
     WITH RECURSIVE base AS (
-      SELECT doc_id AS media_id, text FROM documents
+      SELECT doc_id AS media_id,
+             regexp_replace(text, '[^ -~]', '', 'g') || '.' AS text
+      FROM documents
       UNION ALL
-      SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 5 = 0
+      SELECT doc_id + 10000000,
+             regexp_replace(text, '[^ -~]', '', 'g') || '.'
+      FROM documents WHERE doc_id % 5 = 0
     ), px AS (
       SELECT media_id,
 {_DHASH_PX}
@@ -2018,7 +2025,7 @@ def multimodal_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_mode="star" keeps the edge set linear in dup mass."""
     from datasette_upload_csvs_spark.operators import graph, multimodal
 
-    media = multimodal.fake_documents_media(load(spark, sf_dir, "documents"))
+    media = _ascii_media(spark, sf_dir)
     twins = media.filter(F.pmod("media_id", F.lit(5)) == 0).withColumn(
         "media_id", F.col("media_id") + F.lit(10_000_000)
     )
@@ -3018,13 +3025,33 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ascii_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> fake media with the payload built from text
+    sanitized to printable ASCII plus a '.' sentinel — the exact
+    transform the phash oracles apply, so byte-indexed pixels equal
+    char-indexed ascii() on ANY corpus (and never modulo zero)."""
+    from datasette_upload_csvs_spark.operators import multimodal
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace("text", "[^ -~]", ""), F.lit(".")
+        ).alias("text"),
+    )
+    return multimodal.fake_documents_media(docs)
+
+
 @q(
     "multimodal_phash_fingerprints",
     f"""
-    WITH px AS (
+    WITH clean AS (
       SELECT doc_id AS media_id,
-{_PHASH_PX}
+             regexp_replace(text, '[^ -~]', '', 'g') || '.' AS text
       FROM documents
+    ), px AS (
+      SELECT media_id,
+{_PHASH_PX}
+      FROM clean
     ), s AS (
       SELECT media_id, p, q, list_sum(q) AS qs FROM px
     )
@@ -3047,7 +3074,7 @@ def multimodal_phash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame
     not just shaped."""
     from datasette_upload_csvs_spark.operators import multimodal
 
-    media = multimodal.fake_documents_media(load(spark, sf_dir, "documents"))
+    media = _ascii_media(spark, sf_dir)
     return multimodal.perceptual_hashes(media)
 
 
@@ -3055,9 +3082,13 @@ def multimodal_phash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame
     "multimodal_near_dup_pairs",
     f"""
     WITH base AS (
-      SELECT doc_id AS media_id, text FROM documents
+      SELECT doc_id AS media_id,
+             regexp_replace(text, '[^ -~]', '', 'g') || '.' AS text
+      FROM documents
       UNION ALL
-      SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 5 = 0
+      SELECT doc_id + 10000000,
+             regexp_replace(text, '[^ -~]', '', 'g') || '.'
+      FROM documents WHERE doc_id % 5 = 0
     ), px AS (
       SELECT media_id,
 {_DHASH_PX}
@@ -3085,7 +3116,7 @@ def multimodal_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasette_upload_csvs_spark.operators import dedup as _dedup
     from datasette_upload_csvs_spark.operators import multimodal
 
-    media = multimodal.fake_documents_media(load(spark, sf_dir, "documents"))
+    media = _ascii_media(spark, sf_dir)
     twins = media.filter(F.pmod("media_id", F.lit(5)) == 0).withColumn(
         "media_id", F.col("media_id") + F.lit(10_000_000)
     )
