@@ -112,6 +112,9 @@ _DRIVER_PRIORITY = [
     "multimodal_phash_fingerprints", "multimodal_near_dup_pairs",
     # new round-8 group consumers over exact-recall pigeonhole tiers:
     "simhash_dup_groups", "multimodal_dup_groups",
+    # ExactSubstr surgery: new removal entry + the spans entry
+    # re-queued (its pipeline factored into the shared helper):
+    "dedup_exact_substr_removed", "dedup_exact_substr_spans",
 ]
 
 _DRIVER_CHECKED = frozenset({
@@ -169,7 +172,7 @@ _DRIVER_CHECKED = frozenset({
     "curation_shuffle_order", "curation_strip_boilerplate",
     "daily_revenue_drawdown", "date_format_funcs", "date_funcs",
     "decontaminate_exact_ngram", 
-    "dedup_exact_ranks", "dedup_exact_substr_spans", "dedup_ngram_coverage", "disjunctive_filter_join", "distinct_status_priority", "doc_keywords",
+    "dedup_exact_ranks", "dedup_ngram_coverage", "disjunctive_filter_join", "distinct_status_priority", "doc_keywords",
     
     "embedding_centroid_distance", "embedding_quantize_int8",
     "event_type_transition_matrix", "events_anomaly_mad_daily",
@@ -9375,10 +9378,7 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "dedup_exact_substr_spans",
-    f"""
-    WITH toks AS (
+_SUBSTR_SPAN_CTES = f"""toks AS (
       SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
                                  x -> x <> '') AS t
       FROM documents
@@ -9400,37 +9400,19 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
                             ROWS UNBOUNDED PRECEDING) AS grp
       FROM flagged
-    )
-    SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
-           CAST(MAX(i) + 16 - MIN(i) AS BIGINT) AS span_len
-    FROM grouped
-    GROUP BY doc_id, grp
-    """,
-)
-def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ExactSubstr span extraction (Lee et al. '22 §4.1): the actual
-    REMOVAL artifact — for every document, the maximal token spans
-    covered by some 16-token window that occurs ≥2 times anywhere in
-    the corpus (their threshold is 50 tokens over a suffix array;
-    16 suits the short synthetic docs, same semantics at window
-    granularity). dedup_ngram_coverage reports the per-doc duplicated
-    FRACTION; this query emits the (span_start, span_len) cut list a
-    pipeline feeds to the actual text surgery.
+    ), spans AS (
+      SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+             CAST(MAX(i) + 16 - MIN(i) AS BIGINT) AS span_len
+      FROM grouped
+      GROUP BY doc_id, grp
+    )"""
 
-    Spark-shaped suffix-array substitute: hash every k-token window
-    (multi-arg xxhash64 straight from the 16 token slots — the
-    _shingle_hashes convention; the window STRING is never
-    materialized and the hash never crosses engines, the oracle only
-    has to agree on window EQUALITY), count window-hash occurrences
-    (ONE corpus shuffle with map-side partial aggregation), semi-join
-    the ≥2 hashes back (1 row per key on the build side — a hot
-    boilerplate window skews nothing, AQE splits the probe), then
-    merge overlapping duplicated windows into maximal spans with the
-    gap-≤15 islands trick: two per-doc-keyed windows (lag → running
-    sum of breaks) and a final (doc, island) aggregate. Per-doc
-    windows partition on doc_id — millions of small partitions, no
-    giant-key skew."""
-    d = load(spark, sf_dir, "documents")
+
+def _exact_substr_span_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, span_start, span_len): the maximal duplicated-window
+    token spans — shared by the span-list entry and the removal
+    transform (see dedup_exact_substr_spans for the full design
+    rationale)."""
     # 1:1 explode(array(tokens)) generator boundary: materialize the
     # token array once per row, or CollapseProject inlines the
     # tokenizer split into all 16 F.get slots per window
@@ -9473,6 +9455,110 @@ def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("i").alias("span_start"),
         (F.max("i") + 16 - F.min("i")).alias("span_len"),
     ).select("doc_id", "span_start", "span_len")
+
+
+@q(
+    "dedup_exact_substr_spans",
+    "WITH " + _SUBSTR_SPAN_CTES + """
+    SELECT doc_id, span_start, span_len FROM spans
+    """,
+)
+def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span extraction (Lee et al. '22 §4.1): the actual
+    REMOVAL artifact — for every document, the maximal token spans
+    covered by some 16-token window that occurs ≥2 times anywhere in
+    the corpus (their threshold is 50 tokens over a suffix array;
+    16 suits the short synthetic docs, same semantics at window
+    granularity). dedup_ngram_coverage reports the per-doc duplicated
+    FRACTION; this query emits the (span_start, span_len) cut list a
+    pipeline feeds to the actual text surgery.
+
+    Spark-shaped suffix-array substitute: hash every k-token window
+    (multi-arg xxhash64 straight from the 16 token slots — the
+    _shingle_hashes convention; the window STRING is never
+    materialized and the hash never crosses engines, the oracle only
+    has to agree on window EQUALITY), count window-hash occurrences
+    (ONE corpus shuffle with map-side partial aggregation), semi-join
+    the ≥2 hashes back (1 row per key on the build side — a hot
+    boilerplate window skews nothing, AQE splits the probe), then
+    merge overlapping duplicated windows into maximal spans with the
+    gap-≤15 islands trick: two per-doc-keyed windows (lag → running
+    sum of breaks) and a final (doc, island) aggregate. Per-doc
+    windows partition on doc_id — millions of small partitions, no
+    giant-key skew."""
+    return _exact_substr_span_frame(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_exact_substr_removed",
+    "WITH " + _SUBSTR_SPAN_CTES + """
+    , sp AS (
+      SELECT doc_id,
+             list({'s': span_start, 'l': span_len}) AS spans
+      FROM spans GROUP BY doc_id
+    ), kx AS (
+      SELECT toks.doc_id, t, spans,
+             list_filter(range(1, len(t) + 1),
+               i -> spans IS NULL OR len(list_filter(spans,
+                      x -> x.s <= i AND i < x.s + x.l)) = 0) AS kept
+      FROM toks LEFT JOIN sp USING (doc_id)
+    )
+    SELECT doc_id,
+           -- array_to_string([]) is NULL in DuckDB; Spark's
+           -- concat_ws over an empty array is '' — fully-removed
+           -- docs must agree
+           COALESCE(array_to_string(list_transform(kept, i -> t[i]), ' '),
+                    '') AS clean_text,
+           CAST(len(t) - len(kept) AS BIGINT) AS n_tokens_removed
+    FROM kx
+    """,
+)
+def dedup_exact_substr_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (Lee et al. '22 §4.1, the actual surgery):
+    every token covered by a duplicated-window span (the cut list
+    dedup_exact_substr_spans emits) is dropped and the remaining
+    tokens reassembled — the cleaned corpus a dedup pipeline
+    actually trains on, with the per-doc removed-token count as the
+    audit column.
+
+    Scale shape: the span pipeline is the shared helper (one corpus
+    window shuffle + per-doc-keyed islands); the surgery itself is a
+    LEFT join of docs to their per-doc span LIST (spans per doc are
+    few — merged maximal islands, not raw windows) and a map-side
+    higher-order filter over token indices: exists(spans, covers(i))
+    per token, no extra shuffle beyond the per-doc span collect. The
+    token array materializes once per row behind the generator
+    barrier (the CollapseProject re-tokenization trap)."""
+    docs = load(spark, sf_dir, "documents")
+    spans = _exact_substr_span_frame(docs)
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_len").alias("l")
+            )
+        ).alias("spans")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.array(_text_tokens(F.col("text")))).alias("_t")
+    )
+    t = F.col("_t")
+    joined = toks.join(sp, "doc_id", "left")
+    idx = F.when(F.size(t) >= 1, F.sequence(F.lit(1), F.size(t))).otherwise(
+        F.array().cast("array<int>")
+    )
+    covers = lambda i: F.exists(  # noqa: E731
+        F.col("spans"),
+        lambda x: (x["s"] <= i) & (i.cast("bigint") < x["s"] + x["l"]),
+    )
+    kept = F.filter(idx, lambda i: F.col("spans").isNull() | ~covers(i))
+    return joined.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform(kept, lambda i: F.element_at(t, i))
+        ).alias("clean_text"),
+        (F.size(t) - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
+    )
+
 
 
 @q(
