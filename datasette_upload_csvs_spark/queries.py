@@ -115,6 +115,8 @@ _DRIVER_PRIORITY = [
     # ExactSubstr surgery: new removal entry + the spans entry
     # re-queued (its pipeline factored into the shared helper):
     "dedup_exact_substr_removed", "dedup_exact_substr_spans",
+    # OPH behavioral-gate entry (new):
+    "minhash_oph_agreement",
 ]
 
 _DRIVER_CHECKED = frozenset({
@@ -1688,6 +1690,105 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"),
         threshold=0.7,
         exact_floor_max_df=_FLOOR_MAX_DF,
+    )
+
+
+@q(
+    "minhash_oph_agreement",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS all_slots_dense,
+           TRUE AS exact_dup_identical,
+           TRUE AS neardup_agreement_ok
+    FROM documents
+    """,
+)
+def minhash_oph_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry for one-permutation MinHash (dedup.oph_signatures —
+    the |shingles|×k → |shingles| arithmetic cut that wins at 100 TB,
+    see its docstring). Signature VALUES are engine-internal hashes
+    (never cross engines), so the oracle pins behavioral invariants
+    instead, each deterministic on the fixed corpus:
+
+    - all_slots_dense: rotation densification leaves no null slot in
+      any of the 128 bins, including docs with fewer shingles than
+      bins;
+    - exact_dup_identical: planted exact-duplicate pairs (identical
+      shingle sets) agree on ALL 128 slots — the property banding
+      relies on;
+    - neardup_agreement_ok: planted one-token-edit twins agree on
+      ≥ 60 % of slots — E[agreement] ≈ j per non-empty bin. The edit
+      changes 3 of (t−2) shingles, so j = (t−5)/(t+1): twins are
+      planted only on docs with ≥ 24 tokens (j ≥ 0.76), leaving a
+      wide margin over the 0.6 floor under any corpus regeneration;
+      a shorter doc's single whole-doc shingle would make j ≈ 0 and
+      the gate would measure the corpus, not OPH. Vacuously true if
+      no doc qualifies."""
+    base = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = base.filter(F.pmod("doc_id", F.lit(10)) == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    near = (
+        base.filter(F.pmod("doc_id", F.lit(10)) == 5)
+        .filter(F.size(_text_tokens(F.col("text"))) >= 24)
+        .select(
+            (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+            F.regexp_replace("text", r"^\S+", "zzqqx").alias("text"),
+        )
+    )
+    corpus = base.unionByName(exact).unionByName(near)
+    from datasette_upload_csvs_spark.operators.dedup import (
+        _hash_shingle_frame,
+        oph_signatures,
+    )
+
+    sets = _hash_shingle_frame(corpus, "text", "doc_id", 3)
+    sig = oph_signatures(sets).persist()
+    n_null = sig.filter(
+        F.exists("signature", lambda x: x.isNull())
+        | (F.size("signature") != 128)
+    ).count()
+    agree = F.aggregate(
+        F.zip_with(
+            "sa", "sb", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+    def _pair_min_agree(offset: int) -> int:
+        pa = sig.select(
+            F.col("doc_id").alias("id_b"), F.col("signature").alias("sb")
+        ).filter(F.col("id_b") >= offset).filter(F.col("id_b") < offset + 10_000_000)
+        pb = sig.select(
+            (F.col("doc_id") + offset).alias("id_b"),
+            F.col("signature").alias("sa"),
+        )
+        row = (
+            pa.join(pb, "id_b")
+            .select(agree.alias("n_agree"))
+            .agg(F.min("n_agree"))
+            .first()
+        )
+        return row[0]
+
+    min_exact = _pair_min_agree(10_000_000)
+    min_near = _pair_min_agree(20_000_000)
+    n_docs = base.count()
+    sig.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                n_null == 0,
+                min_exact == 128,
+                # 0.6 * 128 = 77, wide margin below E[j·128] at the
+                # ≥24-token plant; vacuously true if no doc qualifies
+                min_near is None or min_near >= 77,
+            )
+        ],
+        "n_docs bigint, all_slots_dense boolean, "
+        "exact_dup_identical boolean, neardup_agreement_ok boolean",
     )
 
 
