@@ -93,6 +93,25 @@ def test_query_matches_oracle(name, spark, sf_dir):
     )
 
 
+from datasette_upload_csvs_spark.queries import _DRIVER_PRIORITY
+
+_SF001 = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize("name", sorted(set(_DRIVER_PRIORITY) & set(QUERIES)))
+def test_priority_entries_match_oracle_at_sf001(name, spark):
+    """Second-SF sweep for the CHANGED entries (the driver-priority
+    set): the driver checks at sf0.01, while the full local sweep
+    defaults to sf0.001 — a corpus-shape-dependent bug can pass the
+    small fixture and fail the driver (round 8: a one-token-edit
+    plant on a ≤5-token doc destroyed its single whole-doc shingle,
+    green at sf0.001, red at sf0.01). Every entry whose code changed
+    this round is verified at BOTH scale factors before the driver
+    sees it."""
+    test_query_matches_oracle(name, spark, _SF001)
+    spark.catalog.clearCache()
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
