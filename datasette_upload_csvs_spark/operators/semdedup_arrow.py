@@ -145,6 +145,189 @@ def anchor_assignment_arrow(
     return emb.select(id_col, vec_col).mapInPandas(assign, schema)
 
 
+def anchor_assignment_two_level(
+    emb: DataFrame,
+    k: int | None = None,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, cluster_id, c2c, v) — two-level nearest-anchor
+    assignment with NO driver-side anchor matrix at any k (the
+    round-8 verdict's suggested shape past the chunked-broadcast
+    ceiling): ⌈√k⌉ COARSE anchors route vectors to cells, and the k
+    FINE anchors live in a distributed cell table joined by cell id.
+
+    Stages (all sizes bounded independently of k·dim):
+      1. coarse matrix = the ⌈√k⌉ smallest-id vectors — the only
+         collected object, √k×dim (2 MB at k=10⁵, dim 768);
+      2. fine-anchor routing: one Arrow pass over the k anchors
+         assigns each to its nearest coarse cell; cells are grouped
+         (coarse_id → [fine anchors]), ~√k anchors per cell;
+      3. every vector probes its n_probe nearest coarse cells
+         (map-only against the tiny coarse broadcast), then a
+         COGROUP on coarse_id meets each cell's probing vectors with
+         that cell's fine-anchor block — one matmul per cell batch —
+         and a final per-vector max (cos desc, anchor_id asc)
+         reduces across probes. Shuffle = n·n_probe vector rows plus
+         the anchors once; never an n×k broadcast.
+
+    APPROXIMATE by construction: a vector whose true nearest fine
+    anchor lives outside its n_probe coarse cells is misassigned —
+    the standard IVF trade. With n_probe = #coarse cells the probe
+    set is total and the assignment is BIT-IDENTICAL to
+    anchor_assignment_arrow (same dots, same tie-breaks) — pinned by
+    tests; production picks n_probe ≪ √k. Known limit: one cogroup
+    cell's probe batch materializes in executor memory — a severely
+    skewed coarse cell wants a finer coarse level, the same knob IVF
+    turns."""
+    import numpy as np
+
+    if k is None:
+        n = emb.count()
+        k = max(32, int(np.ceil(np.sqrt(n))))
+    ck = max(4, int(np.ceil(np.sqrt(k))))
+    n_probe = min(n_probe, ck)
+    sc = emb.sparkSession.sparkContext
+    crows = emb.filter(F.col(id_col) < ck).select(id_col, vec_col).collect()
+    crows.sort(key=lambda r: r[0])
+    cids = np.array([r[0] for r in crows], dtype=np.int64)
+    cmat = np.array([list(r[1]) for r in crows], dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    bc = sc.broadcast((cids, cmat))
+
+    route_schema = StructType(
+        [
+            StructField("anchor_id", LongType()),
+            StructField("coarse_id", LongType()),
+            StructField("av", ArrayType(DoubleType())),
+        ]
+    )
+
+    def route(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        aids, amat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sims = vn @ amat.T
+            best = sims.argmax(axis=1)  # first max = lowest coarse id
+            yield pd.DataFrame(
+                {
+                    "anchor_id": pdf[id_col].values,
+                    "coarse_id": aids[best],
+                    "av": list(vn),  # pre-normalized: cell matmul is the cosine
+                }
+            )
+
+    cells = (
+        emb.filter(F.col(id_col) < k)
+        .select(id_col, vec_col)
+        .mapInPandas(route, route_schema)
+    )
+
+    probe_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("coarse_id", LongType()),
+            StructField("v", ArrayType(DoubleType())),
+        ]
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        aids, amat = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sims = vn @ amat.T
+            # top-n_probe coarse cells, ties to the lower coarse id
+            order = np.lexsort(
+                (np.broadcast_to(aids, sims.shape), -sims), axis=1
+            )[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].values, n_probe),
+                    "coarse_id": aids[order].reshape(-1),
+                    "v": [
+                        row
+                        for row in [list(x) for x in v]
+                        for _ in range(n_probe)
+                    ],
+                }
+            )
+
+    probes = emb.select(id_col, vec_col).mapInPandas(probe, probe_schema)
+
+    cell_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cluster_id", LongType()),
+            StructField("c2c", DoubleType()),
+            StructField("v", ArrayType(DoubleType())),
+        ]
+    )
+
+    def best_in_cell(pl: pd.DataFrame, pr: pd.DataFrame) -> pd.DataFrame:
+        if len(pl) == 0 or len(pr) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series(dtype="int64"),
+                    "cluster_id": pd.Series(dtype="int64"),
+                    "c2c": pd.Series(dtype="float64"),
+                    "v": pd.Series(dtype=object),
+                }
+            )
+        amat = np.array(list(pr["av"]), dtype=np.float64)
+        aids = pr["anchor_id"].values.astype(np.int64)
+        o = np.argsort(aids)  # aid-ascending so argmax first-max = lowest
+        aids, amat = aids[o], amat[o]
+        v = np.array(list(pl["v"]), dtype=np.float64)
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        sims = vn @ amat.T
+        bi = sims.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: pl[id_col].values,
+                "cluster_id": aids[bi],
+                "c2c": sims[np.arange(len(bi)), bi],
+                "v": list(pl["v"]),
+            }
+        )
+
+    per_cell = (
+        probes.groupBy("coarse_id")
+        .cogroup(cells.groupBy("coarse_id"))
+        .applyInPandas(
+            lambda left, right: best_in_cell(left, right), cell_schema
+        )
+    )
+    # global reduce across the n_probe cells: max cos, tie → lowest
+    # anchor id (struct comparison is lexicographic; -cluster_id
+    # inverts the id order so the struct MAX picks the smallest id)
+    best = (
+        per_cell.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("c2c").alias("c"),
+                    (-F.col("cluster_id")).alias("na"),
+                    F.col("v").alias("v"),
+                )
+            ).alias("m")
+        )
+        .select(
+            id_col,
+            (-F.col("m.na")).alias("cluster_id"),
+            F.col("m.c").alias("c2c"),
+            F.col("m.v").alias("v"),
+        )
+    )
+    return best
+
+
 def semdedup_prune_arrow(
     emb: DataFrame,
     threshold: float = 0.4,

@@ -93,3 +93,52 @@ def test_chunked_anchor_broadcast_bit_identical(spark, sf_dir):
         )
     )
     assert pr_one == pr_many
+
+
+def test_two_level_full_probe_bit_identical(spark, sf_dir):
+    # with n_probe = #coarse cells the probe set is total, so the
+    # two-level assignment must be BIT-IDENTICAL to the single-level
+    # argmax (same dots, same tie-breaks) — the exactness anchor the
+    # approximate n_probe<ck mode degrades from
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    k = max(32, int(np.ceil(np.sqrt(n))))
+    ck = max(4, int(np.ceil(np.sqrt(k))))
+    exact = {
+        r["vec_id"]: (r["cluster_id"], r["c2c"])
+        for r in semdedup_arrow.anchor_assignment_arrow(emb, k=k).collect()
+    }
+    two = {
+        r["vec_id"]: (r["cluster_id"], r["c2c"])
+        for r in semdedup_arrow.anchor_assignment_two_level(
+            emb, k=k, n_probe=ck
+        ).collect()
+    }
+    assert exact == two
+
+
+def test_two_level_low_probe_beats_blind_probing(spark, sf_dir):
+    # the production regime (n_probe=2 of ~6 cells): agreement with
+    # the exact argmax must clearly beat the blind-probe baseline
+    # (n_probe/ck = fraction of anchors even visible ≈ 0.33). The
+    # fixture embeddings are near-random — the HARDEST routing regime
+    # (cf. embedding_anchor_block_pairs' recall discussion) — so the
+    # measured 0.59 is the data's ceiling shaping the bar, not the
+    # operator's; clustered production embeddings route far better,
+    # and the full-probe test above pins exactness.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        r["vec_id"]: r["cluster_id"]
+        for r in semdedup_arrow.anchor_assignment_arrow(emb).collect()
+    }
+    two = {
+        r["vec_id"]: r["cluster_id"]
+        for r in semdedup_arrow.anchor_assignment_two_level(
+            emb, n_probe=2
+        ).collect()
+    }
+    assert set(exact) == set(two)
+    agree = sum(exact[i] == two[i] for i in exact) / len(exact)
+    assert agree >= 0.5, agree
