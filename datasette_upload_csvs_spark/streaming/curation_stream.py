@@ -71,6 +71,7 @@ def annotate_stream(
     schema: str,
     annotations_table: str,
     checkpoint_dir: str | None = None,
+    compact_every: int | None = None,
 ) -> int:
     """Drain a parquet stream of (doc_id, text) into the annotations
     table via foreachBatch + Trigger.AvailableNow. Returns the number
@@ -83,6 +84,17 @@ def annotate_stream(
     def sink(batch: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
         n_batches += 1
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            # fold closed epochs into BASE — bounded partitions under
+            # unbounded streams; replay-safe inside the sink (see
+            # maintain_embedding_ann_stream)
+            from datasette_upload_csvs_spark.streaming.epoch_write import (
+                compact_state_table,
+            )
+
+            compact_state_table(
+                spark, annotations_table, before_epoch=batch_id
+            )
         _write_batch(
             annotate(batch).withColumn("_batch_id", F.lit(batch_id)),
             annotations_table,

@@ -110,17 +110,30 @@ def assign_splits_stream(
     checkpoint_dir: str | None = None,
     threshold: float = 0.7,
     max_df: int = 20,
+    compact_every: int | None = None,
 ) -> int:
     """Drain a parquet stream of (doc_id, text) into frozen split
     labels + the maintained index via foreachBatch +
     Trigger.AvailableNow. Returns the number of micro-batches.
     Restarting with the same checkpoint resumes from stored offsets;
-    replayed epochs rewrite their own partitions identically."""
+    replayed epochs rewrite their own partitions identically.
+
+    `compact_every=N` folds the splits table's closed epochs into its
+    BASE partition every N epochs (epoch_write.compact_state_table) —
+    same replay-safety argument as maintain_embedding_ann_stream. The
+    shingle index keeps its own append/commit-marker layout and is
+    not epoch-partitioned, so it needs no fold."""
+    from datasette_upload_csvs_spark.streaming.epoch_write import (
+        compact_state_table,
+    )
+
     n_batches = 0
 
     def sink(batch: DataFrame, batch_id: int) -> None:
         nonlocal n_batches
         n_batches += 1
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_state_table(spark, splits_table, before_epoch=batch_id)
         assign_batch(
             spark, index, splits_table, batch, batch_id,
             threshold=threshold, max_df=max_df,

@@ -89,3 +89,26 @@ def test_replayed_batch_does_not_duplicate(spark, sf_dir):
     _write_batch(out2, "curation_ann_replay")
     assert spark.table("curation_ann_replay").count() == 80
     spark.sql("DROP TABLE IF EXISTS curation_ann_replay")
+
+
+def test_stream_annotations_with_compaction(spark, sf_dir, tmp_path):
+    # compact_every=2 over 4 arrivals: content identical to the batch
+    # run, partition count bounded at base + epochs-since-last-fold
+    from datasette_upload_csvs_spark.streaming.epoch_write import BASE_EPOCH
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = _stage_arrivals(docs, tmp_path, parts=4)
+    spark.sql("DROP TABLE IF EXISTS curation_ann_c")
+    n = annotate_stream(
+        spark, src, SCHEMA, "curation_ann_c", compact_every=2
+    )
+    assert n == 4
+    ann = spark.table("curation_ann_c")
+    got = {tuple(r) for r in ann.drop("_batch_id").collect()}
+    want = {tuple(r) for r in annotate(docs).collect()}
+    assert got == want and ann.count() == docs.count()
+    parts = sorted(
+        r["_batch_id"] for r in ann.select("_batch_id").distinct().collect()
+    )
+    assert parts[0] == BASE_EPOCH and len(parts) <= 3, parts
+    spark.sql("DROP TABLE IF EXISTS curation_ann_c")
