@@ -374,3 +374,20 @@ def test_phash_fingerprints_single_scan(spark, sf_dir):
     assert plans.shuffle_count(df) == 0
     plan = plans.executed_plan(df)
     assert plan.count("Scan parquet") == 1
+
+
+import pytest as _pytest
+
+from datasette_upload_csvs_spark.queries import _DRIVER_PRIORITY as _PRIO
+
+
+@_pytest.mark.parametrize("name", sorted(set(_PRIO) & set(Q.queries())))
+def test_changed_entries_never_cartesian(name, spark, sf_dir):
+    """Per-commit form of plan_audit.py for the entries whose code
+    changed this round: none may compile to a CartesianProduct (the
+    unbroadcast all-pairs failure). BroadcastNestedLoopJoin is allowed
+    — bounded-broadcast cross joins are intentional (see
+    plan_audit.py's baseline)."""
+    df = Q.queries()[name](spark, sf_dir)
+    assert "CartesianProduct" not in plans.executed_plan(df), name
+    spark.catalog.clearCache()
