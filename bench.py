@@ -94,6 +94,11 @@ HEADLINE = [
     # (planted twins + generalized pigeonhole chunk join)
     "multimodal_phash_fingerprints",
     "multimodal_near_dup_pairs",
+    # round-8 heavy additions: ExactSubstr surgery (two window
+    # shuffles + per-doc span join) and CC over the portable-SimHash
+    # pigeonhole tier
+    "dedup_exact_substr_removed",
+    "simhash_dup_groups",
 ]
 
 
