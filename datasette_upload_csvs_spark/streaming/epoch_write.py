@@ -116,7 +116,16 @@ def compact_state_table(
     Streaming's single-inflight-epoch contract, `current_epoch` is
     always safe. `target_files` coalesces the folded history so the
     base partition is few large files, not the sum of every epoch's
-    small ones (the other half of the small-file failure)."""
+    small ones (the other half of the small-file failure).
+
+    Cost model: each fold rewrites the base once — O(history) — and
+    the merge transits the (spillable, MEMORY_AND_DISK) block manager
+    via localCheckpoint, because Spark's self-insert check is
+    table-level and would otherwise refuse the read-and-overwrite.
+    Pick compact_every so the amortized O(history/N) per epoch is
+    acceptable; at very large state, tier the folds (generational
+    bases) the way LSM stores do — the staging/promote protocol here
+    generalizes unchanged."""
     if not spark.catalog.tableExists(table):
         return 0
     stg = _staging_id(before_epoch)
