@@ -117,6 +117,8 @@ _DRIVER_PRIORITY = [
     "dedup_exact_substr_removed", "dedup_exact_substr_spans",
     # OPH behavioral-gate entry (new):
     "minhash_oph_agreement",
+    # skew-mitigation tier surfaced (new):
+    "skew_salted_distinct_parts", "skew_salted_join_priority_revenue",
 ]
 
 _DRIVER_CHECKED = frozenset({
@@ -780,6 +782,67 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count("*").alias("n_rows"),
+    )
+
+
+@q(
+    "skew_salted_distinct_parts",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+             AS n_distinct_l_partkey
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per key on the SALTED two-phase path
+    (operators/skew.salted_count_distinct): (key, value) dedup
+    sharded by value-hash salt so one hot key's distinct-set build
+    spreads over 16 reducers, then shard counts sum exactly (shards
+    partition the value space). The oracle is the plain
+    COUNT(DISTINCT) — salting changes only the shuffle distribution,
+    never the answer, and this entry pins that equality at the
+    driver, not just in unit tests. The skew knob AQE does NOT cover:
+    skewed AGGREGATION state, vs AQE's skewed-join splits."""
+    from datasette_upload_csvs_spark.operators import skew
+
+    return skew.salted_count_distinct(
+        load(spark, sf_dir, "lineitem"), "l_returnflag", "l_partkey", salt=16
+    )
+
+
+@q(
+    "skew_salted_join_priority_revenue",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def skew_salted_join_priority_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inner equi-join on the SALTED path (operators/skew.salted_join):
+    left rows take a deterministic salt in [0, 8), the right side
+    replicates 8×, and the join key becomes (key, salt) — one hot
+    orderkey's rows land on 8 reducers instead of one. For when the
+    build side is too big to broadcast and AQE's skew split is
+    unavailable (shuffled-hash strategy). The oracle is the PLAIN
+    join + aggregate: salting is distribution-only, the row multiset
+    is identical — pinned at the driver over decimal-exact sums."""
+    from datasette_upload_csvs_spark.operators import skew
+
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = skew.salted_join(l, o, "l_orderkey", "o_orderkey", salt=8)
+    return j.groupBy("o_orderpriority").agg(
+        _dsum(F.col("l_extendedprice"), "revenue", 4),
+        F.count("*").alias("n_items"),
     )
 
 
