@@ -22,8 +22,14 @@ NAME_MAP_TABLE = "_csv_name_map_"
 
 def derive_table_name(filename: str) -> str:
     """Filename minus one trailing '.csv' (case-insensitive), as the
-    reference does (__init__.py:118-122): 'x.csv.csv' → 'x.csv'."""
-    if filename.lower().endswith(".csv"):
+    reference does (__init__.py:118-122): 'x.csv.csv' → 'x.csv'.
+    Compressed uploads additionally shed one '.csv.gz' — 'x.csv.gz'
+    → 'x', matching what the '.csv' rule gives their uncompressed
+    twins."""
+    low = filename.lower()
+    if low.endswith(".csv.gz"):
+        return filename[:-7]
+    if low.endswith(".csv"):
         return filename[:-4]
     return filename
 

@@ -548,6 +548,37 @@ def _utcnow_str() -> str:
     return str(datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None))
 
 
+def _gzip_alias(path: str) -> tuple[str, str | None]:
+    """(effective_path, alias_or_None): when `path` is a gzip stream
+    (magic 1f 8b) WITHOUT a '.gz' suffix — a compressed CSV arriving
+    through the web spool, whose temp name carries no extension —
+    hard-link it to path+'.csv.gz' so Spark's extension-driven
+    decompression codec and the driver-side sniff both see the same
+    decoded stream. The alias is removed by the caller after the
+    ingest materializes (a hard link: removing either name leaves the
+    other's inode intact). Falls back to a copy on filesystems
+    without hard links. Extensionless NON-gzip files pass through
+    untouched."""
+    if os.path.isdir(path) or path.endswith(".gz"):
+        return path, None
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(2)
+    except OSError:
+        return path, None
+    if magic != b"\x1f\x8b":
+        return path, None
+    alias = path + ".csv.gz"
+    if not os.path.exists(alias):
+        try:
+            os.link(path, alias)
+        except OSError:
+            import shutil
+
+            shutil.copyfile(path, alias)
+    return alias, alias
+
+
 def upload_csv(
     spark: SparkSession,
     path: str,
@@ -578,6 +609,11 @@ def upload_csv(
     logical = table if table is not None else cat.derive_table_name(os.path.basename(path))
     db = database
     started = _utcnow_str()
+    # gzip uploads arrive extension-less from the web spool; Spark's
+    # CSV codec and the driver-side sniff are both extension-driven,
+    # so a magic-byte gzip without '.gz' is aliased (hard link) to a
+    # '.csv.gz' path for the duration of the ingest
+    path, gz_alias = _gzip_alias(path)
     try:
         if os.path.isdir(path):
             bytes_todo = sum(
@@ -727,6 +763,15 @@ def upload_csv(
             bytes_todo=bytes_todo,
             error=str(ex),
         )
+    finally:
+        # the ingest has fully materialized (or failed) by now —
+        # drop the extension alias; the caller's original spool file
+        # is untouched (hard link) and stays the caller's to clean
+        if gz_alias:
+            try:
+                os.unlink(gz_alias)
+            except OSError:
+                pass
 
 
 def append_csv(

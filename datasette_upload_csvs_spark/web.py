@@ -599,7 +599,11 @@ class UploadApp:
             "value"
         ) or b""
         table = table.decode() or (
-            filename[:-4] if filename.endswith(".csv") else filename
+            filename[:-7]
+            if filename.endswith(".csv.gz")
+            else filename[:-4]
+            if filename.endswith(".csv")
+            else filename
         )
         database = (
             (fields.get("database") or {}).get("value") or b""
