@@ -1078,16 +1078,26 @@ def fingerprint_hamming_pairs(
     max_hamming: int = 3,
     collapse_exact: bool = True,
     pair_mode: str = "clique",
+    n_chunks: int = 4,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs within Hamming distance of a
     64-bit fingerprint column — the SimHash pigeonhole chunk join
     exposed for ANY fingerprint source (SimHash, perceptual image
     hashes, rolling content hashes). Same bucketing, collapse gate,
-    and pair_mode contract as simhash_near_dup_pairs; recall is
-    exact for max_hamming ≤ 3 (4 chunks of 16 bits: fewer differing
-    bits than chunks pigeonholes ≥1 identical chunk)."""
+    and pair_mode contract as simhash_near_dup_pairs.
+
+    `n_chunks` is the recall/selectivity dial: c chunks of 64/c bits
+    pigeonhole ≥1 identical chunk whenever hamming < c, so recall is
+    EXACT for max_hamming ≤ c−1. The price of more chunks is shorter
+    bucket keys (64/c bits → denser buckets → more candidate pairs
+    per bucket): 4×16 suits hamming ≤ 3 (SimHash near-dup); 8×8
+    covers the hamming ≤ 7 thresholds perceptual-hash practice uses;
+    16×4-bit keys are usually too dense to be selective. Must divide
+    64."""
     if pair_mode not in ("clique", "star"):
         raise ValueError(f"pair_mode must be 'clique' or 'star', got {pair_mode!r}")
+    if n_chunks not in (2, 4, 8, 16):
+        raise ValueError(f"n_chunks must be one of 2/4/8/16, got {n_chunks}")
     out = _fp_near_dup_pairs(
         fp.select(F.col(id_col), F.col(fp_col).alias("simhash64")),
         "simhash64",
@@ -1095,6 +1105,7 @@ def fingerprint_hamming_pairs(
         max_hamming,
         collapse_exact,
         pair_mode,
+        n_chunks,
     )
     return out
 
@@ -1106,6 +1117,7 @@ def _fp_near_dup_pairs(
     max_hamming: int,
     collapse_exact: bool,
     pair_mode: str,
+    n_chunks: int = 4,
 ) -> DataFrame:
     members = None
     if collapse_exact:
@@ -1130,6 +1142,8 @@ def _fp_near_dup_pairs(
             )
         else:
             groups.unpersist()
+    bits = 64 // n_chunks
+    mask = (1 << bits) - 1
     chunks = fp.select(
         F.col(id_col),
         F.col("simhash64"),
@@ -1138,11 +1152,11 @@ def _fp_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash64"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash64"), bits * i)
+                        .bitwiseAND(F.lit(mask))
                         .alias("val"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("cc"),

@@ -67,3 +67,52 @@ def test_pigeonhole_finds_all_planted_twins(spark, sf_dir):
     found = twin_pairs.collect()
     assert len(found) == n_twins
     assert all(r["hamming"] == 0 for r in found)
+
+
+def test_n_chunks_extends_exact_recall(spark, sf_dir):
+    # c chunks of 64/c bits pigeonhole >=1 identical chunk whenever
+    # hamming < c: at n_chunks=8 the bucketed join must equal the
+    # all-pairs relation for hamming <= 7 (4 chunks would be lossy
+    # past 3) — verified against a brute-force cross join
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    media = multimodal.fake_documents_media(docs)
+    fp = multimodal.perceptual_hashes(media).select(
+        "media_id", "dhash64"
+    ).persist()
+    bucketed = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.fingerprint_hamming_pairs(
+            fp, "dhash64", "media_id", max_hamming=7, n_chunks=8
+        ).collect()
+    }
+    a = fp.selectExpr("media_id AS id_a", "dhash64 AS fa")
+    b = fp.selectExpr("media_id AS id_b", "dhash64 AS fb")
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 7)
+        .collect()
+    }
+    assert bucketed == brute
+    # ...and 4 chunks at the same distance is recall-LOSSY by design
+    four = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.fingerprint_hamming_pairs(
+            fp, "dhash64", "media_id", max_hamming=7, n_chunks=4
+        ).collect()
+    }
+    assert four <= bucketed
+    spark.catalog.clearCache()
+
+
+def test_n_chunks_validated(spark):
+    import pytest
+
+    fp = spark.createDataFrame([(1, 5)], "media_id long, dhash64 long")
+    with pytest.raises(ValueError):
+        dedup.fingerprint_hamming_pairs(fp, "dhash64", "media_id", n_chunks=5)
