@@ -26,6 +26,8 @@ array functions, bitwise aggs) — no Python UDFs.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -964,14 +966,15 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return summed.select(id_col, _fingerprint_from_ones().alias("simhash64"))
 
 
-def _fingerprint_from_ones():
-    """64-bit fingerprint from per-bit ONES counts o0..o63 plus the
-    token count: the sign sum s_i = 2·o_i − cnt, so s_i > 0 ⟺
+def _fingerprint_from_ones(prefix: str = "o"):
+    """64-bit fingerprint from per-bit ONES counts {prefix}0..{prefix}63
+    plus the token count: the sign sum s_i = 2·o_i − cnt, so s_i > 0 ⟺
     2·o_i > cnt — identical fingerprints to the ±1 formulation. Bit
     63 can't be expressed as a positive literal (1<<63 overflows
     signed long); in two's complement, setting it means adding
-    -(2^63)."""
-    bit = lambda i: (F.lit(2) * F.col(f"o{i}")) > F.col("cnt")  # noqa: E731
+    -(2^63). `prefix` selects the ones-count column family so wide
+    (multi-word) fingerprints can reuse the builder per word."""
+    bit = lambda i: (F.lit(2) * F.col(f"{prefix}{i}")) > F.col("cnt")  # noqa: E731
     return sum(
         [
             F.when(bit(i), F.lit(1 << i).cast("long")).otherwise(
@@ -1025,6 +1028,82 @@ def simhash_portable(
     return summed.select(id_col, _fingerprint_from_ones().alias("simhash64"))
 
 
+def simhash128(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = True,
+) -> DataFrame:
+    """128-bit SimHash as TWO 64-bit words (id, fp0, fp1) — the
+    scale-regime fingerprint for pigeonhole near-dup at large n.
+
+    Why width matters: a c-chunk pigeonhole join buckets on
+    (total_bits / c)-bit keys, and exact recall at hamming ≤ c−1 is
+    only SELECTIVE while 2^(bits/c) ≫ n — with 64-bit fingerprints
+    and 4 chunks the 16-bit keys densify at n ≈ 10⁸–10⁹ docs and the
+    bucket self-join goes quadratic even on a dup-free corpus.
+    Doubling the fingerprint doubles the chunk key (4×32-bit), which
+    keeps hamming ≤ 3 exact AND selective out past 10⁹ docs — the
+    multi-index-hashing sizing rule (chunk bits ≳ log2 n).
+
+    portable=True (default) derives both words from ONE md5 per
+    token — word0 is the md5_number_lower convention shared with
+    simhash_portable (hex bytes 8..15 little-endian) and word1 is
+    md5_number_upper (hex bytes 0..7), so DuckDB reproduces both
+    words bit-for-bit with built-ins and oracles can hash-match the
+    fingerprints themselves. portable=False uses xxhash64 with two
+    seeds (word0 identical to simhash()'s fingerprint); engine-
+    internal fast path, not cross-engine reproducible.
+
+    Same shuffle shape as simhash(): ones-count partial aggregation,
+    one row per doc, 129 agg columns instead of 65."""
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    if portable:
+        tok = tok.withColumn("hhex", F.md5("tok"))
+        # word w byte j lives at hex chars (17-16w)+2j .. +2 — one
+        # conv per byte, shared by its 8 bit expressions
+        tok = tok.select(
+            id_col,
+            *[
+                F.conv(
+                    F.substring("hhex", (17 - 16 * w) + 2 * j, 2), 16, 10
+                )
+                .cast("int")
+                .alias(f"hb{w}_{j}")
+                for w in range(2)
+                for j in range(8)
+            ],
+        )
+        bitsrc = lambda w, i: F.shiftright(  # noqa: E731
+            F.col(f"hb{w}_{i // 8}"), i % 8
+        ).bitwiseAND(F.lit(1))
+    else:
+        tok = tok.select(
+            F.col(id_col),
+            F.xxhash64("tok").alias("h0"),
+            F.xxhash64("tok", F.lit(1)).alias("h1"),
+        )
+        bitsrc = lambda w, i: F.shiftright(  # noqa: E731
+            F.col(f"h{w}"), i
+        ).bitwiseAND(F.lit(1))
+    prefixes = ("o", "p")
+    summed = tok.groupBy(id_col).agg(
+        F.count("*").alias("cnt"),
+        *[
+            F.sum(bitsrc(w, i)).alias(f"{prefixes[w]}{i}")
+            for w in range(2)
+            for i in range(64)
+        ],
+    )
+    return summed.select(
+        id_col,
+        _fingerprint_from_ones("o").alias("fp0"),
+        _fingerprint_from_ones("p").alias("fp1"),
+    )
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -1067,7 +1146,7 @@ def simhash_near_dup_pairs(
         raise ValueError(f"pair_mode must be 'clique' or 'star', got {pair_mode!r}")
     fp = (simhash_portable if portable else simhash)(docs, text_col, id_col)
     return _fp_near_dup_pairs(
-        fp, "simhash64", id_col, max_hamming, collapse_exact, pair_mode
+        fp, ["simhash64"], id_col, max_hamming, collapse_exact, pair_mode
     )
 
 
@@ -1079,6 +1158,7 @@ def fingerprint_hamming_pairs(
     collapse_exact: bool = True,
     pair_mode: str = "clique",
     n_chunks: int = 4,
+    allow_lossy: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs within Hamming distance of a
     64-bit fingerprint column — the SimHash pigeonhole chunk join
@@ -1088,19 +1168,36 @@ def fingerprint_hamming_pairs(
 
     `n_chunks` is the recall/selectivity dial: c chunks of 64/c bits
     pigeonhole ≥1 identical chunk whenever hamming < c, so recall is
-    EXACT for max_hamming ≤ c−1. The price of more chunks is shorter
-    bucket keys (64/c bits → denser buckets → more candidate pairs
-    per bucket): 4×16 suits hamming ≤ 3 (SimHash near-dup); 8×8
-    covers the hamming ≤ 7 thresholds perceptual-hash practice uses;
-    16×4-bit keys are usually too dense to be selective. Must divide
-    64."""
+    EXACT for max_hamming ≤ c−1; max_hamming ≥ n_chunks silently
+    loses pairs, so it raises unless `allow_lossy=True` states the
+    caller wants the documented recall-lossy screen. The price of
+    more chunks is shorter bucket keys (64/c bits → denser buckets →
+    more candidate pairs per bucket): 4×16 suits hamming ≤ 3
+    (SimHash near-dup); 8×8 covers the hamming ≤ 7 thresholds
+    perceptual-hash practice uses; 16×4-bit keys are usually too
+    dense to be selective. Must divide 64.
+
+    Density ceiling: bucket keys of b = 64/c bits stop being
+    selective once n approaches 2^b — e.g. 4×16-bit keys densify at
+    n ≈ 10⁸–10⁹ docs and the bucket self-join goes quadratic on a
+    dup-free corpus. Past that regime use
+    `fingerprint_hamming_pairs_wide` over a 128-bit fingerprint
+    (simhash128): same n_chunks keeps the same exact-recall radius
+    while doubling the key width (4×32-bit is selective past 10⁹)."""
     if pair_mode not in ("clique", "star"):
         raise ValueError(f"pair_mode must be 'clique' or 'star', got {pair_mode!r}")
     if n_chunks not in (2, 4, 8, 16):
         raise ValueError(f"n_chunks must be one of 2/4/8/16, got {n_chunks}")
+    if max_hamming >= n_chunks and not allow_lossy:
+        raise ValueError(
+            f"max_hamming={max_hamming} with n_chunks={n_chunks} is "
+            "recall-LOSSY (pigeonhole recall is exact only for "
+            "max_hamming <= n_chunks-1); pass allow_lossy=True for a "
+            "deliberate lossy screen or raise n_chunks"
+        )
     out = _fp_near_dup_pairs(
         fp.select(F.col(id_col), F.col(fp_col).alias("simhash64")),
-        "simhash64",
+        ["simhash64"],
         id_col,
         max_hamming,
         collapse_exact,
@@ -1110,20 +1207,79 @@ def fingerprint_hamming_pairs(
     return out
 
 
+def fingerprint_hamming_pairs_wide(
+    fp: DataFrame,
+    fp_cols: list,
+    id_col: str,
+    max_hamming: int = 3,
+    collapse_exact: bool = True,
+    pair_mode: str = "clique",
+    n_chunks: int = 4,
+    allow_lossy: bool = False,
+) -> DataFrame:
+    """fingerprint_hamming_pairs over a WIDE fingerprint split across
+    several 64-bit word columns (e.g. simhash128's (fp0, fp1)) — the
+    large-n regime of the pigeonhole join. Hamming distance is the
+    sum of per-word bit_count(xor); chunk keys are (64·w/c)-bit
+    slices, so at the same n_chunks a wider fingerprint means WIDER
+    keys, not more of them: 128-bit / 4 chunks = 32-bit keys, which
+    stay selective (2^32 ≫ n) past 10⁹ docs where the 64-bit tier's
+    16-bit keys have long since densified quadratic. Exact recall
+    for max_hamming ≤ n_chunks−1 holds at any width (pigeonhole on
+    the concatenated fingerprint).
+
+    n_chunks must be a multiple of len(fp_cols) (each word is cut
+    into n_chunks/words equal slices) and the per-word slice width
+    must divide 64. Collapse gate, pair_mode, and output contract
+    are exactly fingerprint_hamming_pairs'."""
+    fp_cols = list(fp_cols)
+    n_words = len(fp_cols)
+    if n_words < 1:
+        raise ValueError("fp_cols must name at least one word column")
+    if pair_mode not in ("clique", "star"):
+        raise ValueError(f"pair_mode must be 'clique' or 'star', got {pair_mode!r}")
+    if n_chunks % n_words != 0:
+        raise ValueError(
+            f"n_chunks={n_chunks} must be a multiple of len(fp_cols)={n_words}"
+        )
+    cpw = n_chunks // n_words
+    if cpw not in (1, 2, 4, 8, 16):
+        raise ValueError(
+            f"chunks-per-word must be one of 1/2/4/8/16, got {cpw}"
+        )
+    if max_hamming >= n_chunks and not allow_lossy:
+        raise ValueError(
+            f"max_hamming={max_hamming} with n_chunks={n_chunks} is "
+            "recall-LOSSY (pigeonhole recall is exact only for "
+            "max_hamming <= n_chunks-1); pass allow_lossy=True for a "
+            "deliberate lossy screen or raise n_chunks"
+        )
+    return _fp_near_dup_pairs(
+        fp.select(F.col(id_col), *[F.col(c) for c in fp_cols]),
+        fp_cols,
+        id_col,
+        max_hamming,
+        collapse_exact,
+        pair_mode,
+        n_chunks,
+    )
+
+
 def _fp_near_dup_pairs(
     fp: DataFrame,
-    fp_col: str,
+    fp_cols: list,
     id_col: str,
     max_hamming: int,
     collapse_exact: bool,
     pair_mode: str,
     n_chunks: int = 4,
 ) -> DataFrame:
+    n_words = len(fp_cols)
     members = None
     if collapse_exact:
         fp = fp.persist()  # detection + members + chunks all read it
         groups = (
-            fp.groupBy("simhash64")
+            fp.groupBy(*fp_cols)
             .agg(F.min(id_col).alias("_rep"), F.count("*").alias("_gc"))
             .persist()
         )
@@ -1133,45 +1289,66 @@ def _fp_near_dup_pairs(
         dup_extra = (stats["nd"] or 0) - (stats["ng"] or 0)
         if dup_extra >= max(_COLLAPSE_MIN_DUP, 0.01 * (stats["nd"] or 0)):
             members = (
-                fp.join(groups, "simhash64")
+                fp.join(groups, fp_cols)
                 .select(F.col(id_col), "_rep", "_gc")
                 .persist()
             )
             fp = groups.select(
-                F.col("_rep").alias(id_col), "simhash64"
+                F.col("_rep").alias(id_col), *fp_cols
             )
         else:
             groups.unpersist()
-    bits = 64 // n_chunks
+    # chunk i of word w covers bits [bits·j, bits·(j+1)) of that word
+    # (j = i mod cpw); the pigeonhole argument needs only that the
+    # chunks PARTITION the concatenated fingerprint, so per-word
+    # slicing is as exact as slicing a single 64·w-bit integer would
+    # be. cpw == 1 keys on the whole word (no shift/mask: (1<<64)-1
+    # overflows a signed long).
+    cpw = n_chunks // n_words
+    bits = 64 // cpw
     mask = (1 << bits) - 1
+
+    def _chunk_val(word: str, j: int):
+        if cpw == 1:
+            return F.col(word)
+        return F.shiftrightunsigned(F.col(word), bits * j).bitwiseAND(
+            F.lit(mask)
+        )
+
     chunks = fp.select(
         F.col(id_col),
-        F.col("simhash64"),
+        *[F.col(c) for c in fp_cols],
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash64"), bits * i)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
+                        F.lit(w * cpw + j).alias("chunk"),
+                        _chunk_val(fp_cols[w], j).alias("val"),
                     )
-                    for i in range(n_chunks)
+                    for w in range(n_words)
+                    for j in range(cpw)
                 ]
             )
         ).alias("cc"),
-    ).select(id_col, "simhash64", "cc.chunk", "cc.val")
+    ).select(id_col, *fp_cols, "cc.chunk", "cc.val")
     a = chunks.alias("a")
     b = chunks.alias("b")
+    ham = reduce(
+        lambda x, y: x + y,
+        [
+            F.bit_count(
+                F.col(f"a.{c}").bitwiseXOR(F.col(f"b.{c}"))
+            )
+            for c in fp_cols
+        ],
+    )
     pairs = (
         a.join(b, on=["chunk", "val"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash64").bitwiseXOR(F.col("b.simhash64"))
-            ).alias("hamming"),
+            ham.alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

@@ -2145,6 +2145,132 @@ def simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 128-bit SimHash oracle terms: word0 = md5_number_lower (hex bytes
+# 8..15 little-endian, the existing portable convention), word1 =
+# md5_number_upper (hex bytes 0..7) — ONE md5 per token covers both
+# words on both engines. Sign sums s{w}_{i}; fingerprints are two
+# signed BIGINTs with the shared bit-63 two's-complement convention.
+_SIMHASH128_SUMS = ",\n           ".join(
+    f"SUM(CASE WHEN (h{w} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{w}_{i}"
+    for w in range(2)
+    for i in range(64)
+)
+
+
+def _simhash128_fp_sql(w: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN s{w}_{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(63)
+    ) + f" + (CASE WHEN s{w}_63 > 0 THEN {-(1 << 63)} ELSE 0 END)"
+
+
+@q(
+    "simhash128_fingerprints",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                        x -> x <> '')) AS tok
+      FROM documents WHERE doc_id < 200
+    ), h AS (
+      SELECT doc_id, md5_number_lower(tok) AS h0,
+             md5_number_upper(tok) AS h1
+      FROM tok
+    ), s AS (
+      SELECT doc_id, {_SIMHASH128_SUMS}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_simhash128_fp_sql(0)} AS BIGINT) AS fp0,
+           CAST({_simhash128_fp_sql(1)} AS BIGINT) AS fp1
+    FROM s
+    """,
+)
+def simhash128_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit portable SimHash (dedup.simhash128): two 64-bit words
+    from ONE md5 per token (md5_number_lower / md5_number_upper),
+    reproducible bit-for-bit cross-engine — the oracle recomputes
+    both words from SQL built-ins and hash-matches the fingerprints
+    themselves. This is the scale-regime fingerprint: at the same
+    n_chunks the pigeonhole keys are twice as wide (4×32-bit), which
+    keeps the hamming ≤ 3 join selective past 10⁹ docs where 64-bit
+    keys densify quadratic (multi-index-hashing sizing: chunk bits ≳
+    log2 n)."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.simhash128(d)
+
+
+@q(
+    "simhash128_dup_groups",
+    f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                        x -> x <> '')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id, md5_number_lower(tok) AS h0,
+             md5_number_upper(tok) AS h1
+      FROM tok
+    ), s AS (
+      SELECT doc_id, {_SIMHASH128_SUMS}
+      FROM h GROUP BY doc_id
+    ), fp AS (
+      SELECT doc_id, CAST({_simhash128_fp_sql(0)} AS BIGINT) AS fp0,
+             CAST({_simhash128_fp_sql(1)} AS BIGINT) AS fp1
+      FROM s
+    ), good AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.fp0, b.fp0))
+          + bit_count(xor(a.fp1, b.fp1)) <= 3
+    ), edges AS (
+      SELECT id_a AS v, id_b AS n FROM good
+      UNION
+      SELECT id_b AS v, id_a AS n FROM good
+    ), walk(v, c) AS (
+      SELECT v, v FROM (SELECT DISTINCT v FROM edges) t
+      UNION
+      SELECT e.v, w.c FROM edges e JOIN walk w ON w.v = e.n
+    ), comp AS (
+      SELECT v, MIN(c) AS component FROM walk GROUP BY v
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS group_id,
+           COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+    """,
+)
+def simhash128_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS over the 128-bit SimHash tier — the large-n
+    regime of simhash_dup_groups. Hamming ≤ 3 over the concatenated
+    128 bits, bucketed by 4×32-BIT pigeonhole chunks
+    (fingerprint_hamming_pairs_wide): recall stays EXACT (fewer
+    differing bits than chunks ⟹ ≥1 identical chunk, at any width)
+    while the candidate mass on a dup-free corpus drops from
+    4·n²/2¹⁶ to 4·n²/2³² — sub-quadratic out past 10⁹ docs, measured
+    in BENCH_FP_SCALE.json. The oracle closes over the all-pairs
+    128-bit Hamming relation, valid for the same exactness reason.
+    pair_mode="star" keeps dup-mass output linear (see
+    dedup_groups)."""
+    from datasette_upload_csvs_spark.operators import graph
+
+    docs = load(spark, sf_dir, "documents")
+    fp = dedup.simhash128(docs)
+    pairs = dedup.fingerprint_hamming_pairs_wide(
+        fp, ["fp0", "fp1"], "doc_id", max_hamming=3, pair_mode="star"
+    ).select("id_a", "id_b")
+    cc = graph.connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(cc, F.col("doc_id") == F.col("vertex"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("group_id"),
+            (F.coalesce("component", "doc_id") == F.col("doc_id")).alias(
+                "is_canonical"
+            ),
+        )
+    )
+
+
 @q(
     "multimodal_dup_groups",
     f"""
@@ -11300,7 +11426,18 @@ def ann_bands_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_ann_batch,
     )
 
-    base = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # localCheckpoint: the gate aggregate below is an unavoidable
+    # extra ACTION (it sizes the planted set with no id-contiguity
+    # assumption), but it must not cost an extra parquet SCAN — r8
+    # ran it straight off the reader and every downstream consumer
+    # (base + twins + the 4 band tables) re-read the files too.
+    # Checkpointing makes the aggregate's single scan materialize
+    # the blocks every later job reads.
+    base = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=False)
+    )
     # ONE aggregate yields corpus size AND the planted count — no
     # second scan, and no contiguous-0..n-1 id assumption (the old
     # (n+4)//5 closed form silently diverged from the oracle's actual

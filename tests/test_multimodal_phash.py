@@ -103,7 +103,8 @@ def test_n_chunks_extends_exact_recall(spark, sf_dir):
     four = {
         (r["id_a"], r["id_b"], r["hamming"])
         for r in dedup.fingerprint_hamming_pairs(
-            fp, "dhash64", "media_id", max_hamming=7, n_chunks=4
+            fp, "dhash64", "media_id", max_hamming=7, n_chunks=4,
+            allow_lossy=True
         ).collect()
     }
     assert four <= bucketed
