@@ -99,7 +99,31 @@ HEADLINE = [
     # pigeonhole tier
     "dedup_exact_substr_removed",
     "simhash_dup_groups",
+    # round-9: the xxhash64 HOT-PATH twin of simhash_dup_groups —
+    # what a real engine-internal pass runs (one JVM hash/token vs 8
+    # hex parses). Bench-only: xxhash64 isn't reproducible in DuckDB
+    # so there is no valid oracle; exact-dup containment is pinned in
+    # tests/test_fp_wide.py instead. Benching both keeps the
+    # portability premium visible per round.
+    "simhash_dup_groups_fast",
+    # round-9: the 128-bit scale-regime tier (4x32-bit pigeonhole
+    # keys; BENCH_FP_SCALE.json for the width-scaling law)
+    "simhash128_dup_groups",
 ]
+
+# bench-only twins: no DuckDB oracle is possible (engine-internal
+# hash sources), so they live here rather than in the registry —
+# the registry keeps its every-entry-oracle-backed invariant.
+def _extra_queries():
+    from datasette_upload_csvs_spark.queries import _simhash_dup_groups_impl
+
+    return {
+        "simhash_dup_groups_fast": (
+            lambda spark, sf: _simhash_dup_groups_impl(
+                spark, sf, portable=False
+            )
+        ),
+    }
 
 
 def main() -> None:
@@ -112,7 +136,7 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
-    registry = entry_mod.queries()
+    registry = {**entry_mod.queries(), **_extra_queries()}
 
     # Warm-up: one untimed pass of every headline query at the target
     # SF so JVM/codegen/Arrow compilation and file-footer caches are

@@ -575,7 +575,17 @@ def _gzip_alias(path: str) -> tuple[str, str | None]:
         except OSError:
             import shutil
 
-            shutil.copyfile(path, alias)
+            try:
+                shutil.copyfile(path, alias)
+            except OSError:
+                # ENOSPC / read-only dir mid-copy: drop the partial
+                # alias and re-raise — upload_csv's try converts this
+                # into a lifecycle error result
+                try:
+                    os.unlink(alias)
+                except OSError:
+                    pass
+                raise
     return alias, alias
 
 
@@ -612,9 +622,13 @@ def upload_csv(
     # gzip uploads arrive extension-less from the web spool; Spark's
     # CSV codec and the driver-side sniff are both extension-driven,
     # so a magic-byte gzip without '.gz' is aliased (hard link) to a
-    # '.csv.gz' path for the duration of the ingest
-    path, gz_alias = _gzip_alias(path)
+    # '.csv.gz' path for the duration of the ingest. Runs inside the
+    # error-capturing try: the hard-link fallback copies the file, and
+    # a copy failure (ENOSPC, read-only dir) must land in
+    # result.error like every other ingest failure, not escape.
+    gz_alias = None
     try:
+        path, gz_alias = _gzip_alias(path)
         if os.path.isdir(path):
             bytes_todo = sum(
                 os.path.getsize(os.path.join(path, f))
@@ -624,6 +638,11 @@ def upload_csv(
         else:
             bytes_todo = os.stat(path).st_size  # reference :131,:255-261
     except OSError as ex:
+        if gz_alias:  # drop a (possibly partial) alias before bailing
+            try:
+                os.unlink(gz_alias)
+            except OSError:
+                pass
         return IngestResult(
             task_id=task_id,
             table=cat.sanitize_identifier(logical),

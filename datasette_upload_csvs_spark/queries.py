@@ -2125,11 +2125,27 @@ def simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint groups contribute K−1 edges, never C(K,2) (see
     dedup_groups). group_id = min doc_id, singletons their own
     group."""
+    return _simhash_dup_groups_impl(spark, sf_dir, portable=True)
+
+
+def _simhash_dup_groups_impl(
+    spark: SparkSession, sf_dir: str, portable: bool
+) -> DataFrame:
+    """Shared pipeline for the registry entry (portable=True, md5 bit
+    source, oracle-checkable) and the bench-only hot-path twin
+    (portable=False, xxhash64 — one JVM hash per token instead of 8
+    hex parses; what a real engine-internal pass runs). The twins are
+    NOT group-identical on near-dups: hamming between two different
+    texts depends on the bit source, so each hash admits/drops
+    different borderline pairs (measured at sf0.001: 60 grouped
+    vertices portable vs 46 fast). Identical-TEXT docs always share a
+    group under either hash (hamming 0) — pinned in
+    tests/test_fp_wide.py."""
     from datasette_upload_csvs_spark.operators import graph
 
     docs = load(spark, sf_dir, "documents")
     pairs = dedup.simhash_near_dup_pairs(
-        docs, max_hamming=3, portable=True, pair_mode="star"
+        docs, max_hamming=3, portable=portable, pair_mode="star"
     ).select("id_a", "id_b")
     cc = graph.connected_components(pairs)
     return (

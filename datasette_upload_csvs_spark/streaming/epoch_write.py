@@ -128,6 +128,11 @@ def compact_state_table(
     generalizes unchanged."""
     if not spark.catalog.tableExists(table):
         return 0
+    # invoked from the same foreachBatch threads whose epoch readers
+    # document stale cached file listings — a stale listing here makes
+    # the fold silently skip recently closed epoch partitions (content
+    # stays correct, but the bounded-partition guarantee degrades)
+    spark.catalog.refreshTable(table)
     stg = _staging_id(before_epoch)
     part_ids = [
         r["_batch_id"]

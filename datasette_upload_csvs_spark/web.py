@@ -36,6 +36,7 @@ from email.policy import HTTP
 from html import escape
 from urllib.parse import parse_qs, quote_plus, unquote
 
+from datasette_upload_csvs_spark import catalog as cat
 from datasette_upload_csvs_spark import ingest
 
 FORM_HTML = """<!DOCTYPE html>
@@ -594,17 +595,15 @@ class UploadApp:
 
         filename = fields["csv"]["filename"] or "upload.csv"
         # reference __init__.py:119-124: table name falls back to the
-        # filename minus .csv; collision suffixes happen in catalog.py
+        # filename minus .csv; collision suffixes happen in catalog.py.
+        # Delegates to catalog.derive_table_name so the suffix rule
+        # (one .csv / .csv.gz, CASE-INSENSITIVE) can never drift from
+        # the library ingest path: an 'X.CSV.GZ' upload derives the
+        # same table either way.
         table = (fields.get("table_name") or fields.get("table") or {}).get(
             "value"
         ) or b""
-        table = table.decode() or (
-            filename[:-7]
-            if filename.endswith(".csv.gz")
-            else filename[:-4]
-            if filename.endswith(".csv")
-            else filename
-        )
+        table = table.decode() or cat.derive_table_name(filename)
         database = (
             (fields.get("database") or {}).get("value") or b""
         ).decode() or None

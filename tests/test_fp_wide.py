@@ -149,3 +149,38 @@ def test_narrow_lossy_validation(spark):
         fp, "dhash64", "media_id", max_hamming=4, n_chunks=4,
         allow_lossy=True,
     ).count() == 0
+
+
+def test_fast_groups_contain_exact_dups(spark, sf_dir):
+    """The xxhash64 hot-path dup-groups twin (bench-only,
+    bench.py:_extra_queries) is NOT group-identical to the portable
+    entry on near-dups — hamming between different texts depends on
+    the bit source (measured at sf0.001: 60 grouped vertices portable
+    vs 46 fast). What IS invariant: identical-TEXT docs have hamming
+    0 under ANY bit source, so every planted exact-dup class must
+    land inside one group for both tiers."""
+    from datasette_upload_csvs_spark.operators import graph
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # plant exact dups: every 7th doc duplicated under doc_id+10^7
+    twins = docs.filter(F.pmod("doc_id", F.lit(7)) == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000_000)
+    )
+    corpus = docs.unionByName(twins)
+    planted = [r["doc_id"] for r in docs.collect() if r["doc_id"] % 7 == 0]
+    for portable in (True, False):
+        pairs = dedup.simhash_near_dup_pairs(
+            corpus, max_hamming=3, portable=portable, pair_mode="star"
+        ).select("id_a", "id_b")
+        comp = {
+            r["vertex"]: r["component"]
+            for r in graph.connected_components(pairs).collect()
+        }
+        for d in planted:
+            assert comp.get(d, d) == comp.get(d + 10_000_000, d + 10_000_000), (
+                portable,
+                d,
+            )
+        spark.catalog.clearCache()
