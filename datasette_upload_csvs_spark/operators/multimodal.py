@@ -64,6 +64,57 @@ def _decode_image(payload: bytes, mime: str):  # pragma: no cover - stub
     )
 
 
+def pil_decoder():
+    """Decoder factory for the production seam: returns a
+    ``decoder(payload, mime) -> 2-D uint8 grayscale ndarray`` backed
+    by PIL, or raises DecoderUnavailable when PIL isn't importable
+    (this container ships no codecs — the deterministic stub stays
+    the test/oracle path). The returned callable is what
+    ``perceptual_hashes(decoder=...)`` / ``extract_features(
+    decoder=...)`` ship to executors; it imports PIL inside itself so
+    pickling moves no module state."""
+    try:  # probe on the driver so misconfiguration fails fast
+        import PIL.Image  # noqa: F401
+    except ImportError as ex:  # pragma: no cover - no PIL here
+        raise DecoderUnavailable(
+            "PIL not importable; install pillow for real image decode"
+        ) from ex
+
+    def decode(payload: bytes, mime):  # pragma: no cover - needs PIL
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("L")
+        return np.asarray(img, dtype=np.uint8)
+
+    return decode
+
+
+def _downsample(g, th: int, tw: int):
+    """Deterministic grayscale downsample to (th, tw): area-mean
+    pooling when the image has enough pixels, nearest-neighbor for
+    degenerate tiny inputs. Pure numpy so any injected decoder —
+    PIL, opencv, a test fake — gets identical post-decode math."""
+    import numpy as np
+
+    g = np.asarray(g, dtype=np.float64)
+    if g.ndim != 2 or g.size == 0:
+        raise ValueError("decoder must return a non-empty 2-D matrix")
+    h, w = g.shape
+    if h < th or w < tw:
+        return g[(np.arange(th) * h // th)][:, (np.arange(tw) * w // tw)]
+    ri = np.arange(th + 1) * h // th
+    ci = np.arange(tw + 1) * w // tw
+    return np.array(
+        [
+            [g[ri[r]:ri[r + 1], ci[c]:ci[c + 1]].mean() for c in range(tw)]
+            for r in range(th)
+        ]
+    )
+
+
 def fake_documents_media(docs: DataFrame) -> DataFrame:
     """Deterministic fake media table derived from `documents`.
 
@@ -80,21 +131,39 @@ def fake_documents_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    use_fake_decoder: bool = True,
+    decoder=None,
+) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
-    mapInPandas streams small pandas batches through the (stubbed)
-    decoder; schema/partitioning/batching are production-shaped, the
-    per-payload 'feature' is a deterministic digest when faked.
+    mapInPandas streams small pandas batches through the decoder;
+    schema/partitioning/batching are production-shaped. Decoder seam:
+
+    - ``decoder`` (a ``(payload, mime) -> 2-D grayscale ndarray``
+      callable, e.g. ``pil_decoder()``): the production path —
+      feat_mean digests the DECODED matrix bytes;
+    - otherwise the deterministic stub (use_fake_decoder=True,
+      default): feat_mean digests the payload bytes — the
+      test/oracle path;
+    - use_fake_decoder=False with no decoder raises
+      DecoderUnavailable (the historical strict mode).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        def feat(b, mime):
+            if decoder is not None:
+                g = decoder(bytes(b or b""), mime)
+                return hashlib.md5(bytes(memoryview(g))).hexdigest()
+            return hashlib.md5(b or b"").hexdigest()
+
         for pdf in batches:
             if pdf.empty:
                 continue
-            if not use_fake_decoder:
+            if decoder is None and not use_fake_decoder:
                 _decode_image(pdf["payload"].iloc[0], pdf["mime"].iloc[0])
             out = pd.DataFrame(
                 {
@@ -103,9 +172,10 @@ def extract_features(media: DataFrame, use_fake_decoder: bool = True) -> DataFra
                     "n_bytes": pdf["payload"].map(
                         lambda b: len(b) if b is not None else 0
                     ),
-                    "feat_mean": pdf["payload"].map(
-                        lambda b: hashlib.md5(b or b"").hexdigest()
-                    ),
+                    "feat_mean": [
+                        feat(b, m)
+                        for b, m in zip(pdf["payload"], pdf["mime"])
+                    ],
                 }
             )
             yield out
@@ -125,6 +195,7 @@ def perceptual_hashes(
     media: DataFrame,
     payload_col: str = "payload",
     id_col: str = "media_id",
+    decoder=None,
 ) -> DataFrame:
     """(media_id, dhash64, ahash64) — perceptual image hashes over a
     binary payload column.
@@ -147,6 +218,14 @@ def perceptual_hashes(
     identical to the SimHash convention. Hashes feed
     dedup.fingerprint_hamming_pairs for binary-column near-dup
     detection (pigeonhole chunk join, exact for hamming ≤ 3).
+
+    Decoder seam: pass ``decoder`` (``(payload, mime=None) -> 2-D
+    grayscale ndarray``, e.g. ``pil_decoder()``) to hash REAL decoded
+    pixels — the matrix is area-mean downsampled to the 8×9 / 8×8
+    grids (_downsample) and the identical bit math runs on top, so
+    stub and production paths differ ONLY in where pixels come from.
+    Default (None) keeps the deterministic stride stub the oracles
+    recompute in SQL.
     """
     from pyspark.sql.types import LongType as _Long
 
@@ -174,6 +253,13 @@ def perceptual_hashes(
                 continue
             dh, ah = [], []
             for p in pdf[payload_col]:
+                if decoder is not None:
+                    g = decoder(bytes(p or b"\x00"), None)
+                    px = _downsample(g, 8, 9)
+                    dh.append(signed((px[:, :8] > px[:, 1:]).ravel()))
+                    q = _downsample(g, 8, 8).ravel()
+                    ah.append(signed(64 * q > q.sum()))
+                    continue
                 b = np.frombuffer(bytes(p or b"\x00"), dtype=np.uint8)
                 b = b.astype(np.int64)
                 n = len(b)

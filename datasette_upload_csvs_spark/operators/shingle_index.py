@@ -67,6 +67,13 @@ from datasette_upload_csvs_spark.operators.dedup import (
     _doclist_pair_structs,
     _hash_shingle_frame,
 )
+from datasette_upload_csvs_spark.streaming.epoch_write import (
+    BASE_EPOCH as _BASE,
+)
+from datasette_upload_csvs_spark.streaming.epoch_write import (
+    _drop_partitions,
+    compact_state_table,
+)
 
 
 class ShingleIndex:
@@ -164,13 +171,13 @@ class ShingleIndex:
                 postings.unpersist()
         finally:
             sets.unpersist()
-        marker = self.spark.range(1).select(b.alias("batch"))
-        mode = (
-            "append"
-            if self.spark.catalog.tableExists(self.commits)
-            else "errorifexists"
-        )
-        marker.write.mode(mode).format("parquet").saveAsTable(self.commits)
+        # the marker carries its batch id as a PAYLOAD column too
+        # (b == batch while live): compaction folds closed marker
+        # partitions into the base partition, and committed-ness is
+        # read off `b`, which survives the move. Partitioned write =
+        # replay overwrites its own marker instead of appending a dup.
+        marker = self.spark.range(1).select(b.alias("b"), b.alias("batch"))
+        self._write_partition(marker, self.commits)
 
     def _committed(
         self, table: str, exclude_batch: int | None = None
@@ -184,14 +191,29 @@ class ShingleIndex:
         AFTER append(batch) committed but BEFORE its own offsets were
         recorded will re-run edges_for_batch with the batch already
         in the index — excluding its own id makes the replay compute
-        exactly what the first run computed."""
+        exactly what the first run computed. A batch already FOLDED
+        into the base partition can no longer be excluded — hence
+        compact()'s contract that the watermark stays at or below any
+        batch an at-least-once caller could still replay."""
         spark = self.spark
         if not spark.catalog.tableExists(self.commits):
             return None
-        good = spark.table(self.commits).select("batch").distinct()
+        good = (
+            spark.table(self.commits)
+            .select(F.col("b").alias("batch"))
+            .distinct()
+        )
         if exclude_batch is not None:
             good = good.filter(F.col("batch") != exclude_batch)
-        return spark.table(table).join(F.broadcast(good), "batch", "left_semi")
+        t = spark.table(table)
+        gated = t.filter(F.col("batch") >= 0).join(
+            F.broadcast(good), "batch", "left_semi"
+        )
+        # the base partition holds folded history: always committed
+        # by construction (compact() folds committed batches only),
+        # readable even mid-fold of a sibling table. Staging
+        # partitions (batch <= -2) match neither branch.
+        return gated.unionByName(t.filter(F.col("batch") == _BASE))
 
     # ---------------------------------------------------------- query
     def edges_for_batch(
@@ -380,6 +402,84 @@ class ShingleIndex:
             .select("id_a", "id_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
+
+    # ----------------------------------------------------- compaction
+    def compact(self, before_batch: int, target_files: int = 8) -> int:
+        """Fold every committed batch partition below ``before_batch``
+        into the BASE partition of all four index tables — the
+        streaming state-table fold (epoch_write.compact_state_table)
+        reused with part_col="batch", so partition and file counts
+        stay bounded under unbounded appends instead of accreting one
+        file-set per batch forever. Returns the number of postings
+        partitions folded.
+
+        Same contract as the state-table fold: run QUIESCED (between
+        appends/queries), crash anywhere and re-run with the same
+        watermark — every step is one job-atomic write or metadata
+        drop, and the staging id encodes the watermark. Additionally:
+
+        * ``before_batch`` must not exceed any batch an at-least-once
+          caller could still replay: a folded batch can no longer be
+          masked by ``exclude_batch`` (streaming callers pass their
+          current epoch, which is always safe);
+        * UNCOMMITTED orphan partitions below the watermark (crashed
+          appends whose retry window has passed — the same invariant
+          ``before_batch`` asserts) are dropped, never folded: folding
+          would promote rows the commit gate correctly hides;
+        * reads stay correct at every quiesced intermediate state: a
+          table's folded rows live either in its own batch partitions
+          (commit-gated) or in base (read unconditionally), never
+          visible twice, and the marker table folds LAST with its
+          payload ids intact.
+
+        Postings and df fold with sort_cols=["shingle"] so the base
+        partition keeps the shingle-sorted row groups appends write
+        (the parquet min/max-skipping posture)."""
+        spark = self.spark
+        if not spark.catalog.tableExists(self.commits):
+            return 0
+        spark.catalog.refreshTable(self.commits)
+        committed = {
+            r["b"]
+            for r in spark.table(self.commits).select("b").distinct().collect()
+        }
+        folded = 0
+        for table, sort_cols in (
+            (self.postings, ["shingle"]),
+            (self.sets, None),
+            (self.df_tab, ["shingle"]),
+        ):
+            if not spark.catalog.tableExists(table):
+                continue
+            spark.catalog.refreshTable(table)
+            part_ids = [
+                r["batch"]
+                for r in spark.table(table).select("batch").distinct().collect()
+            ]
+            orphans = [
+                p
+                for p in part_ids
+                if 0 <= p < before_batch and p not in committed
+            ]
+            _drop_partitions(spark, table, orphans, "batch")
+            n = compact_state_table(
+                spark,
+                table,
+                before_batch,
+                target_files=target_files,
+                part_col="batch",
+                sort_cols=sort_cols,
+            )
+            if table == self.postings:
+                folded = n
+        compact_state_table(
+            spark,
+            self.commits,
+            before_batch,
+            target_files=1,
+            part_col="batch",
+        )
+        return folded
 
     def release_batch_cache(self) -> None:
         """Unpersist the frames cached by the last edges_for_batch

@@ -52,11 +52,13 @@ def _staging_id(before_epoch: int) -> int:
     return -(2 + before_epoch)
 
 
-def write_epoch_partition(out: DataFrame, table: str) -> None:
-    """Write ``out`` (which must carry a ``_batch_id`` column) into
+def write_epoch_partition(
+    out: DataFrame, table: str, part_col: str = "_batch_id"
+) -> None:
+    """Write ``out`` (which must carry a ``part_col`` column) into
     ``table`` under dynamic partition overwrite: only the partitions
     present in ``out`` are replaced, all other epochs' partitions are
-    untouched. Creates the table (partitioned by ``_batch_id``) on
+    untouched. Creates the table (partitioned by ``part_col``) on
     first use."""
     spark = out.sparkSession
     key = "spark.sql.sources.partitionOverwriteMode"
@@ -64,7 +66,7 @@ def write_epoch_partition(out: DataFrame, table: str) -> None:
     spark.conf.set(key, "dynamic")
     try:
         if not spark.catalog.tableExists(table):
-            out.write.mode("overwrite").partitionBy("_batch_id").saveAsTable(
+            out.write.mode("overwrite").partitionBy(part_col).saveAsTable(
                 table
             )
         else:
@@ -91,7 +93,12 @@ def read_state(spark, table: str, mask_epoch: int) -> DataFrame:
 
 
 def compact_state_table(
-    spark, table: str, before_epoch: int, target_files: int = 8
+    spark,
+    table: str,
+    before_epoch: int,
+    target_files: int = 8,
+    part_col: str = "_batch_id",
+    sort_cols: list | None = None,
 ) -> int:
     """Fold every closed epoch partition (0 ≤ _batch_id <
     before_epoch) into the BASE partition. Returns the number of
@@ -125,7 +132,13 @@ def compact_state_table(
     Pick compact_every so the amortized O(history/N) per epoch is
     acceptable; at very large state, tier the folds (generational
     bases) the way LSM stores do — the staging/promote protocol here
-    generalizes unchanged."""
+    generalizes unchanged.
+
+    ``part_col`` names the epoch/batch partition column — the fold is
+    the same for any integer-partitioned state table (the maintained
+    ShingleIndex reuses it with part_col="batch"). ``sort_cols``
+    sorts the folded base within its files (postings tables keep
+    their shingle-sorted row groups through folds)."""
     if not spark.catalog.tableExists(table):
         return 0
     # invoked from the same foreachBatch threads whose epoch readers
@@ -135,45 +148,46 @@ def compact_state_table(
     spark.catalog.refreshTable(table)
     stg = _staging_id(before_epoch)
     part_ids = [
-        r["_batch_id"]
-        for r in spark.table(table).select("_batch_id").distinct().collect()
+        r[part_col]
+        for r in spark.table(table).select(part_col).distinct().collect()
     ]
     window = sorted(p for p in part_ids if 0 <= p < before_epoch)
     stale = [p for p in part_ids if p < BASE_EPOCH and p != stg]
     if not window and stg not in part_ids:
-        _drop_partitions(spark, table, stale)
+        _drop_partitions(spark, table, stale, part_col)
         return 0
     cols = spark.table(table).columns
     if stg not in part_ids:
         merged = (
             spark.table(table)
             .filter(
-                (F.col("_batch_id") == BASE_EPOCH)
-                | ((F.col("_batch_id") >= 0) & (F.col("_batch_id") < before_epoch))
+                (F.col(part_col) == BASE_EPOCH)
+                | ((F.col(part_col) >= 0) & (F.col(part_col) < before_epoch))
             )
-            .withColumn("_batch_id", F.lit(stg))
+            .withColumn(part_col, F.lit(stg))
             .select(*cols)
             .coalesce(max(1, target_files))
-            # materialize OFF the table before overwriting it (Spark
-            # refuses, correctly, to overwrite a table it is reading)
-            .localCheckpoint()
         )
-        write_epoch_partition(merged, table)
+        if sort_cols:
+            merged = merged.sortWithinPartitions(*sort_cols)
+        # materialize OFF the table before overwriting it (Spark
+        # refuses, correctly, to overwrite a table it is reading)
+        write_epoch_partition(merged.localCheckpoint(), table, part_col)
     promoted = (
         spark.table(table)
-        .filter(F.col("_batch_id") == stg)
-        .withColumn("_batch_id", F.lit(BASE_EPOCH))
+        .filter(F.col(part_col) == stg)
+        .withColumn(part_col, F.lit(BASE_EPOCH))
         .select(*cols)
         .localCheckpoint()
     )
-    write_epoch_partition(promoted, table)
-    _drop_partitions(spark, table, window)
-    _drop_partitions(spark, table, [stg] + stale)
+    write_epoch_partition(promoted, table, part_col)
+    _drop_partitions(spark, table, window, part_col)
+    _drop_partitions(spark, table, [stg] + stale, part_col)
     return len(window)
 
 
-def _drop_partitions(spark, table: str, ids) -> None:
+def _drop_partitions(spark, table: str, ids, part_col: str = "_batch_id") -> None:
     if not ids:
         return
-    specs = ", ".join(f"PARTITION (_batch_id={int(i)})" for i in ids)
+    specs = ", ".join(f"PARTITION ({part_col}={int(i)})" for i in ids)
     spark.sql(f"ALTER TABLE {table} DROP IF EXISTS {specs}")

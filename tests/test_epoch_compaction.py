@@ -103,16 +103,16 @@ def test_crash_repair_at_every_step(spark, clean, monkeypatch):
         real_write = epoch_write.write_epoch_partition
         real_drop = epoch_write._drop_partitions
 
-        def wr(out, table):
-            real_write(out, table)
+        def wr(out, table, part_col="_batch_id"):
+            real_write(out, table, part_col)
             calls["writes"] += 1
             if crash_after == 1 and calls["writes"] == 1:
                 raise RuntimeError("crash after stage")
             if crash_after == 2 and calls["writes"] == 2:
                 raise RuntimeError("crash after promote")
 
-        def dr(sp, table, ids):
-            real_drop(sp, table, ids)
+        def dr(sp, table, ids, part_col="_batch_id"):
+            real_drop(sp, table, ids, part_col)
             calls["drops"] += 1
             if crash_after == 3 and calls["drops"] == 1:
                 raise RuntimeError("crash after epoch drop")

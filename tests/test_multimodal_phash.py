@@ -117,3 +117,90 @@ def test_n_chunks_validated(spark):
     fp = spark.createDataFrame([(1, 5)], "media_id long, dhash64 long")
     with pytest.raises(ValueError):
         dedup.fingerprint_hamming_pairs(fp, "dhash64", "media_id", n_chunks=5)
+
+
+def test_decoder_seam(spark, sf_dir):
+    """Round-9 VERDICT item 5: perceptual_hashes/extract_features
+    accept a pluggable decoder. The stub (default) and an injected
+    fake decoder must produce DIFFERENT but each-deterministic
+    hashes; the bit math downstream of the decode is shared."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    media = multimodal.fake_documents_media(docs)
+
+    def fake_decoder(payload, mime=None):
+        # stands in for decode->grayscale: bytes tiled into a 16x16
+        # matrix (deliberately NOT the stub's stride sampling)
+        import numpy as np
+
+        b = np.frombuffer(payload or b"\x00", dtype=np.uint8)
+        reps = -(-256 // len(b))
+        return np.tile(b, reps)[:256].reshape(16, 16)
+
+    stub = {
+        r["media_id"]: (r["dhash64"], r["ahash64"])
+        for r in multimodal.perceptual_hashes(media).collect()
+    }
+    inj1 = {
+        r["media_id"]: (r["dhash64"], r["ahash64"])
+        for r in multimodal.perceptual_hashes(
+            media, decoder=fake_decoder
+        ).collect()
+    }
+    inj2 = {
+        r["media_id"]: (r["dhash64"], r["ahash64"])
+        for r in multimodal.perceptual_hashes(
+            media, decoder=fake_decoder
+        ).collect()
+    }
+    assert inj1 == inj2  # deterministic
+    assert inj1 != stub  # pixels come from the decoder, not the stub
+    assert set(inj1) == set(stub)
+
+    f_stub = {
+        r["media_id"]: r["feat_mean"]
+        for r in multimodal.extract_features(media).collect()
+    }
+    f_inj = {
+        r["media_id"]: r["feat_mean"]
+        for r in multimodal.extract_features(
+            media, decoder=fake_decoder
+        ).collect()
+    }
+    assert set(f_stub) == set(f_inj) and f_stub != f_inj
+
+
+def test_pil_decoder_gated(spark):
+    """pil_decoder() either returns a usable decoder (PIL present) or
+    raises the typed DecoderUnavailable — never a bare ImportError."""
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        assert callable(multimodal.pil_decoder())
+    else:
+        import pytest as _pytest
+
+        with _pytest.raises(multimodal.DecoderUnavailable):
+            multimodal.pil_decoder()
+
+
+def test_downsample_math():
+    """Area-mean pooling + nearest-neighbor fallback — the shared
+    post-decode math every injected decoder rides."""
+    import numpy as np
+
+    g = np.arange(64, dtype=np.float64).reshape(8, 8)
+    out = multimodal._downsample(g, 8, 8)
+    assert np.array_equal(out, g)  # identity at target size
+    big = np.ones((64, 72)) * 7.0
+    assert np.allclose(multimodal._downsample(big, 8, 9), 7.0)
+    tiny = np.array([[1.0, 2.0], [3.0, 4.0]])
+    nn = multimodal._downsample(tiny, 8, 9)
+    assert nn.shape == (8, 9)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal._downsample(np.empty((0, 0)), 8, 9)
