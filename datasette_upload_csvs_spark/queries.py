@@ -82,46 +82,37 @@ def q(name: str, oracle: str | None = None):
 # in _DRIVER_PRIORITY so the independent check re-runs on the new
 # code.
 _DRIVER_PRIORITY = [
-    # Round-8 sample = this list, then any fresh (never-checked,
+    # Round-9 sample = this list, then any fresh (never-checked,
     # non-priority) registry entries, then _DRIVER_CHECKED. Every
     # name here has code that changed THIS round (rotation rule:
     # changed entries re-queue for an independent driver check); the
-    # 12 r7-green priority names whose code did NOT change moved to
+    # 20 r8-green priority names whose code did NOT change moved to
     # _DRIVER_CHECKED. All inside the 50-name sample prefix.
     #
-    # minhash pipeline: gate re-keyed on xxhash64(text) + pair_mode
-    # param (star routing for the four connectivity consumers):
-    "dedup_groups", "dedup_keep_best", "split_cluster_safe",
-    "dedup_rate_by_source",  # star-routed
-    "dedup_minhash_lsh", "dedup_cross_source_matrix",
-    "dedup_graph_triangles",  # clique, gate-key change
-    # simhash pipeline: delegates to the factored _fp_near_dup_pairs:
-    "dedup_simhash",
-    # ngram_jaccard_pairs default flipped to the capped branch;
-    # the uncapped entry renamed (fresh name):
-    "dedup_containment", "dedup_ngram_jaccard_capped",
-    "split_incremental_stable",
-    "dedup_ngram_jaccard_allpairs_smallcorpus",
-    # embedding_ann_batch gained pair_mode + the single-agg planted
-    # count replaced the closed form:
+    # gate aggregate now reads a localCheckpoint'd base (one parquet
+    # scan shared by gate + twins + band tables):
     "ann_bands_recall",
-    # chunked-broadcast anchor quantizer (semdedup_arrow):
-    "semdedup_prune_arrow", "d4_prototype_prune_arrow",
-    "semdedup_prune", "d4_prototype_prune",  # arrow-routed branch
-    # new round-8 multimodal entries:
-    "multimodal_phash_fingerprints", "multimodal_near_dup_pairs",
-    # new round-8 group consumers over exact-recall pigeonhole tiers:
-    "simhash_dup_groups", "multimodal_dup_groups",
-    # ExactSubstr surgery: new removal entry + the spans entry
-    # re-queued (its pipeline factored into the shared helper):
-    "dedup_exact_substr_removed", "dedup_exact_substr_spans",
-    # OPH behavioral-gate entry (new):
-    "minhash_oph_agreement",
-    # skew-mitigation tier surfaced (new):
-    "skew_salted_distinct_parts", "skew_salted_join_priority_revenue",
+    # _fp_near_dup_pairs rewritten multi-word (list-of-words chunking,
+    # summed per-word hamming) — reaches every pigeonhole consumer:
+    "dedup_simhash", "simhash_dup_groups", "multimodal_dup_groups",
+    "multimodal_near_dup_pairs",
+    # decoder-seam parameter threaded through the Arrow passes:
+    "multimodal_phash_fingerprints", "multimodal_feature_extract",
 ]
 
 _DRIVER_CHECKED = frozenset({
+    # r8-green priority names whose code did not change in round 9:
+    "dedup_groups", "dedup_keep_best", "split_cluster_safe",
+    "dedup_rate_by_source", "dedup_minhash_lsh",
+    "dedup_cross_source_matrix", "dedup_graph_triangles",
+    "dedup_containment", "dedup_ngram_jaccard_capped",
+    "split_incremental_stable",
+    "dedup_ngram_jaccard_allpairs_smallcorpus",
+    "semdedup_prune_arrow", "d4_prototype_prune_arrow",
+    "semdedup_prune", "d4_prototype_prune",
+    "dedup_exact_substr_removed", "dedup_exact_substr_spans",
+    "minhash_oph_agreement",
+    "skew_salted_distinct_parts", "skew_salted_join_priority_revenue",
     # r7-green priority names whose code did not change in round 8:
     "kmeans_lloyd_step_arrow", "data_constrained_epochs",
     "perplexity_band_filter", "doremi_domain_reweight",
@@ -193,7 +184,7 @@ _DRIVER_CHECKED = frozenset({
     "ks_price_returnflag_binned", "lateral_topk_per_nation",
     "left_join_order_counts", "limit_offset", "map_funcs_price_stats",
     "math_funcs", "math_funcs_extended", "means_family_price",
-    "moments_skew_kurtosis", "multimodal_feature_extract",
+    "moments_skew_kurtosis",
     "multimodal_resize", "mutual_info_priority_flag",
     "null_safe_join_groups", "order_streak_islands", "outlier_orders_iqr",
     "pack_padding_waste", "pareto_abc_customers", "percentiles_price",
