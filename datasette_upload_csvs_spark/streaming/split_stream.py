@@ -120,9 +120,13 @@ def assign_splits_stream(
 
     `compact_every=N` folds the splits table's closed epochs into its
     BASE partition every N epochs (epoch_write.compact_state_table) —
-    same replay-safety argument as maintain_embedding_ann_stream. The
-    shingle index keeps its own append/commit-marker layout and is
-    not epoch-partitioned, so it needs no fold."""
+    same replay-safety argument as maintain_embedding_ann_stream —
+    AND folds the shingle index's committed batch partitions
+    (ShingleIndex.compact, round 9): the watermark is the in-flight
+    epoch, which under the single-inflight-epoch contract is the only
+    batch `exclude_batch` could still need to mask, so nothing
+    foldable is ever replayed. Both stores stay bounded under
+    unbounded streams."""
     from datasette_upload_csvs_spark.streaming.epoch_write import (
         compact_state_table,
     )
@@ -134,6 +138,7 @@ def assign_splits_stream(
         n_batches += 1
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             compact_state_table(spark, splits_table, before_epoch=batch_id)
+            index.compact(before_batch=batch_id)
         assign_batch(
             spark, index, splits_table, batch, batch_id,
             threshold=threshold, max_df=max_df,

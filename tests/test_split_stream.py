@@ -113,3 +113,59 @@ def test_stream_equals_batch_and_survives_replay_and_restart(
         idx.drop()
         spark.sql("DROP TABLE IF EXISTS tstrm_splits")
         spark.catalog.clearCache()
+
+
+def test_stream_with_index_compaction_equals_uncompacted(spark, tmp_path):
+    """compact_every folds BOTH stores (splits table + shingle index,
+    round 9) mid-stream; labels and subsequent edge-driven adoption
+    must be identical to an uncompacted twin stream, and the index's
+    partition count must stay bounded."""
+    base = " ".join(f"c{i}" for i in range(40))
+    batches = [
+        [(100 * b, base + f" x{b}"),
+         (100 * b + 1, " ".join(f"u{b}v{j}" for j in range(12)))]
+        for b in range(6)
+    ]
+    # make batch 5 near-dup batch 0's unique doc so a post-fold edge
+    # must come out of the BASE partition
+    batches[5][1] = (501, " ".join(f"u0v{j}" for j in range(12)))
+
+    def drain(tag, compact_every):
+        src = tmp_path / f"src-{tag}"
+        src.mkdir()
+        idx = ShingleIndex(spark, f"tcmp_{tag}")
+        idx.drop()
+        spark.sql(f"DROP TABLE IF EXISTS tcmp_{tag}_splits")
+        for i, b in enumerate(batches):
+            spark.createDataFrame(b, SCHEMA).coalesce(1).write.parquet(
+                str(src / f"b{i}")
+            )
+        n = split_stream.assign_splits_stream(
+            spark, str(src) + "/*", SCHEMA, idx, f"tcmp_{tag}_splits",
+            checkpoint_dir=str(tmp_path / f"ckpt-{tag}"),
+            compact_every=compact_every,
+        )
+        assert n == 6
+        spark.catalog.clearCache()
+        return idx, _rows(spark.table(f"tcmp_{tag}_splits"))
+
+    idx_c, got = drain("fold", compact_every=2)
+    idx_u, want = drain("plain", compact_every=None)
+    try:
+        assert got == want
+        # the near-dup across the fold boundary adopted batch 0's
+        # cluster — the edge came from folded (base) index rows
+        assert got[501][0] == got[1][0]
+        n_parts = spark.sql(
+            f"SHOW PARTITIONS {idx_c.postings}"
+        ).count()
+        n_parts_u = spark.sql(
+            f"SHOW PARTITIONS {idx_u.postings}"
+        ).count()
+        assert n_parts < n_parts_u == 6
+    finally:
+        idx_c.drop()
+        idx_u.drop()
+        spark.sql("DROP TABLE IF EXISTS tcmp_fold_splits")
+        spark.sql("DROP TABLE IF EXISTS tcmp_plain_splits")
+        spark.catalog.clearCache()
