@@ -1001,26 +1001,32 @@ def simhash_portable(
     tok = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("hhex", F.md5("tok"))
-    # parse each hex byte ONCE into its own column (the bit
-    # expressions below would otherwise each re-run the conv), then
-    # aggregate ones-counts per bit directly — see simhash() for why
-    # this beats the per-token ±1 array
+    # parse the 8 low digest bytes as TWO 4-byte hex groups (the bit
+    # expressions below would otherwise each re-run the conv; r9 cut
+    # 8 per-byte convs to 2 group convs — the md5 hex parse dominated
+    # simhash_dup_groups' wall). A group's conv value is big-endian
+    # over its 4 bytes while the md5_number_lower bit convention is
+    # little-endian per byte, so LE bit i of the word lives at group
+    # i//32, shift (3 − (i//8)%4)·8 + i%8 — a fixed permutation;
+    # fingerprints are bit-identical to the per-byte parse (pinned by
+    # the simhash_fingerprints_portable oracle).
     tok = tok.select(
         id_col,
         *[
-            F.conv(F.substring("hhex", 17 + 2 * j, 2), 16, 10)
-            .cast("int")
-            .alias(f"hb{j}")
-            for j in range(8)
+            F.conv(F.substring("hhex", 17 + 8 * g, 8), 16, 10)
+            .cast("long")
+            .alias(f"hg{g}")
+            for g in range(2)
         ],
     )
     summed = tok.groupBy(id_col).agg(
         F.count("*").alias("cnt"),
         *[
             F.sum(
-                F.shiftright(F.col(f"hb{i // 8}"), i % 8).bitwiseAND(
-                    F.lit(1)
-                )
+                F.shiftright(
+                    F.col(f"hg{i // 32}"),
+                    (3 - (i // 8) % 4) * 8 + i % 8,
+                ).bitwiseAND(F.lit(1))
             ).alias(f"o{i}")
             for i in range(64)
         ],
@@ -1062,22 +1068,25 @@ def simhash128(
     )
     if portable:
         tok = tok.withColumn("hhex", F.md5("tok"))
-        # word w byte j lives at hex chars (17-16w)+2j .. +2 — one
-        # conv per byte, shared by its 8 bit expressions
+        # word w group g = hex chars (17−16w)+8g ..+8: four 4-byte
+        # group convs instead of 16 per-byte convs (see
+        # simhash_portable for the LE-bit↔group-shift permutation;
+        # fingerprints identical, pinned by the simhash128 oracles)
         tok = tok.select(
             id_col,
             *[
                 F.conv(
-                    F.substring("hhex", (17 - 16 * w) + 2 * j, 2), 16, 10
+                    F.substring("hhex", (17 - 16 * w) + 8 * g, 8), 16, 10
                 )
-                .cast("int")
-                .alias(f"hb{w}_{j}")
+                .cast("long")
+                .alias(f"hg{w}_{g}")
                 for w in range(2)
-                for j in range(8)
+                for g in range(2)
             ],
         )
         bitsrc = lambda w, i: F.shiftright(  # noqa: E731
-            F.col(f"hb{w}_{i // 8}"), i % 8
+            F.col(f"hg{w}_{i // 32}"),
+            (3 - (i // 8) % 4) * 8 + i % 8,
         ).bitwiseAND(F.lit(1))
     else:
         tok = tok.select(

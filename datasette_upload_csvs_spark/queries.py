@@ -98,6 +98,9 @@ _DRIVER_PRIORITY = [
     "multimodal_near_dup_pairs",
     # decoder-seam parameter threaded through the Arrow passes:
     "multimodal_phash_fingerprints", "multimodal_feature_extract",
+    # portable md5 parse rewritten per-byte -> 4-byte groups
+    # (fingerprints bit-identical; wall-neutral, see PLANS_r09):
+    "simhash_fingerprints_portable",
 ]
 
 _DRIVER_CHECKED = frozenset({
@@ -118,7 +121,7 @@ _DRIVER_CHECKED = frozenset({
     "perplexity_band_filter", "doremi_domain_reweight",
     "lsh_band_scurve", "dedup_embedding_cosine",
     "similarity_pq_recall", "similarity_ivf_recall",
-    "cms_token_heavy_hitters", "simhash_fingerprints_portable",
+    "cms_token_heavy_hitters",
     "kmeans_lloyd_step", "semantic_decontamination",
     "abtt_cleaned_topk",
     "aqp_groupwise_ci",
