@@ -101,6 +101,9 @@ _DRIVER_PRIORITY = [
     # portable md5 parse rewritten per-byte -> 4-byte groups
     # (fingerprints bit-identical; wall-neutral, see PLANS_r09):
     "simhash_fingerprints_portable",
+    # fresh round-9 entries (128-bit scale tier) — listed here so the
+    # local sf0.01 priority sweep covers them per-commit too:
+    "simhash128_fingerprints", "simhash128_dup_groups",
 ]
 
 _DRIVER_CHECKED = frozenset({

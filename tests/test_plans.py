@@ -391,3 +391,24 @@ def test_changed_entries_never_cartesian(name, spark, sf_dir):
     df = Q.queries()[name](spark, sf_dir)
     assert "CartesianProduct" not in plans.executed_plan(df), name
     spark.catalog.clearCache()
+
+
+def test_wide_fingerprint_pairs_stay_bucketed(spark, sf_dir):
+    """simhash128_dup_groups' pair source must stay the pigeonhole
+    chunk join at 32-bit keys: the pre-closure plan carries the
+    (chunk, val) equi-join (an Exchange hashpartitioning on chunk),
+    never a cartesian or nested-loop pairing — the sub-quadratic
+    property BENCH_FP_SCALE measures."""
+    from datasette_upload_csvs_spark.operators import dedup
+    from datasette_upload_csvs_spark.sources.parquet import read_table
+
+    fp = dedup.simhash128(read_table(spark, sf_dir, "documents"))
+    pairs = dedup.fingerprint_hamming_pairs_wide(
+        fp, ["fp0", "fp1"], "doc_id", max_hamming=3, pair_mode="star"
+    )
+    txt = plans.executed_plan(pairs)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "chunk" in txt and "val" in txt  # the equi-join key
+    pairs.unpersist()
+    spark.catalog.clearCache()
