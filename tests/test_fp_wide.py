@@ -122,9 +122,13 @@ def test_wide_validation(spark):
         dedup.fingerprint_hamming_pairs_wide(
             fp, ["fp0", "fp1"], "doc_id", max_hamming=4, n_chunks=4
         )
-    with pytest.raises(ValueError):  # chunks not a multiple of words
+    with pytest.raises(ValueError):  # cpw=3 does not divide 64
         dedup.fingerprint_hamming_pairs_wide(
             fp, ["fp0", "fp1"], "doc_id", n_chunks=6
+        )
+    with pytest.raises(ValueError):  # chunks not a multiple of words
+        dedup.fingerprint_hamming_pairs_wide(
+            fp, ["fp0", "fp1"], "doc_id", n_chunks=5, max_hamming=1
         )
     with pytest.raises(ValueError):
         dedup.fingerprint_hamming_pairs_wide(
@@ -184,3 +188,50 @@ def test_fast_groups_contain_exact_dups(spark, sf_dir):
                 d,
             )
         spark.catalog.clearCache()
+
+
+def test_three_word_fingerprints_generic(spark):
+    """fingerprint_hamming_pairs_wide is generic over ANY word count
+    (192-bit = 3 words here, n_chunks=6 -> 32-bit keys): exact recall
+    at hamming <= 5 against a brute-force join over synthetic
+    fingerprints."""
+    import random
+
+    rng = random.Random(7)
+
+    def signed(v):  # two's-complement wrap so bit-63 words round-trip
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = []
+    base = [rng.getrandbits(64) for _ in range(3)]
+    for i in range(60):
+        if i % 3 == 0:  # near-dup of base: flip <=5 bits across words
+            w = list(base)
+            for _ in range(rng.randint(0, 5)):
+                j = rng.randrange(3)
+                w[j] ^= 1 << rng.randrange(64)
+            rows.append((i, *[signed(x) for x in w]))
+        else:
+            rows.append(
+                (i, *[signed(rng.getrandbits(64)) for _ in range(3)])
+            )
+    fp = spark.createDataFrame(
+        rows, "doc_id long, f0 long, f1 long, f2 long"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.fingerprint_hamming_pairs_wide(
+            fp, ["f0", "f1", "f2"], "doc_id", max_hamming=5, n_chunks=6
+        ).collect()
+    }
+    brute = set()
+    for i, (ida, *wa) in enumerate(rows):
+        for idb, *wb in rows[i + 1:]:
+            h = sum(
+                bin((a ^ b) & (2**64 - 1)).count("1")
+                for a, b in zip(wa, wb)
+            )
+            if h <= 5:
+                lo, hi = (ida, idb) if ida < idb else (idb, ida)
+                brute.add((lo, hi, h))
+    assert got == brute and len(brute) >= 10
