@@ -1034,6 +1034,99 @@ def simhash_portable(
     return summed.select(id_col, _fingerprint_from_ones().alias("simhash64"))
 
 
+def simhash_wide(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_words: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """SimHash at ANY width: (id, fp0..fp{n_words−1}) — the radius
+    dial simhash128's docstring only gestures at. Exact pigeonhole
+    recall at hamming ≤ r needs n_chunks = r+1, and SELECTIVE keys
+    need 64·n_words/n_chunks ≳ log2(n) bits — so hamming ≤ 3 at 10⁹
+    docs takes 128 bits (simhash128), but the hamming ≤ 7 thresholds
+    perceptual/fingerprint practice uses need 8 chunks, i.e. 256 bits
+    (n_words=4) to keep 32-bit keys. fingerprint_hamming_pairs_wide
+    consumes any width unchanged.
+
+    portable=True: md5 digest k supplies words 2k (lower half, the
+    md5_number_lower convention) and 2k+1 (upper); digest 0 is
+    md5(tok) — so n_words=2 is BIT-IDENTICAL to simhash128 — and
+    digest k ≥ 1 is md5('w{k}:' || tok), still one SQL built-in per
+    digest for a DuckDB oracle. portable=False: xxhash64 with word
+    index as seed column (word0 == simhash()'s fingerprint).
+
+    Same shuffle shape at every width: ones-count partial
+    aggregation, one row per doc, 64·n_words+1 agg columns."""
+    if n_words < 1:
+        raise ValueError(f"n_words must be >= 1, got {n_words}")
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    if portable:
+        n_digests = (n_words + 1) // 2
+        for k in range(n_digests):
+            src = (
+                F.md5("tok")
+                if k == 0
+                else F.md5(F.concat(F.lit(f"w{k}:"), F.col("tok")))
+            )
+            tok = tok.withColumn(f"hhex{k}", src)
+        # word w = digest w//2, half w%2 (0 = lower = hex chars 17..,
+        # 1 = upper = chars 1..), parsed as two 4-byte hex groups —
+        # see simhash_portable for the LE-bit↔group-shift permutation
+        tok = tok.select(
+            id_col,
+            *[
+                F.conv(
+                    F.substring(
+                        f"hhex{w // 2}",
+                        (17 - 16 * (w % 2)) + 8 * g,
+                        8,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias(f"hg{w}_{g}")
+                for w in range(n_words)
+                for g in range(2)
+            ],
+        )
+        bitsrc = lambda w, i: F.shiftright(  # noqa: E731
+            F.col(f"hg{w}_{i // 32}"),
+            (3 - (i // 8) % 4) * 8 + i % 8,
+        ).bitwiseAND(F.lit(1))
+    else:
+        tok = tok.select(
+            F.col(id_col),
+            F.xxhash64("tok").alias("h0"),
+            *[
+                F.xxhash64("tok", F.lit(w)).alias(f"h{w}")
+                for w in range(1, n_words)
+            ],
+        )
+        bitsrc = lambda w, i: F.shiftright(  # noqa: E731
+            F.col(f"h{w}"), i
+        ).bitwiseAND(F.lit(1))
+    summed = tok.groupBy(id_col).agg(
+        F.count("*").alias("cnt"),
+        *[
+            F.sum(bitsrc(w, i)).alias(f"s{w}_{i}")
+            for w in range(n_words)
+            for i in range(64)
+        ],
+    )
+    return summed.select(
+        id_col,
+        *[
+            _fingerprint_from_ones(f"s{w}_").alias(f"fp{w}")
+            for w in range(n_words)
+        ],
+    )
+
+
 def simhash128(
     docs: DataFrame,
     text_col: str = "text",
@@ -1062,55 +1155,9 @@ def simhash128(
     internal fast path, not cross-engine reproducible.
 
     Same shuffle shape as simhash(): ones-count partial aggregation,
-    one row per doc, 129 agg columns instead of 65."""
-    tok = docs.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    )
-    if portable:
-        tok = tok.withColumn("hhex", F.md5("tok"))
-        # word w group g = hex chars (17−16w)+8g ..+8: four 4-byte
-        # group convs instead of 16 per-byte convs (see
-        # simhash_portable for the LE-bit↔group-shift permutation;
-        # fingerprints identical, pinned by the simhash128 oracles)
-        tok = tok.select(
-            id_col,
-            *[
-                F.conv(
-                    F.substring("hhex", (17 - 16 * w) + 8 * g, 8), 16, 10
-                )
-                .cast("long")
-                .alias(f"hg{w}_{g}")
-                for w in range(2)
-                for g in range(2)
-            ],
-        )
-        bitsrc = lambda w, i: F.shiftright(  # noqa: E731
-            F.col(f"hg{w}_{i // 32}"),
-            (3 - (i // 8) % 4) * 8 + i % 8,
-        ).bitwiseAND(F.lit(1))
-    else:
-        tok = tok.select(
-            F.col(id_col),
-            F.xxhash64("tok").alias("h0"),
-            F.xxhash64("tok", F.lit(1)).alias("h1"),
-        )
-        bitsrc = lambda w, i: F.shiftright(  # noqa: E731
-            F.col(f"h{w}"), i
-        ).bitwiseAND(F.lit(1))
-    prefixes = ("o", "p")
-    summed = tok.groupBy(id_col).agg(
-        F.count("*").alias("cnt"),
-        *[
-            F.sum(bitsrc(w, i)).alias(f"{prefixes[w]}{i}")
-            for w in range(2)
-            for i in range(64)
-        ],
-    )
-    return summed.select(
-        id_col,
-        _fingerprint_from_ones("o").alias("fp0"),
-        _fingerprint_from_ones("p").alias("fp1"),
-    )
+    one row per doc, 129 agg columns instead of 65. (Delegates to
+    simhash_wide(n_words=2) — one implementation per convention.)"""
+    return simhash_wide(docs, text_col, id_col, n_words=2, portable=portable)
 
 
 def simhash_near_dup_pairs(

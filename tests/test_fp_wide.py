@@ -235,3 +235,78 @@ def test_three_word_fingerprints_generic(spark):
                 lo, hi = (ida, idb) if ida < idb else (idb, ida)
                 brute.add((lo, hi, h))
     assert got == brute and len(brute) >= 10
+
+
+def test_simhash_wide_radius7_exact_at_256_bits(spark, sf_dir):
+    """The radius story end-to-end: hamming <= 7 exact recall needs 8
+    chunks; at 256 bits (n_words=4) the keys stay 32-bit. Bucketed
+    join over simhash_wide fingerprints equals brute force on the
+    concatenated 256-bit hamming."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    fp = dedup.simhash_wide(docs, n_words=4, portable=False).persist()
+    cols = ["fp0", "fp1", "fp2", "fp3"]
+    rows = [tuple(r[c] for c in ["doc_id"] + cols) for r in fp.collect()]
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.fingerprint_hamming_pairs_wide(
+            fp, cols, "doc_id", max_hamming=7, n_chunks=8
+        ).collect()
+    }
+    brute = set()
+    for i, (ida, *wa) in enumerate(rows):
+        for idb, *wb in rows[i + 1:]:
+            h = sum(
+                bin((a ^ b) & (2**64 - 1)).count("1")
+                for a, b in zip(wa, wb)
+            )
+            if h <= 7:
+                lo, hi = (ida, idb) if ida < idb else (idb, ida)
+                brute.add((lo, hi, h))
+    assert got == brute
+    spark.catalog.clearCache()
+
+
+def test_simhash_wide_conventions(spark):
+    """n_words=2 is bit-identical to simhash128 (portable AND fast);
+    fast word0 == simhash(); portable words 2..3 come from the salted
+    second digest (pure-python recomputation)."""
+    import hashlib
+
+    rows = [(0, "the quick brown fox jumps over the lazy dog"),
+            (1, "pack my box with five dozen liquor jugs")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for portable in (True, False):
+        wide = {r["doc_id"]: (r["fp0"], r["fp1"])
+                for r in dedup.simhash_wide(
+                    df, n_words=2, portable=portable).collect()}
+        h128 = {r["doc_id"]: (r["fp0"], r["fp1"])
+                for r in dedup.simhash128(df, portable=portable).collect()}
+        assert wide == h128, portable
+
+    def py_word(texts_tokens, digest_fn, half):
+        sums = [0] * 64
+        for t in texts_tokens:
+            hx = digest_fn(t)
+            off = 16 - 16 * half
+            v = sum(int(hx[off + 2 * j:off + 2 * j + 2], 16) << (8 * j)
+                    for j in range(8))
+            for i in range(64):
+                sums[i] += 1 if (v >> i) & 1 else -1
+        out = 0
+        for i, s in enumerate(sums):
+            if s > 0:
+                out |= 1 << i
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    got = {r["doc_id"]: (r["fp2"], r["fp3"])
+           for r in dedup.simhash_wide(df, n_words=4).collect()}
+    for doc_id, text in rows:
+        toks = [t for t in SPLIT.split(text) if t]
+        d1 = lambda t: hashlib.md5(f"w1:{t}".encode()).hexdigest()  # noqa: E731
+        want = (py_word(toks, d1, 0), py_word(toks, d1, 1))
+        assert got[doc_id] == want, doc_id
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedup.simhash_wide(df, n_words=0)
