@@ -101,9 +101,10 @@ _DRIVER_PRIORITY = [
     # portable md5 parse rewritten per-byte -> 4-byte groups
     # (fingerprints bit-identical; wall-neutral, see PLANS_r09):
     "simhash_fingerprints_portable",
-    # fresh round-9 entries (128-bit scale tier) — listed here so the
-    # local sf0.01 priority sweep covers them per-commit too:
+    # fresh round-9 entries (128/256-bit scale tier) — listed here so
+    # the local sf0.01 priority sweep covers them per-commit too:
     "simhash128_fingerprints", "simhash128_dup_groups",
+    "simhash256_fingerprints",
 ]
 
 _DRIVER_CHECKED = frozenset({
@@ -2209,6 +2210,55 @@ def simhash128_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     log2 n)."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return dedup.simhash128(d)
+
+
+# 256-bit terms: digest 0 = md5(tok) (words 0/1, the simhash128
+# convention), digest 1 = md5('w1:' || tok) (words 2/3)
+_SIMHASH256_SUMS = ",\n           ".join(
+    f"SUM(CASE WHEN (h{w} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{w}_{i}"
+    for w in range(4)
+    for i in range(64)
+)
+
+
+@q(
+    "simhash256_fingerprints",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                        x -> x <> '')) AS tok
+      FROM documents WHERE doc_id < 200
+    ), h AS (
+      SELECT doc_id,
+             md5_number_lower(tok) AS h0,
+             md5_number_upper(tok) AS h1,
+             md5_number_lower('w1:' || tok) AS h2,
+             md5_number_upper('w1:' || tok) AS h3
+      FROM tok
+    ), s AS (
+      SELECT doc_id, {_SIMHASH256_SUMS}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_simhash128_fp_sql(0)} AS BIGINT) AS fp0,
+           CAST({_simhash128_fp_sql(1)} AS BIGINT) AS fp1,
+           CAST({_simhash128_fp_sql(2)} AS BIGINT) AS fp2,
+           CAST({_simhash128_fp_sql(3)} AS BIGINT) AS fp3
+    FROM s
+    """,
+)
+def simhash256_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """256-bit portable SimHash (dedup.simhash_wide, n_words=4): the
+    RADIUS-scale fingerprint — exact pigeonhole recall at the
+    hamming ≤ 7 thresholds fingerprint practice uses needs 8 chunks,
+    and 8 chunks keep selective 32-bit keys only at 256-bit width
+    (64-bit/8-chunk keys are 8 bits — dense at any corpus size).
+    Two md5 digests per token (digest 1 salted 'w1:'), each word
+    recomputed in SQL and hash-matched — the same cross-engine
+    contract as simhash128_fingerprints, one width up. The bucketed
+    join at this width is pinned brute-force-equal in
+    tests/test_fp_wide.py::test_simhash_wide_radius7_exact_at_256_bits."""
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.simhash_wide(d, n_words=4, portable=True)
 
 
 @q(
