@@ -99,6 +99,8 @@ def compact_state_table(
     target_files: int = 8,
     part_col: str = "_batch_id",
     sort_cols: list | None = None,
+    since_epoch: int = 0,
+    into_epoch: int | None = None,
 ) -> int:
     """Fold every closed epoch partition (0 ≤ _batch_id <
     before_epoch) into the BASE partition. Returns the number of
@@ -138,7 +140,36 @@ def compact_state_table(
     the same for any integer-partitioned state table (the maintained
     ShingleIndex reuses it with part_col="batch"). ``sort_cols``
     sorts the folded base within its files (postings tables keep
-    their shingle-sorted row groups through folds)."""
+    their shingle-sorted row groups through folds).
+
+    MINOR (generational) folds — the LSM tier that caps the
+    O(history) rewrite: pass ``since_epoch=lo, into_epoch=hi-1`` to
+    fold ONLY epochs [lo, hi) into the RUN partition ``hi-1`` —
+    base is not read, not rewritten, and the fold's I/O is the
+    window's, not the history's. Run ids are ordinary non-negative
+    closed-epoch ids, so read_state and the replay mask need no
+    change (a run is never the open epoch). A later MAJOR fold
+    (into_epoch=None) absorbs runs and base alike — its [0, W)
+    window matches run ids by construction. Same 4-step
+    crash-repair protocol and the same contract: re-run with
+    IDENTICAL arguments after a crash (the staging id encodes the
+    watermark; the argument schedule must be deterministic, as
+    ``tiered_compact``'s is). ``since_epoch`` must be 0 for major
+    folds; ``since_epoch <= into_epoch < before_epoch`` for minor."""
+    if into_epoch is None:
+        if since_epoch != 0:
+            raise ValueError(
+                "major folds (into_epoch=None) must take since_epoch=0: "
+                "the merge reads base, so a partial window would drop "
+                "the skipped epochs' rows from it"
+            )
+    else:
+        if not (0 <= since_epoch <= into_epoch < before_epoch):
+            raise ValueError(
+                f"minor fold needs 0 <= since_epoch({since_epoch}) <= "
+                f"into_epoch({into_epoch}) < before_epoch({before_epoch})"
+            )
+    target = BASE_EPOCH if into_epoch is None else into_epoch
     if not spark.catalog.tableExists(table):
         return 0
     # invoked from the same foreachBatch threads whose epoch readers
@@ -151,19 +182,26 @@ def compact_state_table(
         r[part_col]
         for r in spark.table(table).select(part_col).distinct().collect()
     ]
-    window = sorted(p for p in part_ids if 0 <= p < before_epoch)
+    window = sorted(
+        p for p in part_ids if since_epoch <= p < before_epoch
+    )
     stale = [p for p in part_ids if p < BASE_EPOCH and p != stg]
-    if not window and stg not in part_ids:
+    done_already = window == [target] or not window
+    if done_already and stg not in part_ids:
+        # nothing to fold (or a completed re-run whose only window
+        # partition is the promoted run itself)
         _drop_partitions(spark, table, stale, part_col)
         return 0
     cols = spark.table(table).columns
     if stg not in part_ids:
+        src = (F.col(part_col) >= since_epoch) & (
+            F.col(part_col) < before_epoch
+        )
+        if into_epoch is None:
+            src = src | (F.col(part_col) == BASE_EPOCH)
         merged = (
             spark.table(table)
-            .filter(
-                (F.col(part_col) == BASE_EPOCH)
-                | ((F.col(part_col) >= 0) & (F.col(part_col) < before_epoch))
-            )
+            .filter(src)
             .withColumn(part_col, F.lit(stg))
             .select(*cols)
             .coalesce(max(1, target_files))
@@ -176,14 +214,62 @@ def compact_state_table(
     promoted = (
         spark.table(table)
         .filter(F.col(part_col) == stg)
-        .withColumn(part_col, F.lit(BASE_EPOCH))
+        .withColumn(part_col, F.lit(target))
         .select(*cols)
         .localCheckpoint()
     )
     write_epoch_partition(promoted, table, part_col)
-    _drop_partitions(spark, table, window, part_col)
+    _drop_partitions(
+        spark, table, [p for p in window if p != target], part_col
+    )
     _drop_partitions(spark, table, [stg] + stale, part_col)
     return len(window)
+
+
+def tiered_compact(
+    spark,
+    table: str,
+    epoch: int,
+    minor_every: int,
+    major_every: int | None = None,
+    **kw,
+) -> int:
+    """LSM-style fold schedule — the amortization fix for the major
+    fold's O(history) rewrite. Every ``minor_every`` epochs the
+    newest closed window [epoch − minor_every, epoch) folds into the
+    run partition ``epoch − 1`` (I/O = one window, NOT the history);
+    every ``major_every`` epochs (must be a multiple of minor_every;
+    None = never) runs and base fold into base. Between majors the
+    partition count is ≤ base + runs (major_every / minor_every) +
+    open-window epochs (< minor_every); amortized rewrite I/O per
+    epoch is O(window + history / major_every) instead of
+    O(history / compact_every).
+
+    Deterministic in ``epoch`` alone — the crash-repair contract
+    (re-run with identical arguments) holds for any at-least-once
+    caller that re-invokes it with the replayed epoch id. Returns
+    partitions folded (0 on off-schedule epochs)."""
+    if minor_every < 1:
+        raise ValueError(f"minor_every must be >= 1, got {minor_every}")
+    if major_every is not None and major_every % minor_every != 0:
+        raise ValueError(
+            f"major_every({major_every}) must be a multiple of "
+            f"minor_every({minor_every})"
+        )
+    if epoch <= 0:
+        return 0
+    if major_every is not None and epoch % major_every == 0:
+        return compact_state_table(spark, table, epoch, **kw)
+    if epoch % minor_every == 0:
+        return compact_state_table(
+            spark,
+            table,
+            epoch,
+            since_epoch=epoch - minor_every,
+            into_epoch=epoch - 1,
+            **kw,
+        )
+    return 0
 
 
 def _drop_partitions(spark, table: str, ids, part_col: str = "_batch_id") -> None:
