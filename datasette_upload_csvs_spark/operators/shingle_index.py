@@ -404,7 +404,12 @@ class ShingleIndex:
         )
 
     # ----------------------------------------------------- compaction
-    def compact(self, before_batch: int, target_files: int = 8) -> int:
+    def compact(
+        self,
+        before_batch: int,
+        target_files: int = 8,
+        since_batch: int = 0,
+    ) -> int:
         """Fold every committed batch partition below ``before_batch``
         into the BASE partition of all four index tables — the
         streaming state-table fold (epoch_write.compact_state_table)
@@ -434,7 +439,19 @@ class ShingleIndex:
 
         Postings and df fold with sort_cols=["shingle"] so the base
         partition keeps the shingle-sorted row groups appends write
-        (the parquet min/max-skipping posture)."""
+        (the parquet min/max-skipping posture).
+
+        ``since_batch > 0`` makes this a MINOR (generational) fold —
+        epoch_write's tiered recipe: only [since_batch, before_batch)
+        is merged, into a RUN partition, so the fold's I/O is the
+        window's, not the history's, and a later major fold
+        (since_batch=0) absorbs the runs. One index-specific
+        subtlety: reads gate table rows by PARTITION id against the
+        commit markers' payload ids, so the run id must itself be a
+        COMMITTED batch — the fold picks the window's highest
+        committed id (orphans were just dropped, so that is the
+        window max), and every folded row is committed by
+        construction, keeping the gate exact at any crash point."""
         spark = self.spark
         if not spark.catalog.tableExists(self.commits):
             return 0
@@ -443,6 +460,14 @@ class ShingleIndex:
             r["b"]
             for r in spark.table(self.commits).select("b").distinct().collect()
         }
+        into = None
+        if since_batch > 0:
+            in_window = [
+                b for b in committed if since_batch <= b < before_batch
+            ]
+            if not in_window:
+                return 0  # nothing committed in the window
+            into = max(in_window)
         folded = 0
         for table, sort_cols in (
             (self.postings, ["shingle"]),
@@ -459,7 +484,7 @@ class ShingleIndex:
             orphans = [
                 p
                 for p in part_ids
-                if 0 <= p < before_batch and p not in committed
+                if since_batch <= p < before_batch and p not in committed
             ]
             _drop_partitions(spark, table, orphans, "batch")
             n = compact_state_table(
@@ -469,6 +494,8 @@ class ShingleIndex:
                 target_files=target_files,
                 part_col="batch",
                 sort_cols=sort_cols,
+                since_epoch=since_batch,
+                into_epoch=into,
             )
             if table == self.postings:
                 folded = n
@@ -478,6 +505,8 @@ class ShingleIndex:
             before_batch,
             target_files=1,
             part_col="batch",
+            since_epoch=since_batch,
+            into_epoch=into,
         )
         return folded
 

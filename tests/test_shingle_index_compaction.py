@@ -192,3 +192,72 @@ def test_partial_fold_states_read_correct_and_rerun_repairs(spark):
     finally:
         idx.drop()
         spark.catalog.clearCache()
+
+
+def test_minor_index_fold_window_only_and_gate_exact(spark):
+    """since_batch > 0: the generational index fold — window batches
+    fold into a RUN partition whose id is the window's highest
+    COMMITTED batch (so the marker gate stays exact), history is
+    untouched, an uncommitted orphan in the window is dropped not
+    promoted, and a later major fold absorbs the runs."""
+    idx = ShingleIndex(spark, "tcix_minor")
+    idx.drop()
+    try:
+        for b in range(4):
+            idx.append(_docs(spark, _mk_batch(b)), batch=b)
+        idx.compact(before_batch=4)  # history -> base
+        for b in range(4, 8):
+            if b == 7:  # crashed append: data, no marker
+                sets = idx._batch_sets(
+                    _docs(spark, [(777, " ".join(f"o7o{j}" for j in range(12)))]),
+                    "text", "doc_id",
+                )
+                idx._write_partition(
+                    sets.withColumn("batch", F.lit(7).cast("bigint")), idx.sets
+                )
+            else:
+                idx.append(_docs(spark, _mk_batch(b)), batch=b)
+        probe = _docs(spark, _mk_batch(20))
+        want = _edges(idx, probe)
+
+        n = idx.compact(before_batch=8, since_batch=4)
+        assert n >= 2
+        # run id = highest committed in window (6, since 7 is orphan)
+        parts = {
+            r["batch"]
+            for r in spark.sql(f"SHOW PARTITIONS {idx.sets}")
+            .selectExpr("cast(split(partition, '=')[1] as bigint) as batch")
+            .collect()
+        }
+        assert parts == {-1, 6}
+        assert 777 not in {
+            r["doc_id"] for r in spark.table(idx.sets).select("doc_id").collect()
+        }
+        assert _edges(idx, probe) == want
+        # committed-ness preserved: markers for 4,5,6 live in run 6
+        committed = {
+            r["b"] for r in spark.table(idx.commits).select("b").collect()
+        }
+        assert committed == {0, 1, 2, 3, 4, 5, 6}
+
+        # appends continue; a later MAJOR fold absorbs the run
+        idx.append(_docs(spark, _mk_batch(8)), batch=8)
+        idx.compact(before_batch=9)
+        parts = {
+            r["batch"]
+            for r in spark.sql(f"SHOW PARTITIONS {idx.sets}")
+            .selectExpr("cast(split(partition, '=')[1] as bigint) as batch")
+            .collect()
+        }
+        assert parts == {-1}
+        ref = ShingleIndex(spark, "tcix_minor_ref")
+        ref.drop()
+        try:
+            for b in list(range(7)) + [8]:
+                ref.append(_docs(spark, _mk_batch(b)), batch=b)
+            assert _edges(idx, probe) == _edges(ref, probe)
+        finally:
+            ref.drop()
+    finally:
+        idx.drop()
+        spark.catalog.clearCache()
