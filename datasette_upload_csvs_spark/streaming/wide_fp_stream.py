@@ -199,20 +199,36 @@ def maintain_wide_fp_stream(
     n_chunks: int = 4,
     checkpoint_dir: str | None = None,
     compact_every: int | None = None,
+    compact_schedule: tuple | None = None,
     portable: bool = True,
 ) -> int:
     """Drain a parquet stream of (doc_id, text) into 128-bit near-dup
     PAIRS while maintaining the fingerprint table.
     Trigger.AvailableNow; returns micro-batches processed. Same
     exactly-once and `compact_every` contracts as
-    maintain_phash_stream."""
+    maintain_phash_stream. `compact_schedule=(minor_every,
+    major_every)` uses the generational fold instead
+    (epoch_write.tiered_compact): minor folds cost one window of
+    I/O, majors absorb runs and base — the long-stream regime where
+    compact_every's per-fold O(history) rewrite dominates."""
+    from datasette_upload_csvs_spark.streaming.epoch_write import (
+        tiered_compact,
+    )
+
+    if compact_every and compact_schedule:
+        raise ValueError("pass compact_every OR compact_schedule, not both")
     batches = {"n": 0}
 
     def sink(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
             return
-        if compact_every and epoch > 0 and epoch % compact_every == 0:
-            sp = batch_df.sparkSession
+        sp = batch_df.sparkSession
+        if compact_schedule:
+            for t in (pairs_table, fp_table):
+                tiered_compact(
+                    sp, t, epoch, compact_schedule[0], compact_schedule[1]
+                )
+        elif compact_every and epoch > 0 and epoch % compact_every == 0:
             for t in (pairs_table, fp_table):
                 compact_state_table(sp, t, before_epoch=epoch)
         wide_fp_epoch(

@@ -140,3 +140,33 @@ def test_wide_fp_epoch_recall_contract(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         wide_fp_epoch(df, 0, "x_pairs", "x_fp", max_hamming=4, n_chunks=4)
+
+
+def test_wide_fp_stream_tiered_schedule(spark, sf_dir, tmp_path):
+    """compact_schedule=(minor, major): the generational fold under a
+    live stream — same pair results, partitions bounded, and the two
+    compaction modes are mutually exclusive."""
+    corpus = _doc_corpus(spark, sf_dir)
+    n = _drain(
+        spark, corpus, tmp_path, ("wft_pairs", "wft_fp"),
+        compact_schedule=(1, 2),
+    )
+    assert n == 3
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in spark.table("wft_pairs").collect()
+    }
+    assert got == _batch_pairs(corpus)
+    for t in ("wft_pairs", "wft_fp"):
+        parts = sorted(
+            r["_batch_id"]
+            for r in spark.table(t).select("_batch_id").distinct().collect()
+        )
+        assert parts[0] == BASE_EPOCH and len(parts) <= 3, (t, parts)
+    with pytest.raises(ValueError):
+        maintain_wide_fp_stream(
+            spark, "/nonexistent", "doc_id bigint, text string",
+            "x_p", "x_f", compact_every=2, compact_schedule=(1, 2),
+        )
+    for t in ("wft_pairs", "wft_fp"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
