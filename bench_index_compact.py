@@ -66,10 +66,19 @@ def main() -> None:
 
     meter = None
     out = {}
-    for tag, every in (("fold", COMPACT_EVERY), ("plain", None)):
+    # fold   = flat schedule: every fold is a MAJOR (O(history) input)
+    # tiered = generational: minors fold one window; every 3rd fold
+    #          is a major — the amortization the tiered recipe claims
+    for tag, every in (
+        ("fold", COMPACT_EVERY),
+        ("tiered", COMPACT_EVERY),
+        ("plain", None),
+    ):
         idx = ShingleIndex(spark, f"bic_{tag}")
         idx.drop()
         q_walls, folds = [], []
+        prev_watermark = 0
+        n_folds = 0
         for b in range(N_APPENDS):
             batch = mk(b)
             t0 = time.perf_counter()
@@ -81,13 +90,19 @@ def main() -> None:
                 if meter is None:
                     meter = _ShuffleMeter(spark)
                 hist_rows = spark.table(idx.postings).count()
+                n_folds += 1
+                minor = tag == "tiered" and n_folds % 3 != 0
                 t0 = time.perf_counter()
                 shuf, inp, folded = meter.measure(
-                    lambda: idx.compact(before_batch=b)
+                    lambda: idx.compact(
+                        before_batch=b,
+                        since_batch=prev_watermark if minor else 0,
+                    )
                 )
                 folds.append(
                     {
                         "at_batch": b,
+                        "kind": "minor" if minor else "major",
                         "folded_partitions": folded,
                         "history_rows": hist_rows,
                         "wall_s": round(time.perf_counter() - t0, 3),
@@ -95,6 +110,7 @@ def main() -> None:
                         "input_mb": round(inp / 2**20, 2),
                     }
                 )
+                prev_watermark = b
             spark.catalog.clearCache()
         third = N_APPENDS // 3
         tables = {}
@@ -107,6 +123,9 @@ def main() -> None:
                 for i in range(3)
             ],
             "folds": folds,
+            "fold_input_mb_total": round(
+                sum(f["input_mb"] for f in folds), 2
+            ),
             "tables": tables,
         }
         print(f"# {tag}: {json.dumps(out[tag])}", file=sys.stderr)
