@@ -1168,16 +1168,19 @@ def simhash_near_dup_pairs(
     portable: bool = False,
     collapse_exact: bool = True,
     pair_mode: str = "clique",
+    allow_lossy: bool = False,
 ) -> DataFrame:
     """Pairs within Hamming distance k, bucketed by 16-bit chunks.
 
     Pigeonhole: distance ≤ 3 ⇒ at least one of the 4 16-bit chunks is
     identical — join on (chunk_idx, chunk_value), then verify exact
     Hamming distance with bit_count(xor). Same shuffle shape as LSH.
-    For max_hamming > 3 the 4-chunk bucketing is deliberately
-    recall-lossy (a pair can differ in all 4 chunks); the oracle for
-    the portable path replicates the bucketing, so the semantics are
-    pinned, not approximated.
+    For max_hamming > 3 the 4-chunk bucketing is recall-lossy (a pair
+    can differ in all 4 chunks), so — same recall contract as
+    fingerprint_hamming_pairs — it raises unless `allow_lossy=True`
+    states the caller wants the documented lossy screen; the oracle
+    for the portable path replicates the bucketing, so lossy
+    semantics are pinned, not approximated.
 
     portable=True derives bits from md5 (cross-engine reproducible,
     oracle-checkable); False keeps the xxhash64 fast path for
@@ -1200,6 +1203,14 @@ def simhash_near_dup_pairs(
     """
     if pair_mode not in ("clique", "star"):
         raise ValueError(f"pair_mode must be 'clique' or 'star', got {pair_mode!r}")
+    if max_hamming >= 4 and not allow_lossy:
+        raise ValueError(
+            f"max_hamming={max_hamming} with the fixed 4-chunk bucketing "
+            "is recall-LOSSY (pigeonhole recall is exact only for "
+            "max_hamming <= 3); pass allow_lossy=True for a deliberate "
+            "lossy screen, or use fingerprint_hamming_pairs with a "
+            "larger n_chunks / simhash128 for exact wider radii"
+        )
     fp = (simhash_portable if portable else simhash)(docs, text_col, id_col)
     return _fp_near_dup_pairs(
         fp, ["simhash64"], id_col, max_hamming, collapse_exact, pair_mode

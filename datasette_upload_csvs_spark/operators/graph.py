@@ -27,6 +27,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class ConvergenceError(RuntimeError):
+    """Raised when an iterative operator exhausts its round budget
+    with labels still moving. A partially-propagated labeling is a
+    WRONG grouping (it splits components), not a degraded one — so
+    the contract is converge-or-raise, never return-best-effort."""
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -39,6 +46,14 @@ def connected_components(
     no edges are absent (join the result back to the full vertex set
     with coalesce(component, id) for singleton semantics — see
     dedup_groups in queries.py).
+
+    Raises ConvergenceError if labels are still changing after
+    `max_iter` rounds: with pointer jumping each round roughly
+    halves label-chain length, so the default 20 rounds covers
+    component diameter ~2^20; a graph that needs more gets a loud
+    error instead of a silently split grouping. Retry with a larger
+    `max_iter` (cost is per-round, so doubling the budget covers
+    the square of the diameter).
     """
     sym = edges.select(
         F.col(src).alias("v"), F.col(dst).alias("n")
@@ -55,6 +70,7 @@ def connected_components(
 
     from pyspark.sql import Observation
 
+    changed = None  # None = loop never ran (max_iter == 0)
     for _ in range(max_iter):
         # candidate label per vertex: min over its own label and all
         # neighbor labels (closed neighborhood); carry the round-start
@@ -100,8 +116,17 @@ def connected_components(
             .select("v", "c")
         ).localCheckpoint()
         labels = new_labels
-        if obs.get["changed"] == 0:
+        changed = obs.get["changed"]
+        if changed == 0:
             break
 
     adj.unpersist()
+    if changed is None or changed > 0:
+        # the seed fold (above) is itself one propagation round, so
+        # max_iter == 0 on a non-trivial graph is also unverified
+        raise ConvergenceError(
+            f"connected_components: {changed or 'unknown'} labels still "
+            f"changing after max_iter={max_iter} rounds; the grouping "
+            "would be silently split — retry with a larger max_iter"
+        )
     return labels.select(F.col("v").alias("vertex"), F.col("c").alias("component"))

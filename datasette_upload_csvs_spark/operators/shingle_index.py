@@ -129,6 +129,37 @@ class ShingleIndex:
             else:
                 spark.conf.set(key, prev)
 
+    def _ensure_commits_layout(self) -> None:
+        """Migrate a legacy commits table in place. Before the
+        generational-fold change the marker table was a single
+        unpartitioned `batch` column; the current layout is
+        (b payload, batch partition) so folds can move markers into
+        the base partition without losing their ids. An index built
+        under the old layout would otherwise crash _committed's
+        select of `b` — detect it on first touch and rewrite every
+        marker as (b=batch, batch). The table is Θ(batches) rows, so
+        the one-time rewrite is metadata-scale."""
+        spark = self.spark
+        if not spark.catalog.tableExists(self.commits):
+            return
+        if "b" in spark.table(self.commits).columns:
+            return
+        legacy = [
+            r["batch"]
+            for r in spark.table(self.commits)
+            .select("batch")
+            .distinct()
+            .collect()
+        ]
+        spark.sql(f"DROP TABLE {self.commits}")
+        if legacy:
+            self._write_partition(
+                spark.createDataFrame(
+                    [(b, b) for b in legacy], "b bigint, batch bigint"
+                ),
+                self.commits,
+            )
+
     def append(
         self,
         docs: DataFrame,
@@ -142,6 +173,7 @@ class ShingleIndex:
         partition, and the commit marker (written last) gates reads,
         so a crashed append is invisible and a replayed one is
         idempotent."""
+        self._ensure_commits_layout()
         b = F.lit(batch).cast("bigint")
         sets = self._batch_sets(docs, text_col, id_col).persist()
         try:
@@ -198,6 +230,7 @@ class ShingleIndex:
         spark = self.spark
         if not spark.catalog.tableExists(self.commits):
             return None
+        self._ensure_commits_layout()
         good = (
             spark.table(self.commits)
             .select(F.col("b").alias("batch"))
@@ -455,6 +488,7 @@ class ShingleIndex:
         spark = self.spark
         if not spark.catalog.tableExists(self.commits):
             return 0
+        self._ensure_commits_layout()
         spark.catalog.refreshTable(self.commits)
         committed = {
             r["b"]

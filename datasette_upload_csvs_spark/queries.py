@@ -82,34 +82,31 @@ def q(name: str, oracle: str | None = None):
 # in _DRIVER_PRIORITY so the independent check re-runs on the new
 # code.
 _DRIVER_PRIORITY = [
-    # Round-9 sample = this list, then any fresh (never-checked,
+    # Round-10 sample = this list, then any fresh (never-checked,
     # non-priority) registry entries, then _DRIVER_CHECKED. Every
-    # name here has code that changed THIS round (rotation rule:
-    # changed entries re-queue for an independent driver check); the
-    # 20 r8-green priority names whose code did NOT change moved to
-    # _DRIVER_CHECKED. All inside the 50-name sample prefix.
+    # name here has code in its call path that changed THIS round
+    # (rotation rule: changed entries re-queue for an independent
+    # driver check); the r9-green priority names whose code did NOT
+    # change moved to _DRIVER_CHECKED. All inside the 50-name prefix.
     #
-    # gate aggregate now reads a localCheckpoint'd base (one parquet
-    # scan shared by gate + twins + band tables):
-    "ann_bands_recall",
-    # _fp_near_dup_pairs rewritten multi-word (list-of-words chunking,
-    # summed per-word hamming) — reaches every pigeonhole consumer:
-    "dedup_simhash", "simhash_dup_groups", "multimodal_dup_groups",
-    "multimodal_near_dup_pairs",
-    # decoder-seam parameter threaded through the Arrow passes:
-    "multimodal_phash_fingerprints", "multimodal_feature_extract",
-    # portable md5 parse rewritten per-byte -> 4-byte groups
-    # (fingerprints bit-identical; wall-neutral, see PLANS_r09):
-    "simhash_fingerprints_portable",
-    # fresh round-9 entries (128/256-bit scale tier) — listed here so
-    # the local sf0.01 priority sweep covers them per-commit too:
-    "simhash128_fingerprints", "simhash128_dup_groups",
-    "simhash256_fingerprints",
+    # entry call changed: allow_lossy=True opt-in for the deliberate
+    # max_hamming=8 lossy screen (guard added in round 10):
+    "dedup_simhash",
+    # connected_components gained the converge-or-raise guard —
+    # behavior identical when converging, but these group entries
+    # run through the changed loop, so they re-queue:
+    "simhash_dup_groups", "simhash128_dup_groups",
+    "multimodal_dup_groups", "dedup_groups", "split_cluster_safe",
 ]
 
 _DRIVER_CHECKED = frozenset({
+    # r9-green priority names whose code did not change in round 10:
+    "ann_bands_recall", "multimodal_near_dup_pairs",
+    "multimodal_phash_fingerprints", "multimodal_feature_extract",
+    "simhash_fingerprints_portable", "simhash128_fingerprints",
+    "simhash256_fingerprints",
     # r8-green priority names whose code did not change in round 9:
-    "dedup_groups", "dedup_keep_best", "split_cluster_safe",
+    "dedup_keep_best",
     "dedup_rate_by_source", "dedup_minhash_lsh",
     "dedup_cross_source_matrix", "dedup_graph_triangles",
     "dedup_containment", "dedup_ngram_jaccard_capped",
@@ -2037,9 +2034,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore pair verdicts — bit-for-bit. The xxhash64 fast path
     stays available as dedup.simhash_near_dup_pairs(portable=False)
     for engine-internal passes where cross-system reproducibility
-    isn't needed (bench-only; not oracle-checkable by design)."""
+    isn't needed (bench-only; not oracle-checkable by design).
+    max_hamming=8 over 4 chunks is a DELIBERATE recall-lossy screen
+    (allow_lossy=True); the oracle replicates the bucketing, so the
+    lossy candidate set itself is what's pinned."""
     return dedup.simhash_near_dup_pairs(
-        load(spark, sf_dir, "documents"), max_hamming=8, portable=True
+        load(spark, sf_dir, "documents"),
+        max_hamming=8,
+        portable=True,
+        allow_lossy=True,
     )
 
 

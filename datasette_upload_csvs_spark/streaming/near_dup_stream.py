@@ -182,12 +182,15 @@ def maintain_near_dup_stream(
     batches = {"n": 0}
 
     def sink(batch_df: DataFrame, epoch: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # compaction BEFORE the empty-batch return: a fold scheduled
+        # on an empty epoch must still run or its window's partitions
+        # stay unfolded (see wide_fp_stream.maintain_wide_fp_stream)
         if compact_every and epoch > 0 and epoch % compact_every == 0:
             sp = batch_df.sparkSession
             for t in (pairs_table, index_table, f"{index_table}__sets"):
                 compact_state_table(sp, t, before_epoch=epoch)
+        if batch_df.isEmpty():
+            return
         near_dup_epoch(
             batch_df,
             epoch,

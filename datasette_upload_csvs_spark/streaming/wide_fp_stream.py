@@ -101,7 +101,22 @@ def wide_fp_epoch(
     invoke a single epoch directly. Exactly-once across both mutable
     stores under at-least-once redelivery (epoch_write recipe).
     Recall contract matches the batch operator: exact for
-    max_hamming ≤ n_chunks−1 (enforced)."""
+    max_hamming ≤ n_chunks−1 (enforced), with the same n_chunks
+    validation as fingerprint_hamming_pairs_wide — an n_chunks that
+    is not a multiple of the word count would make _wide_chunks emit
+    FEWER chunks than nominal (n_chunks=3 → cpw=1 → 2 chunks) and
+    the nominal-count guard below would silently under-protect."""
+    n_words = len(FP_COLS)
+    if n_chunks % n_words != 0:
+        raise ValueError(
+            f"n_chunks={n_chunks} must be a multiple of the fingerprint "
+            f"word count {n_words}"
+        )
+    if (n_chunks // n_words) not in (1, 2, 4, 8, 16):
+        raise ValueError(
+            f"chunks-per-word must be one of 1/2/4/8/16, got "
+            f"{n_chunks // n_words}"
+        )
     if max_hamming >= n_chunks:
         raise ValueError(
             f"max_hamming={max_hamming} with n_chunks={n_chunks} is "
@@ -220,8 +235,12 @@ def maintain_wide_fp_stream(
     batches = {"n": 0}
 
     def sink(batch_df: DataFrame, epoch: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # compaction runs BEFORE the empty-batch early-return: folds
+        # are deterministic in epoch and safe on empty batches, and
+        # skipping a scheduled minor fold because its epoch happened
+        # to be empty would strand that window's partitions until the
+        # next major (or forever with major_every=None), voiding the
+        # bounded-partition guarantee tiered_compact provides.
         sp = batch_df.sparkSession
         if compact_schedule:
             for t in (pairs_table, fp_table):
@@ -231,6 +250,8 @@ def maintain_wide_fp_stream(
         elif compact_every and epoch > 0 and epoch % compact_every == 0:
             for t in (pairs_table, fp_table):
                 compact_state_table(sp, t, before_epoch=epoch)
+        if batch_df.isEmpty():
+            return
         wide_fp_epoch(
             batch_df,
             epoch,

@@ -596,10 +596,12 @@ class UploadApp:
         filename = fields["csv"]["filename"] or "upload.csv"
         # reference __init__.py:119-124: table name falls back to the
         # filename minus .csv; collision suffixes happen in catalog.py.
-        # Delegates to catalog.derive_table_name so the suffix rule
-        # (one .csv / .csv.gz, CASE-INSENSITIVE) can never drift from
-        # the library ingest path: an 'X.CSV.GZ' upload derives the
-        # same table either way.
+        # Delegates to catalog.derive_table_name — a DELIBERATE
+        # deviation from the reference, which strips only a
+        # case-SENSITIVE '.csv' (so 'X.CSV' keeps its suffix there):
+        # our rule is case-insensitive and also strips '.csv.gz', and
+        # delegating keeps the web path identical to the library
+        # ingest path so the two can never drift.
         table = (fields.get("table_name") or fields.get("table") or {}).get(
             "value"
         ) or b""

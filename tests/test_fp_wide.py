@@ -155,6 +155,51 @@ def test_narrow_lossy_validation(spark):
     ).count() == 0
 
 
+def test_simhash_pairs_lossy_validation(spark):
+    """r9 ADVICE: simhash_near_dup_pairs (fixed 4-chunk bucketing)
+    enforces the same recall contract as the fingerprint entry
+    points — max_hamming >= 4 raises unless allow_lossy opts into
+    the documented lossy screen."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError):
+        dedup.simhash_near_dup_pairs(docs, max_hamming=4)
+    with pytest.raises(ValueError):
+        dedup.simhash_near_dup_pairs(docs, max_hamming=8, portable=True)
+    got = dedup.simhash_near_dup_pairs(
+        docs, max_hamming=8, portable=True, allow_lossy=True
+    ).collect()
+    # identical texts → hamming 0 pair survives the lossy screen
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 0)]
+    spark.catalog.clearCache()
+
+
+def test_wide_fp_epoch_chunk_validation(spark, tmp_path):
+    """r9 ADVICE (medium): wide_fp_epoch rejects n_chunks values
+    that would make _wide_chunks emit fewer chunks than nominal
+    (n_chunks=3 -> cpw=1 -> only 2 chunks actually emitted) instead
+    of silently losing recall against the nominal guard."""
+    from datasette_upload_csvs_spark.streaming import wide_fp_stream
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError):  # not a multiple of 2 words
+        wide_fp_stream.wide_fp_epoch(
+            docs, 0, "wfp_v_pairs", "wfp_v_fp", max_hamming=2, n_chunks=3
+        )
+    with pytest.raises(ValueError):  # cpw=3 does not divide 64
+        wide_fp_stream.wide_fp_epoch(
+            docs, 0, "wfp_v_pairs", "wfp_v_fp", max_hamming=2, n_chunks=6
+        )
+    with pytest.raises(ValueError):  # lossy radius still raises
+        wide_fp_stream.wide_fp_epoch(
+            docs, 0, "wfp_v_pairs", "wfp_v_fp", max_hamming=4, n_chunks=4
+        )
+
+
 def test_fast_groups_contain_exact_dups(spark, sf_dir):
     """The xxhash64 hot-path dup-groups twin (bench-only,
     bench.py:_extra_queries) is NOT group-identical to the portable

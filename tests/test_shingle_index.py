@@ -225,3 +225,55 @@ def test_release_batch_cache_frees_executor_storage(spark):
     finally:
         idx.drop()
         spark.catalog.clearCache()
+
+
+def test_legacy_commits_layout_migrates_on_first_touch(spark):
+    """r9 ADVICE: an index built before the generational-fold change
+    has a single-column unpartitioned commits table (batch only, no
+    `b` payload, appended with saveAsTable). First touch through
+    append/_committed/compact must migrate it to the (b, batch)
+    partitioned layout instead of crashing on the missing column —
+    and the migrated markers must gate exactly the batches the
+    legacy table committed."""
+    base = " ".join(f"m{i}" for i in range(30))
+    b1 = [(1, base + " aa"), (2, base + " bb")]
+    b2 = [(3, base + " cc")]
+    idx = ShingleIndex(spark, "legmig")
+    idx.drop()
+    try:
+        # build batch 0 under the CURRENT layout, then rewrite the
+        # commits table into the legacy shape by hand
+        idx.append(_docs(spark, b1), batch=0)
+        legacy = spark.createDataFrame([(0,)], "batch bigint")
+        spark.sql(f"DROP TABLE {idx.commits}")
+        legacy.write.mode("overwrite").format("parquet").saveAsTable(
+            idx.commits
+        )
+        assert spark.table(idx.commits).columns == ["batch"]
+
+        # a query migrates and still sees batch 0 as committed
+        edges = idx.edges_for_batch(_docs(spark, b2)).collect()
+        idx.release_batch_cache()
+        assert {(r["id_a"], r["id_b"]) for r in edges} == {(1, 3), (2, 3)}
+        cols = set(spark.table(idx.commits).columns)
+        assert cols == {"b", "batch"}
+
+        # appends keep working after migration; both batches gate
+        idx.append(_docs(spark, b2), batch=1)
+        committed = {
+            r["b"] for r in spark.table(idx.commits).select("b").collect()
+        }
+        assert committed == {0, 1}
+
+        # an EMPTY legacy table (exists, zero rows) migrates too
+        spark.sql(f"DROP TABLE {idx.commits}")
+        spark.createDataFrame([], "batch bigint").write.mode(
+            "overwrite"
+        ).format("parquet").saveAsTable(idx.commits)
+        idx._ensure_commits_layout()
+        assert not spark.catalog.tableExists(idx.commits) or (
+            spark.table(idx.commits).count() == 0
+        )
+    finally:
+        idx.drop()
+        spark.catalog.clearCache()
