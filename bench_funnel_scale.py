@@ -1,0 +1,232 @@
+#!/usr/bin/env python
+"""Composed-funnel scale bench (round-9 verdict item 1).
+
+Per-component scale benches (BENCH_DEDUP_SCALE, BENCH_VECTOR_SCALE,
+BENCH_FP_SCALE) cannot see a hidden per-stage corpus re-scan — the
+bug class where each stage of a lazily-composed pipeline re-derives
+its input from the parquet scan, turning a linear pipeline into
+O(stages × corpus). This bench runs the FULL curation funnel
+(pipeline.run_curation_funnel: scan → Gopher quality → exact dedup →
+near-dup groups (star MinHash + CC) → 8-gram decontamination →
+cluster-safe split → balanced-shard export) as one staged job graph
+over a synthetically widened corpus and records, PER STAGE, wall
+seconds + shuffle-write bytes + input-read bytes from the Spark UI
+REST API (the bench_shingle_index.py pattern).
+
+Corpus widening: M copies of the sf documents table with every
+NON-STOPWORD token suffixed by a fixed-width 2-letter per-copy tag,
+so copies share no content shingles/grams and the per-copy dup/
+near-dup/contamination structure is preserved — corpus mass scales
+by M while density stays fixed. Two funnel-specific twists on the
+BENCH_DEDUP_SCALE recipe: stopwords stay UNSUFFIXED (the Gopher
+stage's >=2-stop-hits rule must keep firing — a naive all-token suffix
+zeroes the stop hits and the quality stage drops the whole corpus),
+and the tag is the SAME length for every copy (mean-word-length is a
+Gopher band, so the pass set must be identical per copy and per M).
+The benchmark side is the doc_id%10==0 slice of the SAME widened
+corpus (written to its own parquet), the funnel corpus is the %10!=0
+slice, so contamination mass also scales by M.
+
+Linearity claims this artifact pins:
+  * total funnel wall grows ~linearly in M (no quadratic stage);
+  * per-stage input bytes grow ~linearly — in particular the `scan`
+    stage's input is the ONLY corpus-parquet read (later stages read
+    checkpointed RDD blocks, which the REST API reports as no
+    file input);
+  * shuffle bytes grow ~linearly (bucketed candidates, no all-pairs).
+
+Timing protocol: one full untimed funnel at the smallest multiplier
+warms JVM/codegen/footer caches; each multiplier then runs the
+funnel ONCE (stages are internally min-of-1 — the funnel is too
+stateful to best-of-N per stage, and the cross-M trend, not the
+per-point noise, is the claim).
+
+Usage: python bench_funnel_scale.py [multipliers...] (default 1 8 32 128)
+Prints one JSON line and writes BENCH_FUNNEL_SCALE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+class _ShuffleMeter:
+    """Shuffle-write + input-read bytes over the stages a block ran
+    (local Spark UI REST). local[32] makes shuffles nearly free in
+    wall time, so BYTES MOVED is the scale-honest per-stage metric."""
+
+    def __init__(self, spark):
+        import urllib.request
+
+        self._url = spark.sparkContext.uiWebUrl
+        self._req = urllib.request
+        app = json.loads(
+            self._req.urlopen(f"{self._url}/api/v1/applications").read()
+        )
+        self._app_id = app[0]["id"]
+
+    def _stages(self):
+        data = json.loads(
+            self._req.urlopen(
+                f"{self._url}/api/v1/applications/{self._app_id}/stages"
+                "?status=complete"
+            ).read()
+        )
+        return {
+            (s["stageId"], s["attemptId"]): (
+                s.get("shuffleWriteBytes", 0),
+                s.get("inputBytes", 0),
+            )
+            for s in data
+        }
+
+    def measure(self, fn):
+        before = self._stages()
+        out = fn()
+        after = self._stages()
+        new = [v for k, v in after.items() if k not in before]
+        return sum(v[0] for v in new), sum(v[1] for v in new), out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+    mults = [int(a) for a in sys.argv[1:]] or [1, 8, 32, 128]
+
+    from pyspark.sql import functions as F
+
+    from datasette_upload_csvs_spark.pipeline import run_curation_funnel
+    from datasette_upload_csvs_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-funnel-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    meter = _ShuffleMeter(spark)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base_n = docs.count()
+    work = tempfile.mkdtemp(prefix="funnel-bench-")
+
+    from datasette_upload_csvs_spark.functions.text import STOPWORDS
+
+    # suffix every non-stopword token with a 2-letter per-copy tag:
+    # (^|\s) anchors token starts, the negative lookahead skips exact
+    # stopword tokens (so Gopher's stop-hit rule keeps firing), and
+    # the fixed tag width keeps mean-word-length — another Gopher
+    # band — identical across copies and multipliers.
+    stop_alt = "|".join(STOPWORDS)
+    token_pat = rf"(^|\s)(?!(?:{stop_alt})(?:\s|$))(\S+)"
+
+    def widen(m):
+        copies = [
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 10 * base_n)).alias("doc_id"),
+                F.regexp_replace(
+                    "text",
+                    token_pat,
+                    rf"$1$2_{chr(97 + i // 26)}{chr(97 + i % 26)}",
+                ).alias("text"),
+            )
+            for i in range(m)
+        ]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        return out
+
+    results = []
+    warmed = False
+    try:
+        for m in mults:
+            corpus_path = f"{work}/corpus_{m}"
+            bench_path = f"{work}/bench_{m}"
+            wide = widen(m)
+            wide.filter(F.pmod("doc_id", F.lit(10)) != 0).write.parquet(
+                corpus_path
+            )
+            wide.filter(F.pmod("doc_id", F.lit(10)) == 0).write.parquet(
+                bench_path
+            )
+
+            def run_funnel(collect_rows):
+                rows = {}
+
+                def run_stage(name, thunk):
+                    t0 = time.perf_counter()
+                    shuf, inp, stage = meter.measure(thunk)
+                    el = time.perf_counter() - t0
+                    if collect_rows:
+                        rows[name] = {
+                            "wall_s": round(el, 3),
+                            "shuffle_mb": round(shuf / 2**20, 2),
+                            "input_mb": round(inp / 2**20, 2),
+                            "n_docs": stage.n_docs,
+                            "n_tokens": stage.n_tokens,
+                        }
+                    return stage
+
+                stages, split_summary, shards = run_curation_funnel(
+                    spark.read.parquet(corpus_path),
+                    benchmark=spark.read.parquet(bench_path),
+                    run_stage=run_stage,
+                )
+                split_summary.collect()
+                spark.catalog.clearCache()
+                return rows
+
+            if not warmed:  # JVM/codegen/footer warmup, untimed
+                run_funnel(collect_rows=False)
+                warmed = True
+
+            t0 = time.perf_counter()
+            rows = run_funnel(collect_rows=True)
+            total = time.perf_counter() - t0
+
+            row = {
+                "mult": m,
+                "corpus_docs": rows["scan"]["n_docs"],
+                "total_wall_s": round(total, 3),
+                "wall_ms_per_kdoc": round(
+                    1000.0 * total / max(rows["scan"]["n_docs"] / 1000, 1e-9),
+                    2,
+                ),
+                "total_shuffle_mb": round(
+                    sum(r["shuffle_mb"] for r in rows.values()), 2
+                ),
+                "corpus_file_input_mb": rows["scan"]["input_mb"],
+                "stages": rows,
+            }
+            results.append(row)
+            print(json.dumps({"progress": row["mult"],
+                              "wall": row["total_wall_s"]}),
+                  file=sys.stderr)
+            shutil.rmtree(corpus_path, ignore_errors=True)
+            shutil.rmtree(bench_path, ignore_errors=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    out = {
+        "metric": "funnel_scale",
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "base_docs": base_n,
+        "stage_order": [
+            "scan", "gopher_quality", "exact_dedup", "near_dup_groups",
+            "decontaminated", "cluster_safe_split", "export_shards",
+        ],
+        "results": results,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FUNNEL_SCALE.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

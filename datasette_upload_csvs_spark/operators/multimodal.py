@@ -92,6 +92,115 @@ def pil_decoder():
     return decode
 
 
+def png_decoder():
+    """Decoder factory for REAL compressed bytes with no external
+    codec: a pure stdlib-zlib PNG decoder (RFC 2083). Supports the
+    common still-image profile — 8-bit depth, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), all five scanline
+    filters, non-interlaced — and raises DecoderUnavailable on
+    anything else (16-bit, Adam7) rather than guessing. Color is
+    reduced to grayscale with integer BT.601 luma
+    ((299R + 587G + 114B) // 1000).
+
+    This is the CI-able second implementation of the decoder seam
+    (round-9 verdict item 4): pil_decoder stays the production path;
+    this one lets tests push actual compressed PNG bytes through
+    perceptual_hashes/extract_features in an environment with no
+    image libraries. ~100 LoC of per-scanline unfiltering is
+    test-scale throughput, not a production decode path."""
+
+    def decode(payload: bytes, mime=None):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        b = bytes(payload or b"")
+        if b[:8] != b"\x89PNG\r\n\x1a\n":
+            raise DecoderUnavailable("not a PNG byte stream")
+        pos, ihdr, palette, idat = 8, None, None, bytearray()
+        while pos + 8 <= len(b):
+            (length,) = struct.unpack(">I", b[pos:pos + 4])
+            typ = b[pos + 4:pos + 8]
+            data = b[pos + 8:pos + 8 + length]
+            pos += 12 + length  # chunk CRC skipped (zlib adler catches corruption)
+            if typ == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif typ == b"PLTE":
+                palette = data
+            elif typ == b"IDAT":
+                idat.extend(data)
+            elif typ == b"IEND":
+                break
+        if ihdr is None or not idat:
+            raise DecoderUnavailable("missing IHDR/IDAT chunk")
+        w, h, depth, ctype, _comp, _filt, interlace = ihdr
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+        if depth != 8 or interlace != 0 or channels is None:
+            raise DecoderUnavailable(
+                f"unsupported PNG profile (depth={depth}, "
+                f"color_type={ctype}, interlace={interlace})"
+            )
+        raw = zlib.decompress(bytes(idat))
+        stride, bpp = w * channels, channels
+        if len(raw) != h * (stride + 1):
+            raise DecoderUnavailable("IDAT length mismatch")
+        out = np.empty((h, stride), dtype=np.int64)
+        prev = np.zeros(stride, dtype=np.int64)
+        for r in range(h):
+            off = r * (stride + 1)
+            f = raw[off]
+            line = np.frombuffer(
+                raw, np.uint8, stride, off + 1
+            ).astype(np.int64)
+            if f == 1:  # Sub
+                for i in range(bpp, stride):
+                    line[i] = (line[i] + line[i - bpp]) & 0xFF
+            elif f == 2:  # Up
+                line = (line + prev) & 0xFF
+            elif f == 3:  # Average
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - bpp] if i >= bpp else 0
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + prev[i] - c
+                    pa, pb, pc = abs(p - a), abs(p - prev[i]), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        prev[i] if pb <= pc else c
+                    )
+                    line[i] = (line[i] + pred) & 0xFF
+            elif f != 0:
+                raise DecoderUnavailable(f"unknown scanline filter {f}")
+            out[r] = line
+            prev = line
+        if ctype == 3:
+            if palette is None:
+                raise DecoderUnavailable("palette image without PLTE")
+            pal = np.frombuffer(palette, np.uint8).astype(
+                np.int64
+            ).reshape(-1, 3)
+            rgb = pal[out]  # (h, w, 3)
+            gray = (
+                299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]
+            ) // 1000
+        else:
+            px = out.reshape(h, w, channels)
+            if ctype == 0:
+                gray = px[..., 0]
+            elif ctype == 4:  # gray + alpha: luma is the gray channel
+                gray = px[..., 0]
+            else:  # RGB / RGBA: ignore alpha
+                gray = (
+                    299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]
+                ) // 1000
+        return gray.astype(np.uint8)
+
+    return decode
+
+
 def _downsample(g, th: int, tw: int):
     """Deterministic grayscale downsample to (th, tw): area-mean
     pooling when the image has enough pixels, nearest-neighbor for

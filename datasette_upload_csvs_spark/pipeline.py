@@ -106,3 +106,281 @@ def curate_corpus(
         n_train=n_train,
         n_val=n_val,
     )
+
+
+# ====================================================================
+# The staged full funnel: one materialization per stage, one corpus
+# scan total — the shape a 100 TB curation run actually executes.
+# ====================================================================
+
+
+@dataclass
+class FunnelStage:
+    """One materialized funnel stage: its survivors frame (local-
+    checkpointed — downstream stages consume THIS, never a fresh
+    corpus scan), doc/token counts, and (optional) the executed-plan
+    string captured before materialization for scan-provenance
+    pins."""
+
+    name: str
+    n_docs: int
+    n_tokens: int
+    frame: DataFrame
+    plan: str | None = None
+
+
+def run_curation_funnel(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near_dup_threshold: float = 0.7,
+    exact_floor_max_df: int | None = 5,
+    decontam_n: int = 8,
+    num_shards: int = 16,
+    val_fraction_hex: tuple[str, ...] = ("0", "1", "2"),
+    run_stage=None,
+    capture_plans: bool = False,
+) -> tuple[list[FunnelStage], DataFrame, DataFrame]:
+    """The full curation funnel composed as a STAGED job graph:
+
+      scan → Gopher quality → exact dedup → near-dup groups (star
+      MinHash+LSH edges → connected components, keep canonical) →
+      exact 8-gram decontamination vs `benchmark` → cluster-safe
+      train/val split → size-balanced shard export.
+
+    Returns (stages, split_summary, shard_summary).
+
+    Execution contract — what the per-component registry entries
+    can't show and BENCH_FUNNEL_SCALE measures:
+
+    * **One corpus scan.** Stage 0 localCheckpoints (doc_id, text,
+      n_tok); every later stage consumes the PREVIOUS stage's
+      checkpoint. Without the explicit materialization boundaries
+      Spark's lazy evaluation would re-derive each stage's input
+      from the parquet scan per action — a hidden O(stages ×
+      corpus) text re-read that is invisible at one SF and ruinous
+      at 100 TB. (The trade is checkpoint storage for the survivor
+      set; survivors shrink monotonically, so the bound is one
+      corpus-sized copy that decays per stage.)
+    * **Per-stage attribution.** `run_stage(name, thunk)` wraps
+      each stage's materialization (default: just call it), so a
+      bench can time and byte-meter each stage in isolation — the
+      thunk runs the stage's jobs and nothing else.
+    * **Text is dropped at the first stage that no longer needs
+      it** (after decontamination); the split/shard stages move
+      only (doc_id, n_tok, cluster_id).
+    * `capture_plans=True` stores each stage's executed-plan string
+      (planned BEFORE materialization) on the FunnelStage so tests
+      can pin scan provenance: stages after the first must contain
+      no parquet FileScan of the corpus — only the decontamination
+      stage may scan `benchmark`.
+
+    `benchmark` defaults to None = skip decontamination (counts
+    pass through). The near-dup stage reuses dedup_groups' exact
+    recipe (banded MinHash + exact-Jaccard verify + low-df floor,
+    star edges) and split keys on the near-dup CLUSTER id — two
+    near-duplicates can never straddle train/val even if the dedup
+    stage is later relaxed to keep more than the canonical doc."""
+    from datasette_upload_csvs_spark.functions.text import token_count
+    from datasette_upload_csvs_spark.operators.export import balanced_shards
+
+    run_stage = run_stage or (lambda name, thunk: thunk())
+    stages: list[FunnelStage] = []
+
+    def _materialize(name, frame_builder):
+        """frame_builder is called INSIDE the stage thunk so that
+        every job the stage triggers — including eager work buried
+        in operator calls (the MinHash collapse gate's detection
+        aggregate, connected_components' per-round checkpoints) — is
+        attributed to THIS stage by the run_stage wrapper."""
+
+        def thunk():
+            frame = frame_builder()
+            plan = None
+            if capture_plans:
+                plan = (
+                    frame._jdf.queryExecution().executedPlan().toString()
+                )
+            ck = frame.localCheckpoint(eager=True)
+            agg = ck.agg(
+                F.count("*").alias("n"), F.sum("n_tok").alias("t")
+            ).collect()[0]
+            return FunnelStage(
+                name, agg["n"], agg["t"] or 0, ck, plan
+            )
+
+        stage = run_stage(name, thunk)
+        stages.append(stage)
+        return stage.frame
+
+    # 0. the ONLY corpus scan: project id/text, token count fused in
+    base = _materialize(
+        "scan",
+        lambda: docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            token_count(F.col(text_col)).cast("bigint").alias("n_tok"),
+        ),
+    )
+
+    # 1. Gopher quality rules (Rae et al. '21 §A1.1) — map-side
+    # codegen over the token array, same verdict the standalone
+    # gopher_quality_filters entry emits
+    w = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    nz = F.greatest(F.size(w), F.lit(1)).cast("double")
+    mwl = (
+        F.aggregate(
+            w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / nz
+    )
+    fa = F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]"))).cast(
+        "double"
+    ) / nz
+    from datasette_upload_csvs_spark.functions.text import STOPWORDS
+
+    keep = (
+        F.size(w).between(20, 100000)
+        & mwl.between(3.0, 10.0)
+        & (fa >= 0.8)
+        & (F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))) >= 2)
+    )
+    s1 = _materialize("gopher_quality", lambda: base.filter(keep))
+
+    # 2. exact dedup: one hash-partitioned window, rank-1 per
+    # content group (same recipe as dedup_exact_ranks)
+    from pyspark.sql import Window
+
+    wexact = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    s2 = _materialize(
+        "exact_dedup",
+        lambda: s1.withColumn("_rn", F.row_number().over(wexact))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn"),
+    )
+
+    # 3. near-dup groups: banded MinHash star edges + CC, keep the
+    # canonical (min-id) member; carry cluster_id for the split
+    def _near_dup():
+        pairs = dedup.minhash_near_dup_pairs(
+            s2,
+            threshold=near_dup_threshold,
+            exact_floor_max_df=exact_floor_max_df,
+            pair_mode="star",
+        ).select("id_a", "id_b")
+        cc = graph.connected_components(pairs)
+        labeled = s2.join(
+            cc, s2["doc_id"] == cc["vertex"], "left"
+        ).select(
+            "doc_id",
+            "text",
+            "n_tok",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+        return labeled.filter(F.col("cluster_id") == F.col("doc_id"))
+
+    s3 = _materialize("near_dup_groups", _near_dup)
+
+    # 4. exact n-gram decontamination (GPT-3/Gopher screen):
+    # benchmark grams are benchmark-sized → broadcast; survivors'
+    # grams come from s3's checkpoint, NOT a corpus re-scan
+    def _decontam():
+        if benchmark is None:
+            return s3.select("doc_id", "n_tok", "cluster_id")
+        bench_grams = (
+            _hashed_grams(
+                benchmark.select(F.col(text_col).alias("text")),
+                decontam_n,
+            )
+            .select("g")
+            .distinct()
+        )
+        contam = (
+            _hashed_grams(s3, decontam_n, keep_cols=["doc_id"])
+            .join(F.broadcast(bench_grams), "g")
+            .select("doc_id")
+            .distinct()
+        )
+        return s3.join(contam, "doc_id", "left_anti").select(
+            "doc_id", "n_tok", "cluster_id"  # text dropped here
+        )
+
+    s4 = _materialize("decontaminated", _decontam)
+
+    # 5. cluster-safe split: md5 over the near-dup CLUSTER id —
+    # map-side, no shuffle beyond the summary aggregate
+    split_col = F.when(
+        F.substring(
+            F.md5(F.col("cluster_id").cast("string")), 1, 1
+        ).isin(*val_fraction_hex),
+        "val",
+    ).otherwise("train")
+    s5 = _materialize(
+        "cluster_safe_split", lambda: s4.withColumn("split", split_col)
+    )
+
+    # 6. size-balanced shard export over the train slice (two-phase
+    # banded rank — no global window; see operators/export.py)
+    def shard_thunk():
+        sharded = balanced_shards(
+            s5.filter(F.col("split") == "train").select("doc_id", "n_tok"),
+            "n_tok",
+            num_shards=num_shards,
+        )
+        summary = sharded.groupBy("shard_id").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        plan = None
+        if capture_plans:
+            plan = summary._jdf.queryExecution().executedPlan().toString()
+        ck = summary.localCheckpoint(eager=True)
+        agg = ck.agg(
+            F.sum("n_docs").alias("n"), F.sum("total_tokens").alias("t")
+        ).collect()[0]
+        return FunnelStage(
+            "export_shards", agg["n"] or 0, agg["t"] or 0, ck, plan
+        )
+
+    shard_stage = run_stage("export_shards", shard_thunk)
+    stages.append(shard_stage)
+
+    split_summary = s5.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    return stages, split_summary, shard_stage.frame
+
+
+def _hashed_grams(
+    d: DataFrame, n: int, keep_cols: list[str] | None = None
+) -> DataFrame:
+    """(keep_cols..., g): one row per distinct hashed n-token gram
+    per row of `d` — the decontamination gram relation (same
+    equality classes as queries._hashed_gram_rows: xxhash64 over the
+    n token slots of a materialized token array; short docs hash one
+    gram of all tokens + deterministic trailing nulls)."""
+    keep_cols = keep_cols or []
+    toks = d.select(
+        *[F.col(c) for c in keep_cols],
+        F.explode(
+            F.array(
+                F.filter(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            )
+        ).alias("_t"),
+    )
+    t = F.col("_t")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - F.lit(n), F.lit(0)))
+    grams = F.array_distinct(
+        F.transform(
+            idx, lambda i: F.xxhash64(*[F.get(t, i + j) for j in range(n)])
+        )
+    )
+    return toks.select(
+        *[F.col(c) for c in keep_cols], F.explode(grams).alias("g")
+    )

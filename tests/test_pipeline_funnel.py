@@ -1,0 +1,159 @@
+"""Composed-funnel proof (round-9 verdict item 1): the staged
+curation funnel (pipeline.run_curation_funnel) must (a) scan the
+corpus parquet exactly once — every stage after `scan` consumes the
+prior stage's localCheckpoint, never a fresh FileScan — and (b)
+compose the individually-verified operators without drift: on a
+corpus with planted gopher-fails / exact dups / near-dups /
+benchmark contamination, each stage drops exactly the planted rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from datasette_upload_csvs_spark.pipeline import run_curation_funnel
+
+
+def _corpus_rows():
+    rows = []
+    # 25 gopher-passing docs: 2 stopword hits, 25 words, mwl ~8
+    for i in range(25):
+        toks = ["the", "a"] + [f"d{i}w{j:02d}xx" for j in range(2, 25)]
+        rows.append((i, " ".join(toks)))
+    # 3 too-short docs (gopher word-count floor is 20)
+    for i in (50, 51, 52):
+        rows.append((i, f"the a s{i}x s{i}y s{i}z"))
+    # exact dup of doc 0 under a later id
+    rows.append((100, rows[0][1]))
+    # near-dup of doc 1: last token changed (jaccard ~0.84 on
+    # 3-shingles; all shared shingles have df=2 <= floor max_df=5,
+    # so the exact floor emits the pair deterministically)
+    twin = rows[1][1].rsplit(" ", 1)[0] + " zzchanged"
+    rows.append((101, twin))
+    # contaminated doc: 17 unique tokens + an 8-token run shared
+    # with the benchmark doc below
+    contam_toks = (
+        ["the", "a"]
+        + [f"c102w{j:02d}xx" for j in range(15)]
+        + [f"bm{k:02d}tok" for k in range(3, 11)]
+    )
+    rows.append((102, " ".join(contam_toks)))
+    return rows
+
+
+def _benchmark_rows():
+    return [(200, " ".join(f"bm{k:02d}tok" for k in range(1, 13)))]
+
+
+@pytest.fixture(scope="module")
+def funnel_run(spark, tmp_path_factory):
+    work = tmp_path_factory.mktemp("funnel")
+    corpus_path = str(work / "funnel_corpus")
+    bench_path = str(work / "funnel_bench")
+    spark.createDataFrame(
+        _corpus_rows(), "doc_id long, text string"
+    ).write.parquet(corpus_path)
+    spark.createDataFrame(
+        _benchmark_rows(), "doc_id long, text string"
+    ).write.parquet(bench_path)
+
+    stages, split_summary, shards = run_curation_funnel(
+        spark.read.parquet(corpus_path),
+        benchmark=spark.read.parquet(bench_path),
+        num_shards=4,
+        capture_plans=True,
+    )
+    yield {
+        "stages": {s.name: s for s in stages},
+        "order": [s.name for s in stages],
+        "split": {r["split"]: r for r in split_summary.collect()},
+        "shards": shards.collect(),
+        "corpus_path": corpus_path,
+        "bench_path": bench_path,
+    }
+    spark.catalog.clearCache()
+
+
+def test_funnel_stage_counts_match_planted_rows(funnel_run):
+    s = funnel_run["stages"]
+    assert funnel_run["order"] == [
+        "scan", "gopher_quality", "exact_dedup", "near_dup_groups",
+        "decontaminated", "cluster_safe_split", "export_shards",
+    ]
+    rows = dict(_corpus_rows())
+    n_tok = {i: len(t.split()) for i, t in rows.items()}
+
+    assert s["scan"].n_docs == 31
+    assert s["scan"].n_tokens == sum(n_tok.values())
+    # gopher drops exactly the three short docs
+    assert s["gopher_quality"].n_docs == 28
+    assert s["gopher_quality"].n_tokens == sum(
+        v for k, v in n_tok.items() if k not in (50, 51, 52)
+    )
+    # exact dedup keeps the min-id member of the (0, 100) pair
+    assert s["exact_dedup"].n_docs == 27
+    # near-dup groups collapse {1, 101} to canonical doc 1
+    assert s["near_dup_groups"].n_docs == 26
+    # decontamination drops the doc sharing a benchmark 8-gram
+    assert s["decontaminated"].n_docs == 25
+    assert s["decontaminated"].n_tokens == sum(
+        n_tok[i] for i in range(25)
+    )
+    # split/export stages are projections of the decontam survivors
+    assert s["cluster_safe_split"].n_docs == 25
+    # every surviving cluster is a singleton -> cluster_id == doc_id
+    val_ids = {
+        i
+        for i in range(25)
+        if hashlib.md5(str(i).encode()).hexdigest()[0] in "012"
+    }
+    split = funnel_run["split"]
+    assert split["val"]["n_docs"] == len(val_ids)
+    assert split["train"]["n_docs"] == 25 - len(val_ids)
+    assert split["val"]["n_clusters"] == len(val_ids)
+
+    # shards partition the train slice; token totals near-balanced
+    shard_rows = funnel_run["shards"]
+    assert sum(r["n_docs"] for r in shard_rows) == 25 - len(val_ids)
+    totals = [r["total_tokens"] for r in shard_rows]
+    assert max(totals) - min(totals) <= max(n_tok.values())
+
+
+def test_funnel_scans_corpus_exactly_once(funnel_run):
+    """The scale pin: a hidden per-stage corpus re-scan is invisible
+    to per-component benches. Stage plans are captured before each
+    materialization; only `scan` may read the corpus parquet, only
+    `decontaminated` may read the benchmark parquet, and every other
+    stage must contain NO FileScan at all (their inputs are the
+    prior stage's checkpointed RDD)."""
+    s = funnel_run["stages"]
+    corpus = funnel_run["corpus_path"]
+    bench = funnel_run["bench_path"]
+
+    assert corpus in s["scan"].plan
+    for name in [
+        "gopher_quality", "exact_dedup", "near_dup_groups",
+        "cluster_safe_split", "export_shards",
+    ]:
+        assert "FileScan" not in s[name].plan, (
+            f"stage {name} re-scans a file:\n{s[name].plan[:2000]}"
+        )
+        assert corpus not in s[name].plan
+    # decontamination scans the (separate, benchmark-sized) bench
+    # table — and nothing else
+    assert bench in s["decontaminated"].plan
+    assert corpus not in s["decontaminated"].plan
+
+
+def test_funnel_without_benchmark_skips_decontam(spark):
+    docs = spark.createDataFrame(
+        _corpus_rows(), "doc_id long, text string"
+    )
+    stages, _, _ = run_curation_funnel(docs, benchmark=None, num_shards=2)
+    by = {s.name: s for s in stages}
+    # contaminated doc survives when no benchmark is supplied
+    assert by["decontaminated"].n_docs == by["near_dup_groups"].n_docs == 26
+    spark.catalog.clearCache()

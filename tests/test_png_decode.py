@@ -1,0 +1,213 @@
+"""Real-codec decode through the multimodal seam (round-9 verdict
+item 4): png_decoder() decodes ACTUAL zlib-compressed PNG bytes —
+every scanline filter, the five common color types — and
+perceptual_hashes(decoder=png_decoder()) over real PNGs matches a
+DuckDB oracle that recomputes dHash/aHash from the ground-truth
+pixel matrices the test encoded. pil_decoder stays the production
+path; this is the CI-able proof the seam's contract (payload ->
+2-D grayscale) holds for real compressed input, not only the
+deterministic stub."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from datasette_upload_csvs_spark.operators import multimodal
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(rows, ctype=0, palette=None, filters=None, depth=8):
+    """Minimal PNG encoder (test-side ground truth): `rows` is a
+    list of scanlines, each a list of ints (gray/palette) or tuples
+    (multi-channel); `filters[r]` picks the scanline filter so the
+    decoder's unfilter paths are all exercised."""
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    h, w = len(rows), len(rows[0])
+    bpp = channels
+    raw = bytearray()
+    prev = [0] * (w * channels)
+    for r, row in enumerate(rows):
+        flat = []
+        for p in row:
+            flat.extend(p if isinstance(p, (tuple, list)) else (p,))
+        f = filters[r] if filters else 0
+        if f == 0:
+            enc = flat
+        elif f == 1:
+            enc = [
+                (flat[i] - (flat[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(len(flat))
+            ]
+        elif f == 2:
+            enc = [(flat[i] - prev[i]) & 0xFF for i in range(len(flat))]
+        elif f == 3:
+            enc = [
+                (
+                    flat[i]
+                    - (((flat[i - bpp] if i >= bpp else 0) + prev[i]) >> 1)
+                )
+                & 0xFF
+                for i in range(len(flat))
+            ]
+        elif f == 4:
+            enc = []
+            for i in range(len(flat)):
+                a = flat[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc.append((flat[i] - pred) & 0xFF)
+        else:  # pragma: no cover - encoder misuse
+            raise ValueError(f)
+        raw.append(f)
+        raw.extend(enc)
+        prev = flat
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", bytes(palette))
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raw))) + _chunk(
+        b"IEND", b""
+    )
+
+
+def _gray_matrix(h, w, seed=0):
+    return [
+        [(r * 37 + c * 23 + 7 * seed) % 256 for c in range(w)]
+        for r in range(h)
+    ]
+
+
+def test_gray_roundtrip_all_filters():
+    px = _gray_matrix(10, 13)
+    # rows cycle through every filter type
+    png = encode_png(px, ctype=0, filters=[r % 5 for r in range(10)])
+    got = multimodal.png_decoder()(png)
+    assert got.dtype == np.uint8
+    assert got.tolist() == px
+
+
+def test_color_types_reduce_to_luma():
+    dec = multimodal.png_decoder()
+    rgb_rows = [
+        [((r * 11 + c) % 256, (c * 17) % 256, (r * 29) % 256)
+         for c in range(6)]
+        for r in range(5)
+    ]
+    expect = [
+        [(299 * p[0] + 587 * p[1] + 114 * p[2]) // 1000 for p in row]
+        for row in rgb_rows
+    ]
+    # RGB, with Paeth on every row after the first
+    png = encode_png(rgb_rows, ctype=2, filters=[0, 4, 4, 4, 4])
+    assert dec(png).tolist() == expect
+    # RGBA: alpha ignored
+    rgba_rows = [
+        [(p[0], p[1], p[2], 128) for p in row] for row in rgb_rows
+    ]
+    assert dec(encode_png(rgba_rows, ctype=6)).tolist() == expect
+    # gray+alpha: luma is the gray channel
+    ga_rows = [[(v, 77) for v in row] for row in _gray_matrix(4, 5)]
+    assert dec(encode_png(ga_rows, ctype=4)).tolist() == _gray_matrix(4, 5)
+    # palette: indices map through PLTE, then luma
+    pal = []
+    for i in range(4):
+        pal.extend((i * 60, i * 30, i * 15))
+    idx_rows = [[(r + c) % 4 for c in range(7)] for r in range(3)]
+    expect_pal = [
+        [
+            (299 * (i * 60) + 587 * (i * 30) + 114 * (i * 15)) // 1000
+            for i in row
+        ]
+        for row in idx_rows
+    ]
+    assert dec(
+        encode_png(idx_rows, ctype=3, palette=pal)
+    ).tolist() == expect_pal
+
+
+def test_unsupported_profiles_raise():
+    dec = multimodal.png_decoder()
+    with pytest.raises(multimodal.DecoderUnavailable):
+        dec(b"not a png at all")
+    with pytest.raises(multimodal.DecoderUnavailable):
+        dec(encode_png(_gray_matrix(2, 2), depth=16))  # 16-bit
+
+
+def test_phash_over_real_png_matches_duckdb_oracle(spark):
+    """End-to-end: Spark decodes REAL compressed PNG bytes through
+    the seam and hashes the decoded pixels; DuckDB recomputes both
+    hashes from the ground-truth 8x9 matrices the test encoded (the
+    PNG round trip is pixel-identity, so oracle == pixel math while
+    Spark goes through actual zlib/unfilter decode). 8x9 input makes
+    the dHash downsample the identity and the aHash 8x8 pool merge
+    exactly the last two columns — SQL-expressible without floats
+    (doubled-value trick keeps the mean test integer-exact)."""
+    import duckdb
+
+    from datasette_upload_csvs_spark.queries import _DHASH_TERMS
+
+    mats = {mid: _gray_matrix(8, 9, seed=mid) for mid in range(12)}
+    rows = [
+        (mid, bytearray(encode_png(m, filters=[r % 5 for r in range(8)])))
+        for mid, m in mats.items()
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    )
+    got = {
+        r["media_id"]: (r["dhash64"], r["ahash64"])
+        for r in multimodal.perceptual_hashes(
+            media, decoder=multimodal.png_decoder()
+        ).collect()
+    }
+
+    # oracle: q2 doubles the pooled aHash values so the half-integer
+    # means of the merged last columns stay exact: 64*q_i > sum(q)
+    # <=> 64*q2_i > sum(q2)
+    def q2(i):
+        r, c = i // 8, i % 8
+        if c < 7:
+            return f"2 * p[{r * 9 + c + 1}]"
+        return f"(p[{r * 9 + 8}] + p[{r * 9 + 9}])"
+
+    ahash_terms = " + ".join(
+        f"(CASE WHEN 64 * ({q2(i)}) > qs2 THEN {1 << i} ELSE 0 END)"
+        for i in range(63)
+    ) + f" + (CASE WHEN 64 * ({q2(63)}) > qs2 THEN {-(1 << 63)} ELSE 0 END)"
+    qs2 = " + ".join(q2(i) for i in range(64))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (media_id BIGINT, p BIGINT[])")
+    for mid, m in mats.items():
+        con.execute(
+            "INSERT INTO t VALUES (?, ?)",
+            [mid, [v for row in m for v in row]],
+        )
+    oracle = {
+        mid: (dh, ah)
+        for mid, dh, ah in con.execute(
+            f"""
+            SELECT media_id,
+                   CAST({_DHASH_TERMS} AS BIGINT) AS dhash64,
+                   CAST({ahash_terms} AS BIGINT) AS ahash64
+            FROM (SELECT media_id, p, {qs2} AS qs2 FROM t)
+            """
+        ).fetchall()
+    }
+    assert got == oracle
+    spark.catalog.clearCache()
