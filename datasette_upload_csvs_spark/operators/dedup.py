@@ -602,13 +602,43 @@ def oph_signatures(
 
 
 def minhash_lsh_candidates(
-    sig: DataFrame, id_col: str = "doc_id", bands: int = 32, rows: int = 4
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 32,
+    rows: int = 4,
+    bucket_star_cap: int | None = None,
 ) -> DataFrame:
     """Candidate pairs whose signatures collide in ≥1 LSH band.
 
     Each doc emits `bands` (band_id, band_hash) keys; a shuffle on
     that composite key groups colliding docs. Self-join happens per
     bucket only — never across the corpus.
+
+    ``bucket_star_cap`` is the oversized-bucket guard (default None
+    = off, the historical all-pairs behavior). The LSH s-curve makes
+    SUB-threshold families collide: a corpus where many documents
+    share a long boilerplate template (pairwise jaccard ~0.5, below
+    any dedup threshold) still band-collides with probability
+    1-(1-j^rows)^bands ≈ 0.9 — the bucket self-join then enumerates
+    ~the full C(K,2) of every template family and the verify stage
+    rejects all of it (measured: 99.7% of the quadratic pair mass on
+    a 50%-template corpus, BENCH_DEDUP_SKEW.json). With a cap,
+    buckets larger than the cap contribute ANCHOR-STAR candidates
+    (min-id doc vs each member, K-1 pairs) instead of all pairs —
+    candidate mass becomes corpus-linear.
+
+    Recall contract under a cap (every emitted pair is still exactly
+    verified downstream — false positives never change): a true
+    near-dup pair inside an oversized bucket is recalled iff either
+    endpoint is the bucket's anchor, OR the pair co-occupies a small
+    bucket in another band, OR the caller's exact floor covers it.
+    Duplicate FAMILIES — the genuine-near-dup shape that produces
+    oversized buckets — stay connected through the anchor whenever
+    members verify against the family's min-id doc, so connected-
+    component consumers (dedup_groups-style) get identical groups;
+    individual member-member edges inside oversized buckets are not
+    emitted. Template families fail the anchor verifies and cost
+    K-1 rejected rows instead of C(K,2).
     """
     # Multi-arg xxhash64 over element_at lookups: pure codegen, no
     # interpreted slice/array_join per band.
@@ -621,16 +651,48 @@ def minhash_lsh_candidates(
     banded = sig.select(
         id_col, F.explode(F.expr(band_sql)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
+    if bucket_star_cap is None:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        return (
+            a.join(b, on=["band", "bucket"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+    if bucket_star_cap < 2:
+        raise ValueError(f"bucket_star_cap must be >= 2, got {bucket_star_cap}")
+    # bucket stats share the (band, bucket) shuffle key with the
+    # join below, so the exchange is reused, not duplicated
+    banded = banded.persist()
+    stats = banded.groupBy("band", "bucket").agg(
+        F.count("*").alias("_bc"), F.min(id_col).alias("_anchor")
+    )
+    tagged = banded.join(stats, ["band", "bucket"])
+    small = tagged.filter(F.col("_bc") <= bucket_star_cap)
+    a = small.alias("a")
+    b = small.alias("b")
+    small_pairs = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
         )
-        .distinct()
     )
+    star_pairs = (
+        tagged.filter(
+            (F.col("_bc") > bucket_star_cap)
+            & (F.col(id_col) != F.col("_anchor"))
+        )
+        .select(
+            F.col("_anchor").alias("id_a"), F.col(id_col).alias("id_b")
+        )
+    )
+    return small_pairs.unionByName(star_pairs).distinct()
 
 
 def minhash_near_dup_pairs(
@@ -644,8 +706,19 @@ def minhash_near_dup_pairs(
     exact_floor_max_df: int | None = None,
     collapse_exact: bool = True,
     pair_mode: str = "clique",
+    bucket_star_cap: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
+
+    ``bucket_star_cap`` (default None = off) passes through to
+    minhash_lsh_candidates: oversized band buckets contribute
+    anchor-star candidates instead of all pairs — the guard against
+    SUB-threshold template families, which band-collide at ~0.9
+    probability and otherwise push C(K,2) doomed candidates into the
+    verify join (see minhash_lsh_candidates' recall contract and
+    BENCH_DEDUP_SKEW.json for the measured kill). Exact-dup families
+    are already collapsed by the gate before banding, so the cap
+    only ever sees distinct-text buckets.
 
     `collapse_exact` (default ON) closes the classic banded-LSH skew
     hole: K exact-duplicate documents share an identical signature,
@@ -809,7 +882,9 @@ def minhash_near_dup_pairs(
     # arithmetic cut saves, so the codegen'd k-permutation agg wins
     # here; measured 1.4s vs 2.1s end-to-end.)
     sig = _signatures_from_hashes(hashed, id_col, num_perm).persist()
-    cand = minhash_lsh_candidates(sig, id_col, bands, rows)
+    cand = minhash_lsh_candidates(
+        sig, id_col, bands, rows, bucket_star_cap=bucket_star_cap
+    )
     if exact_floor_max_df is not None:
         # deterministic floor: low-df shingle candidates from the
         # persisted hash-set frame (full 64-bit hashes — the pmod'd
@@ -1169,6 +1244,7 @@ def simhash_near_dup_pairs(
     collapse_exact: bool = True,
     pair_mode: str = "clique",
     allow_lossy: bool = False,
+    bucket_star_cap: int | None = None,
 ) -> DataFrame:
     """Pairs within Hamming distance k, bucketed by 16-bit chunks.
 
@@ -1213,7 +1289,8 @@ def simhash_near_dup_pairs(
         )
     fp = (simhash_portable if portable else simhash)(docs, text_col, id_col)
     return _fp_near_dup_pairs(
-        fp, ["simhash64"], id_col, max_hamming, collapse_exact, pair_mode
+        fp, ["simhash64"], id_col, max_hamming, collapse_exact, pair_mode,
+        bucket_star_cap=bucket_star_cap,
     )
 
 
@@ -1226,6 +1303,7 @@ def fingerprint_hamming_pairs(
     pair_mode: str = "clique",
     n_chunks: int = 4,
     allow_lossy: bool = False,
+    bucket_star_cap: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs within Hamming distance of a
     64-bit fingerprint column — the SimHash pigeonhole chunk join
@@ -1250,7 +1328,19 @@ def fingerprint_hamming_pairs(
     dup-free corpus. Past that regime use
     `fingerprint_hamming_pairs_wide` over a 128-bit fingerprint
     (simhash128): same n_chunks keeps the same exact-recall radius
-    while doubling the key width (4×32-bit is selective past 10⁹)."""
+    while doubling the key width (4×32-bit is selective past 10⁹).
+
+    ``bucket_star_cap`` (default None = exact all-pairs buckets) is
+    the dense-FAMILY guard: K fingerprints descended from one
+    ancestor (template mutations, image variants) co-occupy chunk
+    buckets and the self-join enumerates C(K,2). With a cap,
+    oversized buckets contribute anchor-star candidates (min-id vs
+    member, exact hamming still computed and filtered — no false
+    positives). Recall contract matches minhash_lsh_candidates':
+    pairs inside oversized buckets survive via the anchor, a small
+    bucket in another chunk, or exact-fp collapse; CC consumers keep
+    identical components whenever members are within k of the
+    anchor."""
     if pair_mode not in ("clique", "star"):
         raise ValueError(f"pair_mode must be 'clique' or 'star', got {pair_mode!r}")
     if n_chunks not in (2, 4, 8, 16):
@@ -1270,6 +1360,7 @@ def fingerprint_hamming_pairs(
         collapse_exact,
         pair_mode,
         n_chunks,
+        bucket_star_cap=bucket_star_cap,
     )
     return out
 
@@ -1283,6 +1374,7 @@ def fingerprint_hamming_pairs_wide(
     pair_mode: str = "clique",
     n_chunks: int = 4,
     allow_lossy: bool = False,
+    bucket_star_cap: int | None = None,
 ) -> DataFrame:
     """fingerprint_hamming_pairs over a WIDE fingerprint split across
     several 64-bit word columns (e.g. simhash128's (fp0, fp1)) — the
@@ -1329,6 +1421,7 @@ def fingerprint_hamming_pairs_wide(
         collapse_exact,
         pair_mode,
         n_chunks,
+        bucket_star_cap=bucket_star_cap,
     )
 
 
@@ -1340,7 +1433,12 @@ def _fp_near_dup_pairs(
     collapse_exact: bool,
     pair_mode: str,
     n_chunks: int = 4,
+    bucket_star_cap: int | None = None,
 ) -> DataFrame:
+    if bucket_star_cap is not None and bucket_star_cap < 2:
+        raise ValueError(
+            f"bucket_star_cap must be >= 2, got {bucket_star_cap}"
+        )
     n_words = len(fp_cols)
     members = None
     if collapse_exact:
@@ -1398,8 +1496,6 @@ def _fp_near_dup_pairs(
             )
         ).alias("cc"),
     ).select(id_col, *fp_cols, "cc.chunk", "cc.val")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
     ham = reduce(
         lambda x, y: x + y,
         [
@@ -1409,17 +1505,73 @@ def _fp_near_dup_pairs(
             for c in fp_cols
         ],
     )
-    pairs = (
-        a.join(b, on=["chunk", "val"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            ham.alias("hamming"),
+    if bucket_star_cap is None:
+        a = chunks.alias("a")
+        b = chunks.alias("b")
+        cand = (
+            a.join(b, on=["chunk", "val"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                ham.alias("hamming"),
+            )
         )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    else:
+        # oversized-bucket guard, mirroring minhash_lsh_candidates:
+        # a dense fingerprint FAMILY (every member within small
+        # hamming of a common ancestor — template mutations, resized
+        # variants of one image) puts K docs in the same (chunk, val)
+        # bucket and the self-join enumerates C(K,2); with the cap,
+        # oversized buckets contribute ANCHOR-STAR candidates (min-id
+        # doc vs each member) — linear in K — and every emitted pair
+        # still carries its exact hamming through the shared <= k
+        # filter below (no false positives, ever). Recall: a pair in
+        # an oversized bucket is kept iff one endpoint anchors it,
+        # another chunk's bucket is small for it, or they collapse as
+        # exact-fp dups; families stay CC-connected whenever members
+        # are within k of the anchor.
+        chunks = chunks.persist()
+        stats = chunks.groupBy("chunk", "val").agg(
+            F.count("*").alias("_bc"),
+            F.min(id_col).alias("_anchor"),
+            *[F.min_by(c, F.col(id_col)).alias(f"_a_{c}") for c in fp_cols],
+        )
+        tagged = chunks.join(stats, ["chunk", "val"])
+        small = tagged.filter(F.col("_bc") <= bucket_star_cap)
+        a = small.alias("a")
+        b = small.alias("b")
+        small_pairs = (
+            a.join(b, on=["chunk", "val"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                ham.alias("hamming"),
+            )
+        )
+        star_ham = reduce(
+            lambda x, y: x + y,
+            [
+                F.bit_count(
+                    F.col(f"_a_{c}").bitwiseXOR(F.col(c))
+                )
+                for c in fp_cols
+            ],
+        )
+        star_pairs = (
+            tagged.filter(
+                (F.col("_bc") > bucket_star_cap)
+                & (F.col(id_col) != F.col("_anchor"))
+            )
+            .select(
+                F.col("_anchor").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                star_ham.alias("hamming"),
+            )
+        )
+        cand = small_pairs.unionByName(star_pairs)
+    pairs = cand.distinct().filter(F.col("hamming") <= max_hamming)
     if members is None:
         return pairs
     if pair_mode == "star":

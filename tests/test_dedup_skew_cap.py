@@ -1,0 +1,200 @@
+"""Adversarial-skew guard for banded MinHash (round-9 verdict item
+2): SUB-threshold template families band-collide at ~0.9 probability
+(the LSH s-curve at jaccard ~0.5-0.6), so without a guard the bucket
+self-join enumerates C(K,2) doomed candidates per family. The
+bucket_star_cap turns oversized buckets into anchor-star candidates:
+
+* template corpus: candidate mass drops from ~quadratic to linear,
+  verified output unchanged (template pairs fail verify either way);
+* genuine near-dup family: groups via connected components are
+  IDENTICAL capped vs uncapped (the family stays anchor-connected);
+* default (None) is bit-identical to the historical all-pairs path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datasette_upload_csvs_spark.operators import dedup, graph
+
+
+def _template_docs(spark, n):
+    """Half the docs share a 40-token boilerplate template plus 12
+    unique tokens (pairwise jaccard ~0.55 — under the 0.7 threshold);
+    the other half are fully unique. Plus one planted GENUINE
+    near-dup pair built from rare shingles (ids 10^6, 10^6+1)."""
+    tmpl = " ".join(f"tmpl{j}" for j in range(40))
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.pmod("id", F.lit(2)) == 0,
+            F.concat(
+                F.lit(tmpl + " "),
+                F.concat_ws(" ", F.array(*[
+                    F.concat(F.lit(f"u{j}x"), F.col("id").cast("string"))
+                    for j in range(12)
+                ])),
+            ),
+        ).otherwise(
+            F.concat_ws(" ", F.array(*[
+                F.concat(F.lit(f"v{j}x"), F.col("id").cast("string"))
+                for j in range(25)
+            ]))
+        ).alias("text"),
+    )
+    pair_text = " ".join(f"planted{j}" for j in range(30))
+    planted = spark.createDataFrame(
+        [
+            (1_000_000, pair_text),
+            (1_000_001, pair_text.rsplit(" ", 1)[0] + " plantedZZ"),
+        ],
+        "doc_id long, text string",
+    )
+    return base.unionByName(planted)
+
+
+def _sig(spark, docs):
+    sets = dedup._hash_shingle_frame(docs, "text", "doc_id", 3)
+    hashed = sets.select(
+        "doc_id",
+        F.explode(
+            F.transform("sh", lambda h: F.pmod(h, F.lit(dedup._MERSENNE)))
+        ).alias("h"),
+    )
+    return dedup._signatures_from_hashes(hashed, "doc_id", 128).persist()
+
+
+def test_cap_collapses_template_family_candidates(spark):
+    n = 600
+    docs = _template_docs(spark, n)
+    sig = _sig(spark, docs)
+    uncapped = dedup.minhash_lsh_candidates(sig, "doc_id").count()
+    capped = dedup.minhash_lsh_candidates(
+        sig, "doc_id", bucket_star_cap=16
+    ).count()
+    # template family: 300 docs, ~C(300,2)=44850 sub-threshold pairs
+    # nearly all band-collide without the cap
+    assert uncapped > 20_000, uncapped
+    # capped: each doc contributes at most one star edge per band
+    # (32) plus small-bucket pairs — LINEAR in n by construction
+    # (observed ~2.4/doc on this shape), vs ~75/doc uncapped and
+    # growing linearly with n
+    assert capped <= 34 * (n + 2), capped
+    assert capped < uncapped / 15, (capped, uncapped)
+
+    # verified OUTPUT is unchanged: template pairs fail the exact
+    # verify either way, the planted genuine pair survives both
+    for cap in (None, 16):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_near_dup_pairs(
+                docs, threshold=0.7, bucket_star_cap=cap
+            ).collect()
+        }
+        assert got == {(1_000_000, 1_000_001)}, (cap, got)
+    spark.catalog.clearCache()
+
+
+def test_cap_preserves_genuine_family_groups(spark):
+    """A 120-member GENUINE near-dup family (every member = the base
+    30-token doc with one token changed at a distinct position;
+    pairwise jaccard ~0.8-0.9) lands in oversized buckets. Capped
+    candidates shrink to anchor stars, but connected components are
+    identical: members verify against the min-id anchor (j >= 0.7),
+    so the family is one group either way."""
+    base_toks = [f"fam{j:02d}" for j in range(30)]
+    rows = [(0, " ".join(base_toks))]
+    for m in range(1, 120):
+        toks = list(base_toks)
+        toks[m % 30] = f"mut{m}"
+        rows.append((m, " ".join(toks)))
+    # background: unique docs so the corpus isn't one bucket
+    for i in range(400):
+        rows.append(
+            (1000 + i, " ".join(f"bg{i}w{j}" for j in range(25)))
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def groups(cap):
+        pairs = dedup.minhash_near_dup_pairs(
+            docs, threshold=0.7, pair_mode="star", bucket_star_cap=cap
+        ).select("id_a", "id_b")
+        cc = graph.connected_components(pairs)
+        return {
+            r["vertex"]: r["component"] for r in cc.collect()
+        }
+
+    g_uncapped = groups(None)
+    g_capped = groups(8)
+    assert g_capped == g_uncapped
+    # the family is one component rooted at the min id
+    fam = {v for v in g_capped if v < 1000}
+    assert fam == set(range(120))
+    assert {g_capped[v] for v in fam} == {0}
+    spark.catalog.clearCache()
+
+
+def test_cap_validation_and_default_identity(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}t{j}" for j in range(10))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    sig = _sig(spark, docs)
+    with pytest.raises(ValueError):
+        dedup.minhash_lsh_candidates(sig, "doc_id", bucket_star_cap=1)
+    # huge cap (never trips) is row-identical to the default path
+    a = set(map(tuple, dedup.minhash_lsh_candidates(sig, "doc_id").collect()))
+    b = set(
+        map(
+            tuple,
+            dedup.minhash_lsh_candidates(
+                sig, "doc_id", bucket_star_cap=10**6
+            ).collect(),
+        )
+    )
+    assert a == b
+    spark.catalog.clearCache()
+
+
+def test_fp_bucket_cap_preserves_family_groups(spark):
+    """The pigeonhole twin: a dense fingerprint FAMILY (members
+    within hamming <= 2 of an anchor fingerprint) co-occupies chunk
+    buckets; bucket_star_cap turns those buckets into anchor stars.
+    Components are identical capped vs uncapped (members verify
+    against the anchor), and the candidate relation shrinks from
+    ~C(K,2) to ~K."""
+    base = 0x0123_4567_89AB_CDEF
+    rows = [(0, base)]
+    # 100 family members: flip one distinct low bit -> hamming 1 to
+    # the anchor, hamming <= 2 pairwise (all within max_hamming=2)
+    for m in range(1, 100):
+        rows.append((m, base ^ (1 << (m % 48))))
+    # background: well-separated fingerprints
+    import random
+
+    rnd = random.Random(7)
+    for i in range(300):
+        rows.append((1000 + i, rnd.getrandbits(63)))
+    fp = spark.createDataFrame(rows, "media_id long, f long")
+
+    def pairs(cap):
+        return dedup.fingerprint_hamming_pairs(
+            fp, "f", "media_id", max_hamming=2, pair_mode="star",
+            bucket_star_cap=cap,
+        ).select("id_a", "id_b")
+
+    def comps(frame):
+        return {
+            r["vertex"]: r["component"]
+            for r in graph.connected_components(frame).collect()
+        }
+
+    uncapped_pairs = pairs(None).count()
+    capped_pairs = pairs(8).count()
+    assert capped_pairs < uncapped_pairs / 10, (capped_pairs, uncapped_pairs)
+    assert comps(pairs(8)) == comps(pairs(None))
+    # the family is one component rooted at the anchor
+    got = comps(pairs(8))
+    assert {got[v] for v in range(100)} == {0}
+    spark.catalog.clearCache()
