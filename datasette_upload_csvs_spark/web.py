@@ -15,6 +15,10 @@ application over the Spark ingest engine:
          (reference __init__.py:233-241), else 302 to the table url
     GET  /{db}/_csv_progress_.json?id=X  → [{...progress row...}]
          (the `_shape=array` SQLite view the template polls)
+    GET  /{db}.json?sql=SELECT...&_size=N → read-only SQL over the
+         ingested tables (the Datasette-core JSON API surface the
+         reference's own tests use to read tables back); SELECT-only
+         guard, ≤1000 rows, same permission gate
 
 No Starlette/Datasette dependency: the app is a plain ASGI callable;
 multipart file parts STREAM to disk as request chunks arrive
@@ -455,6 +459,14 @@ class UploadApp:
         if path == "/-/menu" and method == "GET":
             await self._get_menu(scope, send)
             return
+        if (
+            path.endswith(".json")
+            and path.count("/") == 1
+            and method == "GET"
+            and "sql" in query
+        ):
+            await self._get_sql(scope, path, query, send)
+            return
         await self._respond(send, 404, "not found")
 
     # -- navigation affordances ----------------------------------------
@@ -650,6 +662,111 @@ class UploadApp:
                     task_id=task.task_id,
                 ),
             )
+
+    # -- read-only SQL over HTTP -----------------------------------
+    # Reference users query their uploaded tables through Datasette
+    # core's `GET /{db}.json?sql=` (the reference's own tests do:
+    # tests/test_datasette_upload_csvs.py:168-171 reads the ingested
+    # table back over the JSON API). Datasette core is out of the
+    # plugin's scope, but this one endpoint completes the user
+    # journey over the web surface: upload a CSV, then query it back
+    # with SQL — SELECT-only, bounded output.
+
+    _SQL_ALLOWED = None  # compiled lazily (module import stays cheap)
+    _SQL_MAX_ROWS = 1000
+
+    @classmethod
+    def _sql_guard(cls, sql: str) -> str | None:
+        """Returns an error string for non-SELECT input, else None.
+        Same guard class as Datasette's: the statement must start
+        with SELECT/WITH/VALUES, contain a single statement, and is
+        screened for write/DDL keywords ANYWHERE in the text (so a
+        `WITH ... INSERT` or a keyword smuggled into a subquery is
+        rejected; the false-positive cost — a string literal
+        containing a bare keyword — is the accepted price of a
+        deny-by-default screen on an open endpoint)."""
+        import re
+
+        if cls._SQL_ALLOWED is None:
+            cls._SQL_ALLOWED = re.compile(
+                r"^\s*(select|with|values)\b", re.IGNORECASE
+            )
+            cls._SQL_FORBIDDEN = re.compile(
+                r"\b(insert|update|delete|merge|drop|create|alter|"
+                r"truncate|grant|revoke|set|reset|refresh|msck|analyze|"
+                r"cache|uncache|use|call|load|add|declare|execute)\b",
+                re.IGNORECASE,
+            )
+        body = sql.rstrip().rstrip(";")
+        if not body.strip():
+            return "sql parameter is empty"
+        if not cls._SQL_ALLOWED.match(body):
+            return "only SELECT queries are allowed"
+        if ";" in body:
+            return "multiple statements are not allowed"
+        m = cls._SQL_FORBIDDEN.search(body)
+        if m:
+            return f"keyword not allowed on this endpoint: {m.group(0)}"
+        return None
+
+    async def _get_sql(self, scope, path, query, send):
+        try:
+            ingest._check_allowed(self.actor_from_scope(scope))
+        except ingest.Forbidden as ex:
+            await self._respond(send, 403, str(ex))
+            return
+        database = unquote(path[1:-len(".json")])
+        known = self._target_databases()
+        if database not in known and database != "default":
+            await self._respond(
+                send, 404, {"ok": False, "error": f"no such database: {database}"}
+            )
+            return
+        sql = (query.get("sql") or [""])[0]
+        err = self._sql_guard(sql)
+        if err:
+            await self._respond(send, 400, {"ok": False, "error": err})
+            return
+        try:
+            size = int((query.get("_size") or [self._SQL_MAX_ROWS])[0])
+        except ValueError:
+            size = self._SQL_MAX_ROWS
+        size = max(1, min(size, self._SQL_MAX_ROWS))
+        import asyncio
+
+        def run():
+            # a cloned session shares the catalog/tables but owns its
+            # current-database state, so scoping unqualified names to
+            # {db} can never race a concurrent ingest reading
+            # currentDatabase on the outer session
+            session = self.spark.newSession()
+            if database != "default":
+                session.catalog.setCurrentDatabase(database)
+            df = session.sql(sql)
+            rows = df.limit(size + 1).collect()
+            return df.columns, rows
+
+        try:
+            columns, rows = await asyncio.get_running_loop().run_in_executor(
+                None, run
+            )
+        except Exception as ex:  # surfaced as a 400, like Datasette
+            await self._respond(
+                send, 400, {"ok": False, "error": str(ex).split("\n")[0]}
+            )
+            return
+        truncated = len(rows) > size
+        body = json.dumps(
+            {
+                "ok": True,
+                "database": database,
+                "columns": columns,
+                "rows": [r.asDict(recursive=True) for r in rows[:size]],
+                "truncated": truncated,
+            },
+            default=str,
+        )
+        await self._respond(send, 200, body, ctype="application/json")
 
     async def _get_progress(self, scope, path, query, send):
         # same permission gate as the form and POST routes: in the
