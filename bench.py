@@ -99,17 +99,21 @@ HEADLINE = [
     # pigeonhole tier
     "dedup_exact_substr_removed",
     "simhash_dup_groups",
-    # round-9: the xxhash64 HOT-PATH twin of simhash_dup_groups —
-    # what a real engine-internal pass runs (one JVM hash/token vs 8
-    # hex parses). Bench-only: xxhash64 isn't reproducible in DuckDB
-    # so there is no valid oracle; exact-dup containment is pinned in
-    # tests/test_fp_wide.py instead. Benching both keeps the
-    # portability premium visible per round.
-    "simhash_dup_groups_fast",
     # round-9: the 128-bit scale-regime tier (4x32-bit pigeonhole
     # keys; BENCH_FP_SCALE.json for the width-scaling law)
     "simhash128_dup_groups",
 ]
+
+# Timed with the same protocol but NOT in the headline total (filed
+# under "quiet" in BENCH_DETAIL.json): A/B twins of a headline entry
+# would double-charge the same operator in the total (round-9
+# verdict's hygiene note). simhash_dup_groups_fast is the xxhash64
+# hot-path twin of simhash_dup_groups — what an engine-internal pass
+# runs (one JVM hash/token vs 8 hex parses); bench-only because
+# xxhash64 isn't reproducible in DuckDB so no oracle is possible
+# (exact-dup containment pinned in tests/test_fp_wide.py). Benching
+# it quietly keeps the portability premium visible per round.
+QUIET = ["simhash_dup_groups_fast"]
 
 # Queries whose r7/r8 filed spreads rivaled their medians (up to
 # 6.9 s on a loaded host): 5 timed samples instead of 3, so the
@@ -152,7 +156,7 @@ def main() -> None:
     # SF so JVM/codegen/Arrow compilation and file-footer caches are
     # paid before timing. Reported numbers are steady-state execution
     # — the regime that matters for a long-lived cluster.
-    for name in HEADLINE:
+    for name in HEADLINE + QUIET:
         try:
             registry[name](spark, sf_dir).count()
         except Exception as ex:  # warm-up must never fail the bench
@@ -162,7 +166,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name in HEADLINE:
+    quiet: dict[str, dict] = {}
+    for name in HEADLINE + QUIET:
         fn = registry[name]
         # min of 3 timed runs after one discarded per-query warmup
         # (on top of the global warmup pass above); SUB-1s queries
@@ -189,13 +194,21 @@ def main() -> None:
         # later query and make run N slower than run 1.
         spark.catalog.clearCache()
         srt = sorted(samples)
-        timings[name] = round(srt[0], 3)
-        medians[name] = round(srt[len(srt) // 2], 3)
-        spreads[name] = round(srt[-1] - srt[0], 3)
+        if name in QUIET:
+            quiet[name] = {
+                "min": round(srt[0], 3),
+                "median": round(srt[len(srt) // 2], 3),
+                "spread": round(srt[-1] - srt[0], 3),
+            }
+        else:
+            timings[name] = round(srt[0], 3)
+            medians[name] = round(srt[len(srt) // 2], 3)
+            spreads[name] = round(srt[-1] - srt[0], 3)
         print(
-            f"# {name}: min {timings[name]:.3f}s "
-            f"median {medians[name]:.3f}s "
-            f"(+{spreads[name]:.3f} spread) rows={n}",
+            f"# {name}: min {srt[0]:.3f}s "
+            f"median {srt[len(srt) // 2]:.3f}s "
+            f"(+{srt[-1] - srt[0]:.3f} spread) rows={n}"
+            + (" [quiet]" if name in QUIET else ""),
             file=sys.stderr,
         )
 
@@ -214,6 +227,7 @@ def main() -> None:
         "queries": timings,
         "median": medians,
         "spread": spreads,
+        "quiet": quiet,
         "sf": sf_val,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
