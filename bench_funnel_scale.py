@@ -41,6 +41,12 @@ funnel ONCE (stages are internally min-of-1 — the funnel is too
 stateful to best-of-N per stage, and the cross-M trend, not the
 per-point noise, is the claim).
 
+At the two largest multipliers the funnel also runs a SECOND pass
+with bucket_star_cap=256 on the near-dup stage (the adversarial-skew
+guard, BENCH_DEDUP_SKEW.json): the synthetic corpus's own
+sub-threshold band collisions grow super-linearly at 128x and the
+A/B quantifies what the cap buys inside the composed pipeline.
+
 Usage: python bench_funnel_scale.py [multipliers...] (default 1 8 32 128)
 Prints one JSON line and writes BENCH_FUNNEL_SCALE.json.
 """
@@ -155,7 +161,7 @@ def main() -> None:
                 bench_path
             )
 
-            def run_funnel(collect_rows):
+            def run_funnel(collect_rows, cap=None):
                 rows = {}
 
                 def run_stage(name, thunk):
@@ -175,6 +181,7 @@ def main() -> None:
                 stages, split_summary, shards = run_curation_funnel(
                     spark.read.parquet(corpus_path),
                     benchmark=spark.read.parquet(bench_path),
+                    bucket_star_cap=cap,
                     run_stage=run_stage,
                 )
                 split_summary.collect()
@@ -203,6 +210,21 @@ def main() -> None:
                 "corpus_file_input_mb": rows["scan"]["input_mb"],
                 "stages": rows,
             }
+            if m >= (mults[-2] if len(mults) >= 2 else mults[-1]):
+                # capped A/B at the largest multipliers: quantify the
+                # oversized-bucket guard inside the composed pipeline
+                t0 = time.perf_counter()
+                capped_rows = run_funnel(collect_rows=True, cap=256)
+                row["capped256"] = {
+                    "total_wall_s": round(time.perf_counter() - t0, 3),
+                    "near_dup_wall_s": capped_rows["near_dup_groups"][
+                        "wall_s"
+                    ],
+                    "near_dup_shuffle_mb": capped_rows["near_dup_groups"][
+                        "shuffle_mb"
+                    ],
+                    "survivors": capped_rows["near_dup_groups"]["n_docs"],
+                }
             results.append(row)
             print(json.dumps({"progress": row["mult"],
                               "wall": row["total_wall_s"]}),

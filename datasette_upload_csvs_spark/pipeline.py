@@ -139,6 +139,7 @@ def run_curation_funnel(
     decontam_n: int = 8,
     num_shards: int = 16,
     val_fraction_hex: tuple[str, ...] = ("0", "1", "2"),
+    bucket_star_cap: int | None = None,
     run_stage=None,
     capture_plans: bool = False,
 ) -> tuple[list[FunnelStage], DataFrame, DataFrame]:
@@ -268,6 +269,12 @@ def run_curation_funnel(
             threshold=near_dup_threshold,
             exact_floor_max_df=exact_floor_max_df,
             pair_mode="star",
+            # oversized-bucket guard (see minhash_lsh_candidates):
+            # at corpus scale, sub-threshold boilerplate families
+            # band-collide and go quadratic in the candidate join —
+            # BENCH_FUNNEL_SCALE's capped-vs-uncapped A/B measures
+            # the effect on this exact stage
+            bucket_star_cap=bucket_star_cap,
         ).select("id_a", "id_b")
         cc = graph.connected_components(pairs)
         labeled = s2.join(
