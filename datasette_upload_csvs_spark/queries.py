@@ -10251,6 +10251,154 @@ def curation_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "curation_funnel_staged",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                         x -> x <> '') AS w
+      FROM documents WHERE doc_id % 10 <> 0
+    ), s0 AS (
+      SELECT doc_id, text, len(w) AS n_tok FROM t
+    ), m AS (
+      SELECT doc_id, text, len(w) AS n_tok,
+             len(w) AS n_words,
+             1.0 * coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+               / greatest(len(w), 1) AS mwl,
+             1.0 * len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+               / greatest(len(w), 1) AS fa,
+             len(list_filter(w, x -> list_contains([{_STOP_SQL}], x)))
+               AS n_stop_hits
+      FROM t
+    ), s1 AS (
+      SELECT doc_id, text, n_tok FROM m
+      WHERE n_words BETWEEN 20 AND 100000
+        AND mwl BETWEEN 3 AND 10 AND fa >= 0.8 AND n_stop_hits >= 2
+    ), s2 AS (
+      SELECT doc_id, text, n_tok FROM (
+        SELECT doc_id, text, n_tok,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY doc_id) AS rn
+        FROM s1
+      ) WHERE rn = 1
+    ), toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS t
+      FROM s2
+    ), sh AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), good AS (
+      SELECT id_a, id_b
+      FROM pr JOIN sizes sa ON id_a = sa.doc_id
+              JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.7
+    ), edges AS (
+      SELECT id_a AS v, id_b AS n FROM good
+      UNION
+      SELECT id_b AS v, id_a AS n FROM good
+    ), walk(v, c) AS (
+      SELECT v, v FROM (SELECT DISTINCT v FROM edges) t
+      UNION
+      SELECT e.v, w.c FROM edges e JOIN walk w ON w.v = e.n
+    ), comp AS (
+      SELECT v, MIN(c) AS component FROM walk GROUP BY v
+    ), s3 AS (
+      SELECT s2.doc_id, s2.text, s2.n_tok
+      FROM s2 LEFT JOIN comp ON s2.doc_id = comp.v
+      WHERE COALESCE(comp.component, s2.doc_id) = s2.doc_id
+    ), toksall AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS tt
+      FROM documents WHERE doc_id % 10 = 0
+    ), bench AS (
+      SELECT DISTINCT array_to_string(tt[i:i+7], ' ') AS g
+      FROM toksall, UNNEST(range(1, greatest(len(tt) - 6, 2))) AS u(i)
+    ), toks3 AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '{SPLIT_RE}'),
+                                 x -> x <> '') AS tt
+      FROM s3
+    ), sh3 AS (
+      SELECT DISTINCT doc_id, array_to_string(tt[i:i+7], ' ') AS g
+      FROM toks3, UNNEST(range(1, greatest(len(tt) - 6, 2))) AS u(i)
+    ), contam AS (
+      SELECT DISTINCT s.doc_id FROM sh3 s JOIN bench USING (g)
+    ), s4 AS (
+      SELECT doc_id, n_tok FROM s3
+      WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    )
+    SELECT * FROM (
+      SELECT 'scan' AS stage, 1 AS stage_order,
+             COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM s0
+      UNION ALL
+      SELECT 'gopher_quality', 2, COUNT(*), CAST(SUM(n_tok) AS BIGINT)
+      FROM s1
+      UNION ALL
+      SELECT 'exact_dedup', 3, COUNT(*), CAST(SUM(n_tok) AS BIGINT)
+      FROM s2
+      UNION ALL
+      SELECT 'near_dup_groups', 4, COUNT(*), CAST(SUM(n_tok) AS BIGINT)
+      FROM s3
+      UNION ALL
+      SELECT 'decontaminated', 5, COUNT(*), CAST(SUM(n_tok) AS BIGINT)
+      FROM s4
+    )
+    """,
+)
+def curation_funnel_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STAGED composed funnel (pipeline.run_curation_funnel) as
+    an oracle-checked registry entry: raw → Gopher quality → exact
+    dedup → near-dup GROUPS (banded MinHash star edges + connected
+    components, keep the canonical member — the stage the 4-stage
+    curation_pipeline_funnel lacks) → benchmark 8-gram
+    decontamination, reported as per-stage doc/token counts.
+
+    Unlike the lazy single-plan funnel, this runs the materializing
+    pipeline — one corpus scan, each stage consuming the previous
+    stage's localCheckpoint (the execution shape
+    BENCH_FUNNEL_SCALE.json measures at 1×–128×, and
+    tests/test_pipeline_funnel.py pins scan-free stage plans for).
+    The oracle replays every stage in SQL: the Gopher rules, the
+    md5 rank-1 exact dedup, the exact-Jaccard ≥ 0.7 transitive
+    closure over the SURVIVOR set (the same floor+bands coverage
+    argument as dedup_groups makes Spark's LSH edge set equal the
+    exact closure), and the 8-gram decontamination screen. The
+    result is Θ(stages) rows, so collecting the staged counts into
+    a local frame is driver-safe at any corpus size."""
+    from datasette_upload_csvs_spark.pipeline import run_curation_funnel
+
+    d = load(spark, sf_dir, "documents")
+    stages, _, _ = run_curation_funnel(
+        d.filter(F.pmod("doc_id", F.lit(10)) != 0),
+        benchmark=d.filter(F.pmod("doc_id", F.lit(10)) == 0),
+        exact_floor_max_df=_FLOOR_MAX_DF,
+    )
+    order = {
+        "scan": 1,
+        "gopher_quality": 2,
+        "exact_dedup": 3,
+        "near_dup_groups": 4,
+        "decontaminated": 5,
+    }
+    rows = [
+        (s.name, order[s.name], s.n_docs, s.n_tokens)
+        for s in stages
+        if s.name in order
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage string, stage_order int, n_docs bigint, n_tokens bigint",
+    )
+
+
 # ====================================================================
 # UniMax budget allocation (Chung et al. ICLR '23)
 # ====================================================================
