@@ -18,6 +18,12 @@ next to the closed-form prediction:
    Exact recall (d < c) must measure 1.0; the lossy region
    (d >= c) must track the formula within binomial noise.
 
+1b. The same spectrum through the 128-bit WIDE tier
+   (fingerprint_hamming_pairs_wide, 4x32-bit chunks): identical
+   formula at bits=128 — the lossy tail decays far slower (a clean
+   32-bit chunk survives more flips), quantifying what the wide
+   tier's exact radius costs nothing to keep.
+
 2. MinHash (b=32, r=4) banding: doc pairs planted at controlled
    jaccard via shared token prefixes (A = 40 unique tokens, B shares
    the first p; 3-shingle jaccard = (p-2)/(78-p), exact by
@@ -43,16 +49,16 @@ import random
 import sys
 
 
-def hamming_prediction(d: int, c: int) -> float:
-    """P(>=1 of c equal-width chunks of a 64-bit word is clean) with
-    d flipped bits placed uniformly at random."""
+def hamming_prediction(d: int, c: int, bits: int = 64) -> float:
+    """P(>=1 of c equal-width chunks of a `bits`-wide fingerprint is
+    clean) with d flipped bits placed uniformly at random."""
     if d == 0:
         return 1.0
-    w = 64 // c
-    total = math.comb(64, d)
+    w = bits // c
+    total = math.comb(bits, d)
     p = 0.0
     for i in range(1, c + 1):
-        free = 64 - i * w
+        free = bits - i * w
         if free < d:
             term = 0
         else:
@@ -118,6 +124,53 @@ def main() -> None:
             print(json.dumps(hamming_rows[-1]), file=sys.stderr)
             spark.catalog.clearCache()
 
+    # ------------- WIDE (128-bit) pigeonhole, lossy region ---------
+    # the scale tier (fingerprint_hamming_pairs_wide, 4x32-bit keys):
+    # same inclusion-exclusion with bits=128 — the lossy tail decays
+    # much slower (wider clean chunks), which is exactly why the wide
+    # tier keeps exactness to the same radius with more selective keys
+    wide_rows = []
+    for d in (0, 2, 3, 4, 6, 8, 10, 12):
+        rows = []
+        for i in range(n_pairs):
+            base = rnd.getrandbits(128)
+            mate = base
+            for b_ in rnd.sample(range(128), d):
+                mate ^= 1 << b_
+
+            def words(u):
+                lo = u & ((1 << 64) - 1)
+                hi = u >> 64
+                s = lambda x: x - (1 << 64) if x >= (1 << 63) else x  # noqa: E731
+                return s(lo), s(hi)
+
+            b0, b1 = words(base)
+            m0, m1 = words(mate)
+            rows.append((i, b0, b1))
+            rows.append((i + 1_000_000, m0, m1))
+        fp = spark.createDataFrame(
+            rows, "media_id long, fp0 long, fp1 long"
+        )
+        found = dedup.fingerprint_hamming_pairs_wide(
+            fp, ["fp0", "fp1"], "media_id", max_hamming=12, n_chunks=4,
+            allow_lossy=True,
+        ).select("id_a", "id_b").collect()
+        recall = sum(
+            1 for r in found if r["id_b"] - r["id_a"] == 1_000_000
+        ) / n_pairs
+        wide_rows.append(
+            {
+                "n_chunks": 4,
+                "hamming": d,
+                "pairs": n_pairs,
+                "recall": round(recall, 4),
+                "predicted": round(hamming_prediction(d, 4, bits=128), 4),
+                "exact_region": d < 4,
+            }
+        )
+        print(json.dumps({"wide": wide_rows[-1]}), file=sys.stderr)
+        spark.catalog.clearCache()
+
     # ---------------- minhash (32, 4) s-curve, per prefix p --------
     minhash_rows = []
     m = 40
@@ -161,6 +214,7 @@ def main() -> None:
         "metric": "lossy_config_recall_curves",
         "pairs_per_point": n_pairs,
         "hamming_pigeonhole": hamming_rows,
+        "hamming_pigeonhole_wide128": wide_rows,
         "minhash_bands_32x4": minhash_rows,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

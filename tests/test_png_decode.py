@@ -211,3 +211,57 @@ def test_phash_over_real_png_matches_duckdb_oracle(spark):
     }
     assert got == oracle
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------- property
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        data=st.data(),
+        h=st.integers(2, 12),
+        w=st.integers(2, 12),
+        ctype=st.sampled_from([0, 2, 6, 4]),
+    )
+    def test_png_roundtrip_property(data, h, w, ctype):
+        """Any 8-bit image of any small shape, any per-row filter
+        sequence, any supported color type: decode(encode(px)) is the
+        exact luma of px."""
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        rows = [
+            [
+                tuple(
+                    data.draw(st.integers(0, 255))
+                    for _ in range(channels)
+                )
+                if channels > 1
+                else data.draw(st.integers(0, 255))
+                for _ in range(w)
+            ]
+            for _ in range(h)
+        ]
+        filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+        png = encode_png(rows, ctype=ctype, filters=filters)
+        got = multimodal.png_decoder()(png).tolist()
+        if ctype == 0:
+            expect = rows
+        elif ctype == 4:
+            expect = [[p[0] for p in r] for r in rows]
+        else:
+            expect = [
+                [
+                    (299 * p[0] + 587 * p[1] + 114 * p[2]) // 1000
+                    for p in r
+                ]
+                for r in rows
+            ]
+        assert got == expect

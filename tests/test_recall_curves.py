@@ -99,3 +99,51 @@ def test_minhash_band_recall_matches_scurve(spark, p):
     else:
         assert abs(recall - pred) <= EPS, (j, recall, pred)
     spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("d", [3, 6])
+def test_wide_hamming_lossy_recall_matches_prediction(spark, d):
+    """The 128-bit wide tier obeys the same inclusion-exclusion at
+    bits=128: exact at d < n_chunks, and a much slower lossy decay
+    than the 64-bit tier (a clean 32-bit chunk survives more flips)."""
+    rnd = random.Random(550 + d)
+    rows = []
+    for i in range(N_PAIRS):
+        base = rnd.getrandbits(128)
+        mate = base
+        for b in rnd.sample(range(128), d):
+            mate ^= 1 << b
+
+        def words(u):
+            lo, hi = u & ((1 << 64) - 1), u >> 64
+            s = lambda x: x - (1 << 64) if x >= (1 << 63) else x  # noqa: E731
+            return s(lo), s(hi)
+
+        rows.append((i, *words(base)))
+        rows.append((i + 1_000_000, *words(mate)))
+    fp = spark.createDataFrame(rows, "media_id long, fp0 long, fp1 long")
+    from datasette_upload_csvs_spark.operators.dedup import (
+        fingerprint_hamming_pairs_wide,
+    )
+
+    found = fingerprint_hamming_pairs_wide(
+        fp, ["fp0", "fp1"], "media_id", max_hamming=12, n_chunks=4,
+        allow_lossy=True,
+    ).select("id_a", "id_b").collect()
+    recall = sum(
+        1 for r in found if r["id_b"] - r["id_a"] == 1_000_000
+    ) / N_PAIRS
+
+    # bits=128 inclusion-exclusion
+    w, c, bits = 32, 4, 128
+    total = math.comb(bits, d)
+    pred = 0.0
+    for i in range(1, c + 1):
+        free = bits - i * w
+        term = math.comb(c, i) * (math.comb(free, d) if free >= d else 0)
+        pred += (1 if i % 2 == 1 else -1) * term / total
+    if d < 4:
+        assert recall == 1.0
+    else:
+        assert abs(recall - pred) <= EPS, (d, recall, pred)
+    spark.catalog.clearCache()
