@@ -601,6 +601,40 @@ def oph_signatures(
     )
 
 
+def cap_bucket_side(
+    rel: DataFrame,
+    key_cols: list,
+    id_col: str,
+    cap: int | None,
+) -> DataFrame:
+    """Collapse oversized buckets of a candidate-join SIDE to their
+    min-id anchor row (all other columns ride along) — the streaming
+    form of the bucket_star_cap guard. A probe joined against the
+    capped side meets at most ONE row per oversized bucket, so a
+    dense family of K near-identical fingerprints in maintained
+    state costs each probe 1 candidate instead of K. Buckets at or
+    under the cap are passed through untouched; cap=None is the
+    identity. Connectivity argument for grouping consumers: every
+    family member was a probe once and joined the then-anchor (a
+    family member), so the family stays connected through anchor
+    edges whenever members verify against anchors — the same
+    contract as minhash_lsh_candidates' bucket_star_cap."""
+    if cap is None:
+        return rel
+    if cap < 2:
+        raise ValueError(f"cap must be >= 2, got {cap}")
+    stats = rel.groupBy(*key_cols).agg(
+        F.count("*").alias("_bc"), F.min(id_col).alias("_anchor")
+    )
+    return (
+        rel.join(stats, list(key_cols))
+        .filter(
+            (F.col("_bc") <= cap) | (F.col(id_col) == F.col("_anchor"))
+        )
+        .drop("_bc", "_anchor")
+    )
+
+
 def minhash_lsh_candidates(
     sig: DataFrame,
     id_col: str = "doc_id",

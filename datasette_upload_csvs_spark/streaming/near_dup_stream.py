@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datasette_upload_csvs_spark.operators.dedup import (
+    cap_bucket_side,
     _hash_shingle_frame,
     _signatures_from_hashes,
     _MERSENNE,
@@ -58,6 +59,7 @@ def near_dup_epoch(
     threshold: float = 0.7,
     num_perm: int = 128,
     n_bands: int = 32,
+    bucket_star_cap: int | None = None,
 ) -> None:
     """One epoch of incremental near-dup maintenance — factored out of
     the foreachBatch closure so the replay test can invoke a single
@@ -65,7 +67,17 @@ def near_dup_epoch(
     (pairs / bands / sets) under at-least-once redelivery via the
     shared epoch_write recipe: history reads mask this epoch's own
     ``_batch_id`` partition, writes are per-epoch dynamic partition
-    overwrites (see streaming/epoch_write.py)."""
+    overwrites (see streaming/epoch_write.py).
+
+    ``bucket_star_cap`` (default None = historical behavior): the
+    joined-against band relation has oversized (band, bucket) groups
+    collapsed to their min-id anchor (dedup.cap_bucket_side) — a
+    sub-threshold template family accumulated in the maintained
+    index then costs each probe 1 candidate per band instead of K
+    (the same s-curve failure mode BENCH_DEDUP_SKEW measures for the
+    batch operator). Jaccard is still exactly verified on every
+    emitted pair; genuine families stay CC-connected through anchor
+    edges, since every member was a probe once."""
     if batch_df.isEmpty():
         return
     spark = batch_df.sparkSession
@@ -97,6 +109,9 @@ def near_dup_epoch(
         all_bands = old_bands.unionByName(new_bands)
     else:
         all_bands = new_bands
+    all_bands = cap_bucket_side(
+        all_bands, ["band", "bucket"], "doc_id", bucket_star_cap
+    )
     # candidates where at least one side is NEW: join new bands
     # against (old + new); a<b dedups the in-batch mirror pairs
     cand = (
@@ -154,6 +169,7 @@ def maintain_near_dup_stream(
     n_bands: int = 32,
     checkpoint_dir: str | None = None,
     compact_every: int | None = None,
+    bucket_star_cap: int | None = None,
 ) -> int:
     """Drain a parquet stream of (doc_id, text) into near-dup PAIRS
     (pairs_table) while maintaining the LSH band index + shingle-set
@@ -198,6 +214,7 @@ def maintain_near_dup_stream(
             index_table,
             threshold=threshold,
             num_perm=num_perm,
+            bucket_star_cap=bucket_star_cap,
             n_bands=n_bands,
         )
         batches["n"] += 1

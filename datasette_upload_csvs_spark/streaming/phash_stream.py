@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datasette_upload_csvs_spark.operators import dedup as _dedup
 from datasette_upload_csvs_spark.operators.multimodal import (
     perceptual_hashes,
 )
@@ -73,13 +74,22 @@ def phash_epoch(
     max_hamming: int = 2,
     payload_col: str = "payload",
     id_col: str = "media_id",
+    bucket_star_cap: int | None = None,
 ) -> None:
     """One epoch of incremental perceptual-hash maintenance —
     factored out of the foreachBatch closure so the replay test can
     invoke a single epoch directly. Exactly-once across both mutable
     stores under at-least-once redelivery (epoch_write recipe):
     history reads mask this epoch's own partition, writes are
-    per-epoch dynamic partition overwrites."""
+    per-epoch dynamic partition overwrites.
+
+    ``bucket_star_cap`` (default None = historical behavior): the
+    joined-against side of both candidate joins has oversized
+    (chunk, val) buckets collapsed to their min-id anchor
+    (dedup.cap_bucket_side) — a K-member perceptual-hash family in
+    maintained state costs each probe 1 candidate per chunk instead
+    of K; hamming still exactly verified on every emitted pair,
+    families stay CC-connected through anchor edges."""
     if batch_df.isEmpty():
         return
     sp = batch_df.sparkSession
@@ -94,9 +104,14 @@ def phash_epoch(
         # N joins against batch N-2's fingerprints (the stale-listing
         # bug near_dup_epoch documents)
         sp.catalog.refreshTable(fp_table)
-        hist_chunks = _fp_chunks(
-            read_state(sp, fp_table, epoch).select(id_col, "dhash64"),
+        hist_chunks = _dedup.cap_bucket_side(
+            _fp_chunks(
+                read_state(sp, fp_table, epoch).select(id_col, "dhash64"),
+                id_col,
+            ),
+            ["chunk", "val"],
             id_col,
+            bucket_star_cap,
         )
         cands.append(  # new vs history — direction normalized
             new_chunks.select(
@@ -126,21 +141,32 @@ def phash_epoch(
         F.col(id_col).alias("id_a"), F.col("dhash64").alias("fp_a"),
         "chunk", "val",
     )
-    b = new_chunks.select(
+    b = _dedup.cap_bucket_side(
+        new_chunks, ["chunk", "val"], id_col, bucket_star_cap
+    ).select(
         F.col(id_col).alias("id_b"), F.col("dhash64").alias("fp_b"),
         "chunk", "val",
     )
-    cands.append(  # new vs new
-        a.join(b, ["chunk", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+    nn = a.join(b, ["chunk", "val"])
+    if bucket_star_cap is None:
+        nn = nn.filter(F.col("id_a") < F.col("id_b")).select(
             "id_a",
             "id_b",
             F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias(
                 "hamming"
             ),
         )
-    )
+    else:
+        # right side is anchor-capped: a<b would drop every
+        # (member, anchor) star edge — normalize; distinct dedups
+        nn = nn.filter(F.col("id_a") != F.col("id_b")).select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias(
+                "hamming"
+            ),
+        )
+    cands.append(nn)  # new vs new
     cand = cands[0]
     for c in cands[1:]:
         cand = cand.unionByName(c)
@@ -168,6 +194,7 @@ def maintain_phash_stream(
     max_hamming: int = 2,
     checkpoint_dir: str | None = None,
     compact_every: int | None = None,
+    bucket_star_cap: int | None = None,
 ) -> int:
     """Drain a parquet stream of (media_id, payload) into perceptual
     near-dup PAIRS while maintaining the fingerprint table.
@@ -187,7 +214,8 @@ def maintain_phash_stream(
         if batch_df.isEmpty():
             return
         phash_epoch(
-            batch_df, epoch, pairs_table, fp_table, max_hamming=max_hamming
+            batch_df, epoch, pairs_table, fp_table,
+            max_hamming=max_hamming, bucket_star_cap=bucket_star_cap,
         )
         batches["n"] += 1
 

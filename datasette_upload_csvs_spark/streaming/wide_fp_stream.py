@@ -95,6 +95,7 @@ def wide_fp_epoch(
     text_col: str = "text",
     id_col: str = "doc_id",
     portable: bool = True,
+    bucket_star_cap: int | None = None,
 ) -> None:
     """One epoch of incremental 128-bit near-dup maintenance —
     factored out of the foreachBatch closure so the replay test can
@@ -105,7 +106,18 @@ def wide_fp_epoch(
     validation as fingerprint_hamming_pairs_wide — an n_chunks that
     is not a multiple of the word count would make _wide_chunks emit
     FEWER chunks than nominal (n_chunks=3 → cpw=1 → 2 chunks) and
-    the nominal-count guard below would silently under-protect."""
+    the nominal-count guard below would silently under-protect.
+
+    ``bucket_star_cap`` (default None = historical exact behavior):
+    the joined-AGAINST side of both candidate joins (maintained
+    history, and the batch's own self-join right side) has its
+    oversized (chunk, val) buckets collapsed to their min-id anchor
+    (dedup.cap_bucket_side) — a dense fingerprint family of K docs
+    in 10⁸-doc state then costs each probe 1 candidate instead of K,
+    per chunk. Hamming is still exactly verified on every emitted
+    pair; families stay CC-connected through anchor edges (every
+    member was a probe once), the batch operators' recall
+    contract."""
     n_words = len(FP_COLS)
     if n_chunks % n_words != 0:
         raise ValueError(
@@ -138,10 +150,15 @@ def wide_fp_epoch(
         # N joins against batch N-2's fingerprints (the stale-listing
         # bug near_dup_epoch documents)
         sp.catalog.refreshTable(fp_table)
-        hist_chunks = _wide_chunks(
-            read_state(sp, fp_table, epoch).select(id_col, *FP_COLS),
+        hist_chunks = dedup.cap_bucket_side(
+            _wide_chunks(
+                read_state(sp, fp_table, epoch).select(id_col, *FP_COLS),
+                id_col,
+                n_chunks,
+            ),
+            ["chunk", "val"],
             id_col,
-            n_chunks,
+            bucket_star_cap,
         )
         cands.append(  # new vs history — direction normalized
             new_chunks.select(
@@ -174,18 +191,31 @@ def wide_fp_epoch(
         "chunk",
         "val",
     )
-    b = new_chunks.select(
+    b = dedup.cap_bucket_side(
+        new_chunks, ["chunk", "val"], id_col, bucket_star_cap
+    ).select(
         F.col(id_col).alias("id_b"),
         F.col("fp0").alias("b0"),
         F.col("fp1").alias("b1"),
         "chunk",
         "val",
     )
-    cands.append(  # new vs new
-        a.join(b, ["chunk", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", _ham("a", "b").alias("hamming"))
-    )
+    nn = a.join(b, ["chunk", "val"])
+    if bucket_star_cap is None:
+        # symmetric self-join: a<b halves the mirror pairs up front
+        nn = nn.filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b", _ham("a", "b").alias("hamming")
+        )
+    else:
+        # right side is anchor-capped (asymmetric): an anchor is the
+        # bucket MIN, so a<b would drop every (member, anchor) star
+        # edge — normalize instead; the shared distinct dedups
+        nn = nn.filter(F.col("id_a") != F.col("id_b")).select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            _ham("a", "b").alias("hamming"),
+        )
+    cands.append(nn)  # new vs new
     cand = cands[0]
     for c in cands[1:]:
         cand = cand.unionByName(c)
@@ -216,6 +246,7 @@ def maintain_wide_fp_stream(
     compact_every: int | None = None,
     compact_schedule: tuple | None = None,
     portable: bool = True,
+    bucket_star_cap: int | None = None,
 ) -> int:
     """Drain a parquet stream of (doc_id, text) into 128-bit near-dup
     PAIRS while maintaining the fingerprint table.
@@ -260,6 +291,7 @@ def maintain_wide_fp_stream(
             max_hamming=max_hamming,
             n_chunks=n_chunks,
             portable=portable,
+            bucket_star_cap=bucket_star_cap,
         )
         batches["n"] += 1
 
