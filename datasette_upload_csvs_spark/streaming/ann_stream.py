@@ -46,6 +46,7 @@ from datasette_upload_csvs_spark.functions.vector import (
     double_array_frame,
 )
 from datasette_upload_csvs_spark.operators.similarity import _hyperplane
+from datasette_upload_csvs_spark.operators import dedup as _dedup
 from datasette_upload_csvs_spark.streaming.epoch_write import (
     read_state,
     write_epoch_partition,
@@ -342,6 +343,7 @@ def ann_epoch(
     n_tables: int = 4,
     n_planes: int = 8,
     dim: int = 64,
+    bucket_star_cap: int | None = None,
 ) -> None:
     """One epoch of incremental ANN maintenance — factored out of the
     foreachBatch closure so the replay test can invoke a single epoch
@@ -356,6 +358,14 @@ def ann_epoch(
         pre-batch corpus the first attempt saw;
       * all three writes are per-epoch dynamic partition overwrites —
         a replay rewrites its partitions instead of double-appending.
+
+    ``bucket_star_cap`` (default None = historical behavior): the
+    joined-against side of both candidate joins has oversized
+    (table_id, bucket) groups collapsed to their min-id anchor
+    (dedup.cap_bucket_side) — a K-member near-identical embedding
+    family in maintained state costs each probe 1 candidate per
+    table instead of K; cosine is still exactly verified on every
+    emitted pair, families stay CC-connected through anchor edges.
     """
     if batch_df.isEmpty():
         return
@@ -376,7 +386,12 @@ def ann_epoch(
         # already have appended this batch's bands
         # read_state also masks sub-BASE partitions (a staging left
         # by a crashed compaction) — see epoch_write.read_state
-        hist = read_state(sp, index_table, epoch)
+        hist = _dedup.cap_bucket_side(
+            read_state(sp, index_table, epoch),
+            ["table_id", "bucket"],
+            "vec_id",
+            bucket_star_cap,
+        )
         cands.append(  # new vs history — direction normalized
             bands.select(
                 F.col("vec_id").alias("id_n"), "table_id", "bucket"
@@ -393,12 +408,22 @@ def ann_epoch(
             )
         )
     a = bands.select(F.col("vec_id").alias("id_a"), "table_id", "bucket")
-    b = bands.select(F.col("vec_id").alias("id_b"), "table_id", "bucket")
-    cands.append(  # new vs new
-        a.join(b, ["table_id", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-    )
+    b = _dedup.cap_bucket_side(
+        bands, ["table_id", "bucket"], "vec_id", bucket_star_cap
+    ).select(F.col("vec_id").alias("id_b"), "table_id", "bucket")
+    nn = a.join(b, ["table_id", "bucket"])
+    if bucket_star_cap is None:
+        nn = nn.filter(F.col("id_a") < F.col("id_b")).select(
+            "id_a", "id_b"
+        )
+    else:
+        # right side is anchor-capped: a<b would drop every
+        # (member, anchor) star edge — normalize; distinct dedups
+        nn = nn.filter(F.col("id_a") != F.col("id_b")).select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    cands.append(nn)  # new vs new
     cand = cands[0]
     for c in cands[1:]:
         cand = cand.unionByName(c)
@@ -441,6 +466,7 @@ def maintain_embedding_ann_stream(
     dim: int = 64,
     checkpoint_dir: str | None = None,
     compact_every: int | None = None,
+    bucket_star_cap: int | None = None,
 ) -> int:
     """Drain a parquet stream of (vec_id, embedding) into near-
     neighbor PAIRS (pairs_table) while maintaining the band index
@@ -493,6 +519,7 @@ def maintain_embedding_ann_stream(
             n_tables=n_tables,
             n_planes=n_planes,
             dim=dim,
+            bucket_star_cap=bucket_star_cap,
         )
         batches["n"] += 1
 

@@ -133,3 +133,48 @@ def test_cap_bucket_side_validation_and_identity(spark):
     kept = dedup.cap_bucket_side(big, ["chunk", "val"], "doc_id", 2)
     assert [r["doc_id"] for r in kept.collect()] == [0]
     spark.catalog.clearCache()
+
+
+def test_ann_stream_cap_preserves_components(spark):
+    """Embedding twin: a family of identical vectors co-occupies
+    every (table_id, bucket); capped epochs emit anchor stars with
+    identical connected components."""
+    from datasette_upload_csvs_spark.streaming.ann_stream import ann_epoch
+
+    base = [1.0] + [0.0] * 63
+
+    def emb(ids):
+        rows = []
+        for i in ids:
+            if i < 90_000:
+                rows.append((i, base))
+            else:
+                v = [0.0] * 64
+                v[i % 64] = 1.0
+                v[(i * 7) % 64] = -1.0
+                rows.append((i, v))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run(prefix, cap):
+        pt, it = f"{prefix}_pairs", f"{prefix}_idx"
+        _drop(spark, pt, it, f"{it}__vecs")
+        ann_epoch(emb(list(range(25)) + [90_001, 90_002]), 0, pt, it,
+                  bucket_star_cap=cap)
+        ann_epoch(emb(list(range(100, 108))), 1, pt, it,
+                  bucket_star_cap=cap)
+        out = spark.table(pt).select("id_a", "id_b")
+        n = out.count()
+        comp = {
+            r["vertex"]: r["component"]
+            for r in graph.connected_components(out).collect()
+        }
+        _drop(spark, pt, it, f"{it}__vecs")
+        return n, comp
+
+    n_u, c_u = run("anncap_a", None)
+    n_c, c_c = run("anncap_b", 8)
+    assert n_c < n_u / 5, (n_c, n_u)
+    assert c_c == c_u
+    fam = set(range(25)) | set(range(100, 108))
+    assert {c_c[v] for v in fam} == {0}
+    spark.catalog.clearCache()
