@@ -105,15 +105,18 @@ HEADLINE = [
 ]
 
 # Timed with the same protocol but NOT in the headline total (filed
-# under "quiet" in BENCH_DETAIL.json): A/B twins of a headline entry
-# would double-charge the same operator in the total (round-9
-# verdict's hygiene note). simhash_dup_groups_fast is the xxhash64
-# hot-path twin of simhash_dup_groups — what an engine-internal pass
-# runs (one JVM hash/token vs 8 hex parses); bench-only because
-# xxhash64 isn't reproducible in DuckDB so no oracle is possible
-# (exact-dup containment pinned in tests/test_fp_wide.py). Benching
-# it quietly keeps the portability premium visible per round.
-QUIET = ["simhash_dup_groups_fast"]
+# under "quiet" in BENCH_DETAIL.json): entries that would double-
+# charge headline operators in the total (round-9 verdict's hygiene
+# note). simhash_dup_groups_fast is the xxhash64 hot-path twin of
+# simhash_dup_groups — what an engine-internal pass runs (one JVM
+# hash/token vs 8 hex parses); bench-only because xxhash64 isn't
+# reproducible in DuckDB so no oracle is possible (exact-dup
+# containment pinned in tests/test_fp_wide.py). curation_funnel_staged
+# COMPOSES headline operators (gopher -> exact dedup -> minhash+CC ->
+# decontam) with per-stage materialization — benching it quietly
+# gives a per-round composition trendline without re-charging its
+# components in the headline.
+QUIET = ["simhash_dup_groups_fast", "curation_funnel_staged"]
 
 # Queries whose r7/r8 filed spreads rivaled their medians (up to
 # 6.9 s on a loaded host): 5 timed samples instead of 3, so the
