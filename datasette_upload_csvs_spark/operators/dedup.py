@@ -601,6 +601,29 @@ def oph_signatures(
     )
 
 
+def bucket_stats(
+    rel: DataFrame, key_cols: list, id_col: str
+) -> DataFrame:
+    """One-row diagnostic over a bucketed candidate relation (banded
+    signatures, fingerprint chunks): bucket-count/max/p99 and
+    `pair_mass` = Σ C(b,2) — the exact number of join rows the
+    bucket self-join will enumerate (before distinct). The cheap
+    "do I need bucket_star_cap?" probe: pair_mass orders of
+    magnitude above the corpus size means sub-threshold families are
+    about to go quadratic (BENCH_DEDUP_SKEW's template shape).
+    One aggregation job over the relation — run it on a sample or
+    during capacity planning, not inside the hot path."""
+    per = rel.groupBy(*key_cols).agg(F.count("*").alias("b"))
+    return per.agg(
+        F.count("*").alias("n_buckets"),
+        F.max("b").alias("max_bucket"),
+        F.expr("percentile_approx(b, 0.99)").alias("p99_bucket"),
+        F.sum(F.col("b") * (F.col("b") - 1) / 2)
+        .cast("bigint")
+        .alias("pair_mass"),
+    )
+
+
 def cap_bucket_side(
     rel: DataFrame,
     key_cols: list,

@@ -198,3 +198,45 @@ def test_fp_bucket_cap_preserves_family_groups(spark):
     got = comps(pairs(8))
     assert {got[v] for v in range(100)} == {0}
     spark.catalog.clearCache()
+
+
+def test_bucket_stats_forecasts_candidate_mass(spark):
+    """bucket_stats.pair_mass = exact pre-distinct join rows; on the
+    template corpus it upper-bounds (and tracks the magnitude of)
+    the distinct candidate count — the cheap capacity-planning probe
+    for whether bucket_star_cap is needed."""
+    docs = _template_docs(spark, 400)
+    sig = _sig(spark, docs)
+    band_sql = "array(" + ",".join(
+        f"struct({i} AS band, xxhash64("
+        + ",".join(
+            f"element_at(signature, {i * 4 + j + 1})" for j in range(4)
+        )
+        + ") AS bucket)"
+        for i in range(32)
+    ) + ")"
+    banded = sig.select(
+        "doc_id", F.explode(F.expr(band_sql)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    stats = dedup.bucket_stats(banded, ["band", "bucket"], "doc_id").first()
+    distinct_cands = dedup.minhash_lsh_candidates(sig, "doc_id").count()
+    assert stats["pair_mass"] >= distinct_cands
+    # the template family (200 docs) dominates: forecast is clearly
+    # quadratic-regime (>> corpus size), which is the signal the
+    # probe exists to give
+    assert stats["pair_mass"] > 50 * 402
+    assert stats["max_bucket"] >= 100
+    spark.catalog.clearCache()
+
+
+def test_capped_candidate_plan_has_no_cartesian(spark):
+    docs = _template_docs(spark, 200)
+    sig = _sig(spark, docs)
+    plan = (
+        dedup.minhash_lsh_candidates(sig, "doc_id", bucket_star_cap=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    spark.catalog.clearCache()
