@@ -143,6 +143,23 @@ def _extra_queries():
     }
 
 
+def _load_prev_detail(detail_path: str) -> dict:
+    """Previous round's per-query numbers, read BEFORE this run
+    overwrites the sidecar. Used for the comparable_prev_total field:
+    the sum over the INTERSECTION of headline sets, so a tier move
+    (adding/retiring/quieting a query) can never flatter the one-number
+    trendline (round-10 VERDICT item 2 — the r10 headline "looked"
+    -7% only because the set shrank; same-set it was +9%)."""
+    try:
+        with open(detail_path) as f:
+            prev = json.load(f)
+        if isinstance(prev.get("queries"), dict):
+            return prev
+    except (OSError, ValueError):
+        pass
+    return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -154,6 +171,10 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry = {**entry_mod.queries(), **_extra_queries()}
+
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    prev_detail = _load_prev_detail(detail_path)
 
     # Warm-up: one untimed pass of every headline query at the target
     # SF so JVM/codegen/Arrow compilation and file-footer caches are
@@ -218,6 +239,19 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Same-set comparison vs the previous filed detail (see
+    # _load_prev_detail). prev/now are sums of per-query MINs over the
+    # common name set; only comparable when the sf matches.
+    comparable = {"n_common": 0, "prev": None, "now": None}
+    prev_q = prev_detail.get("queries", {})
+    if prev_detail.get("sf") == sf_val:
+        common = sorted(set(prev_q) & set(timings))
+        if common:
+            comparable = {
+                "n_common": len(common),
+                "prev": round(sum(prev_q[q] for q in common), 3),
+                "now": round(sum(timings[q] for q in common), 3),
+            }
     # Per-query detail (min + median + spread) goes to a sidecar file:
     # the driver captures only the ~2 kB tail of stdout, and at 34+
     # headline queries a single line carrying the full per-query map
@@ -232,9 +266,8 @@ def main() -> None:
         "spread": spreads,
         "quiet": quiet,
         "sf": sf_val,
+        "comparable": comparable,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
     try:
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
@@ -250,6 +283,9 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "comparable_prev_total": comparable["prev"],
+                "comparable_now_total": comparable["now"],
+                "comparable_n": comparable["n_common"],
                 "detail": "BENCH_DETAIL.json",
             }
         )

@@ -138,9 +138,31 @@ class ShingleIndex:
         under the old layout would otherwise crash _committed's
         select of `b` — detect it on first touch and rewrite every
         marker as (b=batch, batch). The table is Θ(batches) rows, so
-        the one-time rewrite is metadata-scale."""
+        the one-time rewrite is metadata-scale.
+
+        WRITE-THEN-SWAP, never drop-then-rewrite: markers gate every
+        read, so a crash that loses the commits table makes the whole
+        previously-committed index read as empty — silent data loss
+        in a component whose contract is crash-invisible appends. The
+        new-layout markers are written to a temp table first; the
+        legacy table is dropped only after the replacement fully
+        exists, and the final step is a metastore-atomic RENAME. Each
+        crash window re-enters cleanly: before the drop, the legacy
+        table is still authoritative (the temp is discarded and
+        rebuilt); between drop and rename, the recovery branch below
+        renames the completed temp into place on next touch."""
         spark = self.spark
+        tmp = f"{self.commits}__migrate"
         if not spark.catalog.tableExists(self.commits):
+            if spark.catalog.tableExists(tmp):
+                # crashed between DROP and RENAME: the temp table is
+                # complete (it is only ever dropped while the legacy
+                # table still exists) — finish the swap
+                spark.sql(f"ALTER TABLE {tmp} RENAME TO {self.commits}")
+                # RENAME moves the data directory but drops the
+                # catalog's partition registrations for a partitioned
+                # managed table — re-discover them or reads are empty
+                spark.sql(f"MSCK REPAIR TABLE {self.commits}")
             return
         if "b" in spark.table(self.commits).columns:
             return
@@ -151,14 +173,24 @@ class ShingleIndex:
             .distinct()
             .collect()
         ]
+        if not legacy:
+            # no markers at risk — plain drop is safe
+            spark.sql(f"DROP TABLE {self.commits}")
+            return
+        # a stale temp from a crash before the drop may be partial;
+        # the legacy table is still the source of truth — rebuild
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        self._write_partition(
+            spark.createDataFrame(
+                [(b, b) for b in legacy], "b bigint, batch bigint"
+            ),
+            tmp,
+        )
         spark.sql(f"DROP TABLE {self.commits}")
-        if legacy:
-            self._write_partition(
-                spark.createDataFrame(
-                    [(b, b) for b in legacy], "b bigint, batch bigint"
-                ),
-                self.commits,
-            )
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {self.commits}")
+        # see the recovery branch above: partition registrations do
+        # not survive RENAME on a partitioned managed table
+        spark.sql(f"MSCK REPAIR TABLE {self.commits}")
 
     def append(
         self,

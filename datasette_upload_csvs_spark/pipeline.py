@@ -139,7 +139,7 @@ def run_curation_funnel(
     decontam_n: int = 8,
     num_shards: int = 16,
     val_fraction_hex: tuple[str, ...] = ("0", "1", "2"),
-    bucket_star_cap: int | None = None,
+    bucket_star_cap: int | str | None = "auto",
     run_stage=None,
     capture_plans: bool = False,
 ) -> tuple[list[FunnelStage], DataFrame, DataFrame]:
@@ -227,27 +227,11 @@ def run_curation_funnel(
 
     # 1. Gopher quality rules (Rae et al. '21 §A1.1) — map-side
     # codegen over the token array, same verdict the standalone
-    # gopher_quality_filters entry emits
-    w = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
-    nz = F.greatest(F.size(w), F.lit(1)).cast("double")
-    mwl = (
-        F.aggregate(
-            w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
-        ).cast("double")
-        / nz
+    # gopher_quality_filters entry emits (gopher_keep_expr is SHARED
+    # with the streaming funnel so the two can never drift)
+    s1 = _materialize(
+        "gopher_quality", lambda: base.filter(gopher_keep_expr())
     )
-    fa = F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]"))).cast(
-        "double"
-    ) / nz
-    from datasette_upload_csvs_spark.functions.text import STOPWORDS
-
-    keep = (
-        F.size(w).between(20, 100000)
-        & mwl.between(3.0, 10.0)
-        & (fa >= 0.8)
-        & (F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))) >= 2)
-    )
-    s1 = _materialize("gopher_quality", lambda: base.filter(keep))
 
     # 2. exact dedup: one hash-partitioned window, rank-1 per
     # content group (same recipe as dedup_exact_ranks)
@@ -273,7 +257,11 @@ def run_curation_funnel(
             # at corpus scale, sub-threshold boilerplate families
             # band-collide and go quadratic in the candidate join —
             # BENCH_FUNNEL_SCALE's capped-vs-uncapped A/B measures
-            # the effect on this exact stage
+            # the effect on this exact stage. Default "auto": the
+            # cap threshold is forecast from the bucket distribution
+            # in the same job graph (no manual bucket_stats probe —
+            # nobody runs one at 100 TB) and is a proven no-op while
+            # candidate mass stays corpus-linear.
             bucket_star_cap=bucket_star_cap,
         ).select("id_a", "id_b")
         cc = graph.connected_components(pairs)
@@ -359,6 +347,36 @@ def run_curation_funnel(
         F.sum("n_tok").alias("n_tokens"),
     )
     return stages, split_summary, shard_stage.frame
+
+
+def gopher_keep_expr(text_col: str = "text"):
+    """The funnel's Gopher quality verdict (Rae et al. '21 §A1.1) as
+    a single codegen Column: 20–100k words, mean word length 3–10,
+    ≥80% alphabetic words, ≥2 stopwords. ONE definition shared by the
+    batch funnel (run_curation_funnel stage 1) and the streaming
+    funnel (streaming/funnel_stream.py) so the two stages can never
+    drift."""
+    from datasette_upload_csvs_spark.functions.text import STOPWORDS
+
+    w = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != F.lit("")
+    )
+    nz = F.greatest(F.size(w), F.lit(1)).cast("double")
+    mwl = (
+        F.aggregate(
+            w, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / nz
+    )
+    fa = F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]"))).cast(
+        "double"
+    ) / nz
+    return (
+        F.size(w).between(20, 100000)
+        & mwl.between(3.0, 10.0)
+        & (fa >= 0.8)
+        & (F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))) >= 2)
+    )
 
 
 def _hashed_grams(

@@ -82,24 +82,27 @@ def q(name: str, oracle: str | None = None):
 # in _DRIVER_PRIORITY so the independent check re-runs on the new
 # code.
 _DRIVER_PRIORITY = [
-    # Round-10 sample = this list, then any fresh (never-checked,
+    # Round-11 sample = this list, then any fresh (never-checked,
     # non-priority) registry entries, then _DRIVER_CHECKED. Every
-    # name here has code in its call path that changed THIS round
+    # name here has code in its call path that CHANGED this round
     # (rotation rule: changed entries re-queue for an independent
-    # driver check); the r9-green priority names whose code did NOT
+    # driver check); the r10-green priority names whose code did NOT
     # change moved to _DRIVER_CHECKED. All inside the 50-name prefix.
     #
-    # entry call changed: allow_lossy=True opt-in for the deliberate
-    # max_hamming=8 lossy screen (guard added in round 10):
-    "dedup_simhash",
-    # connected_components gained the converge-or-raise guard —
-    # behavior identical when converging, but these group entries
-    # run through the changed loop, so they re-queue:
-    "simhash_dup_groups", "simhash128_dup_groups",
-    "multimodal_dup_groups", "dedup_groups", "split_cluster_safe",
+    # run_curation_funnel now defaults bucket_star_cap="auto" (the
+    # in-graph cap forecast, round-11): the staged entry runs through
+    # the new auto-cap branch of minhash_lsh_candidates, so it
+    # re-queues even though the fixture corpus is in the forecast's
+    # proven no-op regime (output row-identical, pinned by tests):
+    "curation_funnel_staged",
 ]
 
 _DRIVER_CHECKED = frozenset({
+    # r10-green priority names whose code did not change in round 11
+    # (the CC converge-or-raise + lossy-guard paths they re-queued
+    # for are r11-untouched; CORRECTNESS_r10.json has all six green):
+    "dedup_simhash", "simhash_dup_groups", "simhash128_dup_groups",
+    "multimodal_dup_groups", "dedup_groups", "split_cluster_safe",
     # r9-green priority names whose code did not change in round 10:
     "ann_bands_recall", "multimodal_near_dup_pairs",
     "multimodal_phash_fingerprints", "multimodal_feature_extract",

@@ -166,6 +166,13 @@ def main() -> None:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8765)
     ap.add_argument("--warehouse", default=None)
+    ap.add_argument(
+        "--open-sql",
+        action="store_true",
+        help="enable GET /{db}.json?sql= without a permission hook "
+        "(the endpoint executes caller-supplied SQL, so hookless "
+        "deployments must opt in explicitly)",
+    )
     args = ap.parse_args()
 
     from datasette_upload_csvs_spark.session import get_spark
@@ -173,7 +180,7 @@ def main() -> None:
 
     spark = get_spark(app_name="upload-ui", warehouse_dir=args.warehouse)
     spark.sparkContext.setLogLevel("ERROR")
-    app = AppWithTableView(UploadApp(spark), spark)
+    app = AppWithTableView(UploadApp(spark, open_sql=args.open_sql), spark)
     print(f"serving upload UI on http://{args.host}:{args.port}/-/upload-csvs")
     asyncio.run(serve(app, args.host, args.port))
 

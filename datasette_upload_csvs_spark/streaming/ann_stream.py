@@ -343,7 +343,7 @@ def ann_epoch(
     n_tables: int = 4,
     n_planes: int = 8,
     dim: int = 64,
-    bucket_star_cap: int | None = None,
+    bucket_star_cap: int | str | None = None,
 ) -> None:
     """One epoch of incremental ANN maintenance — factored out of the
     foreachBatch closure so the replay test can invoke a single epoch
@@ -466,7 +466,7 @@ def maintain_embedding_ann_stream(
     dim: int = 64,
     checkpoint_dir: str | None = None,
     compact_every: int | None = None,
-    bucket_star_cap: int | None = None,
+    bucket_star_cap: int | str | None = None,
 ) -> int:
     """Drain a parquet stream of (vec_id, embedding) into near-
     neighbor PAIRS (pairs_table) while maintaining the band index

@@ -59,7 +59,7 @@ def near_dup_epoch(
     threshold: float = 0.7,
     num_perm: int = 128,
     n_bands: int = 32,
-    bucket_star_cap: int | None = None,
+    bucket_star_cap: int | str | None = None,
 ) -> None:
     """One epoch of incremental near-dup maintenance — factored out of
     the foreachBatch closure so the replay test can invoke a single
@@ -169,7 +169,7 @@ def maintain_near_dup_stream(
     n_bands: int = 32,
     checkpoint_dir: str | None = None,
     compact_every: int | None = None,
-    bucket_star_cap: int | None = None,
+    bucket_star_cap: int | str | None = None,
 ) -> int:
     """Drain a parquet stream of (doc_id, text) into near-dup PAIRS
     (pairs_table) while maintaining the LSH band index + shingle-set

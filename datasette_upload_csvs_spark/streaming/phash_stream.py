@@ -74,7 +74,7 @@ def phash_epoch(
     max_hamming: int = 2,
     payload_col: str = "payload",
     id_col: str = "media_id",
-    bucket_star_cap: int | None = None,
+    bucket_star_cap: int | str | None = None,
 ) -> None:
     """One epoch of incremental perceptual-hash maintenance —
     factored out of the foreachBatch closure so the replay test can
@@ -194,7 +194,7 @@ def maintain_phash_stream(
     max_hamming: int = 2,
     checkpoint_dir: str | None = None,
     compact_every: int | None = None,
-    bucket_star_cap: int | None = None,
+    bucket_star_cap: int | str | None = None,
 ) -> int:
     """Drain a parquet stream of (media_id, payload) into perceptual
     near-dup PAIRS while maintaining the fingerprint table.

@@ -95,7 +95,7 @@ def wide_fp_epoch(
     text_col: str = "text",
     id_col: str = "doc_id",
     portable: bool = True,
-    bucket_star_cap: int | None = None,
+    bucket_star_cap: int | str | None = None,
 ) -> None:
     """One epoch of incremental 128-bit near-dup maintenance —
     factored out of the foreachBatch closure so the replay test can
@@ -246,7 +246,7 @@ def maintain_wide_fp_stream(
     compact_every: int | None = None,
     compact_schedule: tuple | None = None,
     portable: bool = True,
-    bucket_star_cap: int | None = None,
+    bucket_star_cap: int | str | None = None,
 ) -> int:
     """Drain a parquet stream of (doc_id, text) into 128-bit near-dup
     PAIRS while maintaining the fingerprint table.

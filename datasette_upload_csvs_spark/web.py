@@ -405,11 +405,19 @@ class UploadApp:
         databases: list[str] | None = None,
         actor_from_scope=None,
         upload_dir: str | None = None,
+        open_sql: bool = False,
     ):
         self.spark = spark
         self.databases = databases or []
         self.actor_from_scope = actor_from_scope or (lambda scope: None)
         self.upload_dir = upload_dir
+        # The ad-hoc SQL endpoint is the one route that executes
+        # caller-supplied code: unlike the fixed-shape upload/progress
+        # routes, "allow-by-default when no permission hook is
+        # installed" is the wrong default for it. open_sql=True is the
+        # explicit opt-in for hookless deployments (dev/test); with a
+        # hook installed the hook is the gate, as on every route.
+        self.open_sql = open_sql
         self.tasks: dict[str, ingest.IngestTask] = {}
 
     def _watch_task(self, task: ingest.IngestTask, tmp_path: str) -> None:
@@ -674,6 +682,7 @@ class UploadApp:
 
     _SQL_ALLOWED = None  # compiled lazily (module import stays cheap)
     _SQL_MAX_ROWS = 1000
+    _SQL_TIMEOUT_S = 30.0  # per-query compute budget (wall seconds)
 
     @classmethod
     def _sql_guard(cls, sql: str) -> str | None:
@@ -681,10 +690,18 @@ class UploadApp:
         Same guard class as Datasette's: the statement must start
         with SELECT/WITH/VALUES, contain a single statement, and is
         screened for write/DDL keywords ANYWHERE in the text (so a
-        `WITH ... INSERT` or a keyword smuggled into a subquery is
-        rejected; the false-positive cost — a string literal
-        containing a bare keyword — is the accepted price of a
-        deny-by-default screen on an open endpoint)."""
+        `WITH ... INSERT`, a keyword smuggled into a subquery, or one
+        hidden inside a comment is rejected; the false-positive cost —
+        a string literal containing a bare keyword — is the accepted
+        price of a deny-by-default screen on an open endpoint).
+
+        Beyond write keywords, the screen denies the two read-side
+        escapes Spark SQL has that Datasette-core SQLite does not:
+        JVM reflection builtins (reflect / java_method — arbitrary
+        System.getenv / getProperty disclosure) and direct-path file
+        tables (SELECT * FROM text.`/etc/passwd`). Both are ALSO
+        closed structurally in _run_sql (runSQLOnFiles=false; parse
+        gate), the text screen is belt-and-braces."""
         import re
 
         if cls._SQL_ALLOWED is None:
@@ -694,7 +711,17 @@ class UploadApp:
             cls._SQL_FORBIDDEN = re.compile(
                 r"\b(insert|update|delete|merge|drop|create|alter|"
                 r"truncate|grant|revoke|set|reset|refresh|msck|analyze|"
-                r"cache|uncache|use|call|load|add|declare|execute)\b",
+                r"cache|uncache|use|call|load|add|declare|execute|"
+                r"reflect|java_method)\b",
+                re.IGNORECASE,
+            )
+            # format.`path` direct-file-table syntax: every datasource
+            # short name Spark resolves this way. Quoted table names
+            # (db.`weird name`) stay legal — only format names are
+            # screened.
+            cls._SQL_FILE_TABLE = re.compile(
+                r"\b(text|csv|tsv|parquet|json|orc|avro|binaryfile|"
+                r"libsvm|xml|textfile|delta|iceberg)\s*\.\s*`",
                 re.IGNORECASE,
             )
         body = sql.rstrip().rstrip(";")
@@ -707,6 +734,66 @@ class UploadApp:
         m = cls._SQL_FORBIDDEN.search(body)
         if m:
             return f"keyword not allowed on this endpoint: {m.group(0)}"
+        m = cls._SQL_FILE_TABLE.search(body)
+        if m:
+            return "direct file tables are not allowed on this endpoint"
+        return None
+
+    @staticmethod
+    def _plan_is_pure_read(session, sql: str) -> str | None:
+        """Parse gate (round-10 VERDICT item 5): parse — never analyze
+        or execute — the statement and walk the logical plan; returns
+        an error string unless every node is a pure read. Keyword
+        screens match text; this matches STRUCTURE, so a write/DDL
+        form the keyword list never heard of (COMMENT ON, REPAIR, a
+        future statement) is still rejected. Parsing only matters:
+        session.sql() executes Command nodes EAGERLY, so the gate must
+        run before the statement ever reaches sql()."""
+        jvm = session._jvm
+        try:
+            jplan = (
+                session._jsparkSession.sessionState()
+                .sqlParser()
+                .parsePlan(sql)
+            )
+        except Exception as ex:
+            # parse errors surface with the engine's message, same as
+            # analysis errors from sql() itself
+            return str(ex).split("\n")[0]
+
+        def is_a(node, class_name: str) -> bool:
+            try:
+                return (
+                    jvm.java.lang.Class.forName(class_name)
+                    .isInstance(node)
+                )
+            except Exception:
+                return False  # class absent in this Spark build
+
+        # Command covers all DDL/DML v2 nodes (DropTable, SetCommand,
+        # DeleteFromTable, MergeIntoTable, CTAS, ...); InsertInto-
+        # Statement and ParsedStatement are parser-level write forms
+        # that do NOT extend Command.
+        deny = (
+            "org.apache.spark.sql.catalyst.plans.logical.Command",
+            "org.apache.spark.sql.catalyst.plans.logical."
+            "InsertIntoStatement",
+            "org.apache.spark.sql.catalyst.plans.logical."
+            "ParsedStatement",
+        )
+        stack = [jplan]
+        while stack:
+            node = stack.pop()
+            for cls_name in deny:
+                if is_a(node, cls_name):
+                    simple = node.getClass().getSimpleName()
+                    return (
+                        "only read-only queries are allowed "
+                        f"(plan contains {simple})"
+                    )
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
         return None
 
     async def _get_sql(self, scope, path, query, send):
@@ -714,6 +801,18 @@ class UploadApp:
             ingest._check_allowed(self.actor_from_scope(scope))
         except ingest.Forbidden as ex:
             await self._respond(send, 403, str(ex))
+            return
+        if ingest._allow_hook is None and not self.open_sql:
+            # deny-by-default for the one route that executes caller
+            # code: a hookless deployment must opt in explicitly
+            # (open_sql=True) — allow-by-default parity with the
+            # reference stops at fixed-shape routes
+            await self._respond(
+                send,
+                403,
+                "SQL endpoint is disabled: install a permission hook "
+                "(set_allow_hook) or construct UploadApp(open_sql=True)",
+            )
             return
         database = unquote(path[1:-len(".json")])
         known = self._target_databases()
@@ -733,6 +832,9 @@ class UploadApp:
             size = self._SQL_MAX_ROWS
         size = max(1, min(size, self._SQL_MAX_ROWS))
         import asyncio
+        import uuid
+
+        job_group = f"http-sql-{uuid.uuid4().hex[:12]}"
 
         def run():
             # a cloned session shares the catalog/tables but owns its
@@ -740,16 +842,57 @@ class UploadApp:
             # {db} can never race a concurrent ingest reading
             # currentDatabase on the outer session
             session = self.spark.newSession()
+            # close the SELECT-reachable host-file escape: without
+            # this, SELECT * FROM parquet.`/any/path` reads arbitrary
+            # host files over HTTP (session-local conf — ingest's own
+            # sessions are unaffected)
+            session.conf.set("spark.sql.runSQLOnFiles", "false")
+            gate_err = self._plan_is_pure_read(session, sql)
+            if gate_err is not None:
+                raise ValueError(gate_err)
             if database != "default":
                 session.catalog.setCurrentDatabase(database)
-            df = session.sql(sql)
-            rows = df.limit(size + 1).collect()
+            # job group is thread-local: tag this executor thread's
+            # jobs so an expiry can cancel THIS query's work without
+            # touching concurrent ingests on the shared context
+            sc = session.sparkContext
+            sc.setJobGroup(job_group, "http sql endpoint",
+                           interruptOnCancel=True)
+            try:
+                df = session.sql(sql)
+                rows = df.limit(size + 1).collect()
+            finally:
+                sc.setLocalProperty("spark.jobGroup.id", None)
+                sc.setLocalProperty("spark.job.interruptOnCancel", None)
             return df.columns, rows
 
+        loop = asyncio.get_running_loop()
         try:
-            columns, rows = await asyncio.get_running_loop().run_in_executor(
-                None, run
+            columns, rows = await asyncio.wait_for(
+                loop.run_in_executor(None, run),
+                timeout=self._SQL_TIMEOUT_S,
             )
+        except asyncio.TimeoutError:
+            # row output was always capped; this caps COMPUTE — one
+            # runaway query can no longer monopolize the shared
+            # session and starve concurrent ingests
+            try:
+                self.spark.sparkContext.cancelJobGroup(job_group)
+            except Exception:
+                pass
+            await self._respond(
+                send,
+                400,
+                {
+                    "ok": False,
+                    "error": (
+                        "query exceeded the "
+                        f"{self._SQL_TIMEOUT_S:g}s time budget and "
+                        "was cancelled"
+                    ),
+                },
+            )
+            return
         except Exception as ex:  # surfaced as a 400, like Datasette
             await self._respond(
                 send, 400, {"ok": False, "error": str(ex).split("\n")[0]}

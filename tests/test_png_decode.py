@@ -28,21 +28,27 @@ def _chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(rows, ctype=0, palette=None, filters=None, depth=8):
-    """Minimal PNG encoder (test-side ground truth): `rows` is a
-    list of scanlines, each a list of ints (gray/palette) or tuples
-    (multi-channel); `filters[r]` picks the scanline filter so the
-    decoder's unfilter paths are all exercised."""
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    h, w = len(rows), len(rows[0])
-    bpp = channels
+def _row_bytes(row, depth):
+    """Flatten one scanline of pixel values (ints or tuples) to raw
+    bytes; 16-bit samples are big-endian sample pairs."""
+    flat = []
+    for p in row:
+        for v in p if isinstance(p, (tuple, list)) else (p,):
+            if depth == 16:
+                flat.extend(((v >> 8) & 0xFF, v & 0xFF))
+            else:
+                flat.append(v & 0xFF)
+    return flat
+
+
+def _filter_scanlines(byte_rows, bpp, filters):
+    """PNG-filter a (sub-)image's scanlines (already byte-flattened);
+    `bpp` is the filter distance in bytes. prev starts at zero — each
+    Adam7 pass filters independently, like a fresh image."""
     raw = bytearray()
-    prev = [0] * (w * channels)
-    for r, row in enumerate(rows):
-        flat = []
-        for p in row:
-            flat.extend(p if isinstance(p, (tuple, list)) else (p,))
-        f = filters[r] if filters else 0
+    prev = [0] * (len(byte_rows[0]) if byte_rows else 0)
+    for r, flat in enumerate(byte_rows):
+        f = filters[r % len(filters)] if filters else 0
         if f == 0:
             enc = flat
         elif f == 1:
@@ -76,7 +82,37 @@ def encode_png(rows, ctype=0, palette=None, filters=None, depth=8):
         raw.append(f)
         raw.extend(enc)
         prev = flat
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    return raw
+
+
+def encode_png(rows, ctype=0, palette=None, filters=None, depth=8,
+               interlace=0):
+    """Minimal PNG encoder (test-side ground truth): `rows` is a
+    list of scanlines, each a list of ints (gray/palette) or tuples
+    (multi-channel); `filters[r]` picks the scanline filter so the
+    decoder's unfilter paths are all exercised. depth=16 encodes
+    big-endian sample pairs; interlace=1 emits the seven Adam7
+    passes, each filtered as an independent sub-image."""
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    h, w = len(rows), len(rows[0])
+    bpp = channels * (depth // 8)
+    if interlace == 0:
+        raw = _filter_scanlines(
+            [_row_bytes(row, depth) for row in rows], bpp, filters
+        )
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in multimodal._ADAM7:
+            sub = [
+                _row_bytes(
+                    [rows[r][c] for c in range(x0, w, dx)], depth
+                )
+                for r in range(y0, h, dy)
+            ]
+            if not sub or not sub[0]:
+                continue
+            raw.extend(_filter_scanlines(sub, bpp, filters))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
     out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
     if palette is not None:
         out += _chunk(b"PLTE", bytes(palette))
@@ -145,7 +181,78 @@ def test_unsupported_profiles_raise():
     with pytest.raises(multimodal.DecoderUnavailable):
         dec(b"not a png at all")
     with pytest.raises(multimodal.DecoderUnavailable):
-        dec(encode_png(_gray_matrix(2, 2), depth=16))  # 16-bit
+        dec(encode_png(_gray_matrix(2, 2), depth=4))  # sub-byte depth
+    with pytest.raises(multimodal.DecoderUnavailable):
+        # 16-bit palette indices are not legal PNG
+        pal = [0, 0, 0, 255, 255, 255]
+        dec(encode_png([[0, 1], [1, 0]], ctype=3, palette=pal, depth=16))
+
+
+def test_16bit_depth_reduces_to_high_byte():
+    """Round-10 VERDICT item 7: 16-bit PNGs decode (high-byte
+    reduction — the standard 8-bit view), through every scanline
+    filter; the filter distance is 2 bytes/sample, a path an 8-bit
+    image never exercises."""
+    dec = multimodal.png_decoder()
+    h, w = 9, 11
+    vals = [
+        [((r * 4099 + c * 257 + 13) * 53) % 65536 for c in range(w)]
+        for r in range(h)
+    ]
+    expect = [[v >> 8 for v in row] for row in vals]
+    png = encode_png(vals, ctype=0, depth=16,
+                     filters=[r % 5 for r in range(h)])
+    assert dec(png).tolist() == expect
+    # 16-bit RGB: luma of the high bytes
+    rgb = [
+        [((v * 7) % 65536, (v * 11) % 65536, (v * 13) % 65536)
+         for v in row]
+        for row in vals
+    ]
+    expect_rgb = [
+        [
+            (299 * (p[0] >> 8) + 587 * (p[1] >> 8) + 114 * (p[2] >> 8))
+            // 1000
+            for p in row
+        ]
+        for row in rgb
+    ]
+    png = encode_png(rgb, ctype=2, depth=16,
+                     filters=[(r + 2) % 5 for r in range(h)])
+    assert dec(png).tolist() == expect_rgb
+
+
+def test_adam7_interlaced_roundtrip():
+    """Round-10 VERDICT item 7: Adam7 images decode exactly — each of
+    the 7 passes unfiltered as an independent sub-image and scattered
+    to (y0 + r·dy, x0 + c·dx). Sizes below 8 leave some passes empty;
+    both shapes are pinned."""
+    dec = multimodal.png_decoder()
+    for h, w in [(16, 16), (10, 13), (5, 3), (1, 1), (3, 9)]:
+        px = _gray_matrix(h, w, seed=h * 31 + w)
+        png = encode_png(px, ctype=0, interlace=1,
+                         filters=[0, 1, 2, 3, 4])
+        assert dec(png).tolist() == px, (h, w)
+    # interlaced RGBA with filters: color + alpha + interlace together
+    rgb_rows = [
+        [((r * 19 + c * 5) % 256, (c * 31) % 256, (r * 43) % 256, 200)
+         for c in range(12)]
+        for r in range(9)
+    ]
+    expect = [
+        [(299 * p[0] + 587 * p[1] + 114 * p[2]) // 1000 for p in row]
+        for row in rgb_rows
+    ]
+    png = encode_png(rgb_rows, ctype=6, interlace=1, filters=[4, 2, 1])
+    assert dec(png).tolist() == expect
+    # interlaced 16-bit gray: both new profiles composed
+    vals16 = [
+        [((r * 521 + c * 77) * 129) % 65536 for c in range(10)]
+        for r in range(11)
+    ]
+    png = encode_png(vals16, ctype=0, depth=16, interlace=1,
+                     filters=[3, 4, 0])
+    assert dec(png).tolist() == [[v >> 8 for v in r] for r in vals16]
 
 
 def test_phash_over_real_png_matches_duckdb_oracle(spark):
@@ -231,37 +338,42 @@ if _HAVE_HYP:
         h=st.integers(2, 12),
         w=st.integers(2, 12),
         ctype=st.sampled_from([0, 2, 6, 4]),
+        depth=st.sampled_from([8, 16]),
+        interlace=st.sampled_from([0, 1]),
     )
-    def test_png_roundtrip_property(data, h, w, ctype):
-        """Any 8-bit image of any small shape, any per-row filter
-        sequence, any supported color type: decode(encode(px)) is the
-        exact luma of px."""
+    def test_png_roundtrip_property(data, h, w, ctype, depth, interlace):
+        """Any image of any small shape, any per-row filter sequence,
+        any supported color type × depth × interlace combination:
+        decode(encode(px)) is the exact (high-byte) luma of px."""
         channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        top = 255 if depth == 8 else 65535
         rows = [
             [
                 tuple(
-                    data.draw(st.integers(0, 255))
+                    data.draw(st.integers(0, top))
                     for _ in range(channels)
                 )
                 if channels > 1
-                else data.draw(st.integers(0, 255))
+                else data.draw(st.integers(0, top))
                 for _ in range(w)
             ]
             for _ in range(h)
         ]
         filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
-        png = encode_png(rows, ctype=ctype, filters=filters)
+        png = encode_png(rows, ctype=ctype, filters=filters,
+                         depth=depth, interlace=interlace)
         got = multimodal.png_decoder()(png).tolist()
-        if ctype == 0:
-            expect = rows
-        elif ctype == 4:
-            expect = [[p[0] for p in r] for r in rows]
-        else:
-            expect = [
-                [
-                    (299 * p[0] + 587 * p[1] + 114 * p[2]) // 1000
-                    for p in r
-                ]
-                for r in rows
-            ]
-        assert got == expect
+        shift = 0 if depth == 8 else 8
+
+        def lum(p):
+            if ctype == 0:
+                return p >> shift
+            if ctype == 4:
+                return p[0] >> shift
+            return (
+                299 * (p[0] >> shift)
+                + 587 * (p[1] >> shift)
+                + 114 * (p[2] >> shift)
+            ) // 1000
+
+        assert got == [[lum(p) for p in r] for r in rows]

@@ -277,3 +277,47 @@ def test_legacy_commits_layout_migrates_on_first_touch(spark):
     finally:
         idx.drop()
         spark.catalog.clearCache()
+
+
+def test_legacy_commits_migration_crash_windows(spark):
+    """r10 ADVICE (medium): the migration is WRITE-THEN-SWAP, so
+    neither crash window can lose committed markers (a lost commits
+    table makes the whole index read as empty — markers gate reads).
+    (a) crash after the temp write, before the legacy drop: re-entry
+        must rebuild from the still-authoritative legacy table, never
+        trust a possibly-partial temp;
+    (b) crash after the drop, before the rename: re-entry must finish
+        the swap by renaming the completed temp into place."""
+    idx = ShingleIndex(spark, "legcrash")
+    idx.drop()
+    tmp = f"{idx.commits}__migrate"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    try:
+        # (a) legacy table + a PARTIAL temp (wrong marker) both exist
+        spark.createDataFrame(
+            [(0,), (1,)], "batch bigint"
+        ).write.format("parquet").saveAsTable(idx.commits)
+        spark.createDataFrame(
+            [(99, 99)], "b bigint, batch bigint"
+        ).write.partitionBy("batch").format("parquet").saveAsTable(tmp)
+        idx._ensure_commits_layout()
+        got = {
+            r["b"] for r in spark.table(idx.commits).select("b").collect()
+        }
+        assert got == {0, 1}  # from legacy; the partial temp discarded
+        assert not spark.catalog.tableExists(tmp)
+
+        # (b) only the temp exists (post-drop, pre-rename crash)
+        spark.sql(f"ALTER TABLE {idx.commits} RENAME TO {tmp}")
+        assert not spark.catalog.tableExists(idx.commits)
+        idx._ensure_commits_layout()
+        assert spark.catalog.tableExists(idx.commits)
+        got = {
+            r["b"] for r in spark.table(idx.commits).select("b").collect()
+        }
+        assert got == {0, 1}
+        assert not spark.catalog.tableExists(tmp)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+        idx.drop()
+        spark.catalog.clearCache()

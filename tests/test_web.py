@@ -68,7 +68,9 @@ def call(app, method, path, query="", body=b"", ctype="", chunk=None):
 @pytest.fixture
 def app(spark, tmp_path):
     ingest.set_allow_hook(None)
-    yield UploadApp(spark, upload_dir=str(tmp_path))
+    # open_sql=True: the SQL endpoint denies hookless deployments by
+    # default (round-11 hardening); tests opt in explicitly
+    yield UploadApp(spark, upload_dir=str(tmp_path), open_sql=True)
     ingest.set_allow_hook(None)
 
 
@@ -856,3 +858,140 @@ def test_sql_endpoint_gate_size_and_unknown_db(app):
     out = json.loads(payload)
     assert len(out["rows"]) == 3
     assert out["truncated"] is True
+
+
+def test_sql_endpoint_denies_spark_escape_hatches(app):
+    """Round-11 hardening (ADVICE high): Spark SQL has SELECT-reachable
+    escapes Datasette-core SQLite does not — direct-path file tables
+    (arbitrary host-file disclosure) and the JVM reflection builtins
+    (env/system-property disclosure). All must 400."""
+    from urllib.parse import quote_plus
+
+    cases = [
+        # direct file tables: text screen + runSQLOnFiles=false
+        "select * from text.`/etc/passwd`",
+        "select * from parquet.`/root/testdata/sf0.001/orders.parquet`",
+        "select * from csv.`/etc/hosts`",
+        "select * from binaryFile.`/etc/passwd`",
+        # JVM reflection builtins
+        "select java_method('java.lang.System','getenv','PATH')",
+        "select reflect('java.lang.System','getProperty','user.dir')",
+        # keyword smuggled into a comment: the screen matches anywhere
+        # in the text, deny-by-default
+        "select/*insert*/1",
+        # CTE-wrapped write
+        "with x as (select 1 as a) insert into t select * from x",
+    ]
+    for sql in cases:
+        status, _, payload = call(
+            app, "GET", "/default.json", query=f"sql={quote_plus(sql)}"
+        )
+        assert status == 400, (sql, status, payload)
+        assert json.loads(payload)["ok"] is False
+
+
+def test_sql_endpoint_runsqlonfiles_closed_structurally(app, spark):
+    """Even if the text screen were bypassed, the cloned session runs
+    with spark.sql.runSQLOnFiles=false — prove the structural layer
+    alone rejects a file table by testing a format name the screen
+    does not list."""
+    from urllib.parse import quote_plus
+
+    # 'orc' IS screened; use a session directly to prove the conf layer
+    session = spark.newSession()
+    session.conf.set("spark.sql.runSQLOnFiles", "false")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)table or view not found|"
+                                         "TABLE_OR_VIEW_NOT_FOUND"):
+        session.sql(
+            "select * from parquet.`/root/testdata/sf0.001/orders.parquet`"
+        ).collect()
+    # and the outer session (ingest's) is unaffected by the clone's conf
+    assert spark.conf.get("spark.sql.runSQLOnFiles") == "true"
+
+
+def test_sql_parse_gate_is_structural_and_non_eager(spark):
+    """Round-10 VERDICT item 5: the parse gate rejects on the PARSED
+    plan (Command / InsertIntoStatement nodes), so write forms the
+    keyword list never heard of are still denied — and parsing must
+    never execute (session.sql runs Commands eagerly; the gate runs
+    before sql())."""
+    session = spark.newSession()
+    gate = UploadApp._plan_is_pure_read
+    # COMMENT ON is NOT in the keyword screen — only the structural
+    # gate catches it
+    assert UploadApp._sql_guard("select 1") is None
+    err = gate(session, "comment on table t is 'x'")
+    assert err and "CommentOnTable" in err
+    assert gate(session, "insert into t values (1)")  # InsertIntoStatement
+    assert gate(session, "drop table zzz") and "DropTable" in gate(
+        session, "drop table zzz"
+    )
+    assert gate(session, "select 1 as a") is None
+    assert gate(session, "with x as (select 1 as a) select * from x") is None
+    assert gate(session, "values (1),(2)") is None
+    # non-eagerness: gating a DROP must not drop
+    spark.sql("create table if not exists zzz_gate_eager (a int)")
+    try:
+        assert gate(session, "drop table zzz_gate_eager") is not None
+        assert spark.catalog.tableExists("zzz_gate_eager")
+    finally:
+        spark.sql("drop table if exists zzz_gate_eager")
+
+
+def test_sql_endpoint_hookless_deny_by_default(spark, tmp_path):
+    """ADVICE (high): with no permission hook installed and no explicit
+    open_sql=True opt-in, the SQL endpoint — the one route that
+    executes caller code — is disabled. Other routes keep the
+    reference's allow-by-default shape."""
+    ingest.set_allow_hook(None)
+    closed = UploadApp(spark, upload_dir=str(tmp_path))  # default
+    status, _, payload = call(
+        closed, "GET", "/default.json", query="sql=select+1"
+    )
+    assert status == 403
+    assert b"open_sql" in payload or b"disabled" in payload
+    # the form route is still allow-by-default
+    status, _, _ = call(closed, "GET", "/-/upload-csvs")
+    assert status == 200
+    # with a hook installed, the hook is the gate (no opt-in needed)
+    ingest.set_allow_hook(lambda actor, action: True)
+    try:
+        status, _, _ = call(
+            closed, "GET", "/default.json", query="sql=select+1"
+        )
+        assert status == 200
+    finally:
+        ingest.set_allow_hook(None)
+
+
+def test_sql_endpoint_timeout_cancels_runaway_query(app, spark):
+    """ADVICE (medium): compute is capped, not just row output — a
+    runaway query is cancelled via its job group at the timeout and
+    the shared session stays usable."""
+    from urllib.parse import quote_plus
+    import time
+
+    app._SQL_TIMEOUT_S = 3.0
+    # ~1e13-multiplication cross join: cannot finish in 3 s
+    sql = (
+        "select max(a.id * b.id) as m "
+        "from range(100000000) a, range(100000) b"
+    )
+    t0 = time.monotonic()
+    status, _, payload = call(
+        app, "GET", "/default.json", query=f"sql={quote_plus(sql)}"
+    )
+    elapsed = time.monotonic() - t0
+    assert status == 400, payload
+    out = json.loads(payload)
+    assert "time budget" in out["error"]
+    # responded at the budget, not after the query's natural runtime
+    assert elapsed < 30
+    # the shared session is immediately usable afterwards
+    status, _, payload = call(
+        app, "GET", "/default.json", query="sql=select+7+as+x"
+    )
+    assert status == 200
+    assert json.loads(payload)["rows"] == [{"x": 7}]
