@@ -41,13 +41,17 @@ funnel ONCE (stages are internally min-of-1 — the funnel is too
 stateful to best-of-N per stage, and the cross-M trend, not the
 per-point noise, is the claim).
 
-At the two largest multipliers the funnel also runs a SECOND pass
-with bucket_star_cap=256 on the near-dup stage (the adversarial-skew
-guard, BENCH_DEDUP_SKEW.json): the synthetic corpus's own
-sub-threshold band collisions grow super-linearly at 128x and the
-A/B quantifies what the cap buys inside the composed pipeline.
+At the two largest multipliers the funnel also runs TWO more passes
+on the near-dup stage: bucket_star_cap=256 (hand-tuned, the r10
+protocol) and bucket_star_cap="auto" (the in-graph pair-mass
+forecast, now the funnel default) — the A/B quantifies what the cap
+buys inside the composed pipeline AND that auto tracks hand-tuned
+(round-10 VERDICT item 4). Round 11 adds the >=5M-doc decade
+(multiplier 1280) to pin that the 128x broadcast→exchange regime
+flip is a step, not a slope (round-10 VERDICT item 6).
 
-Usage: python bench_funnel_scale.py [multipliers...] (default 1 8 32 128)
+Usage: python bench_funnel_scale.py [multipliers...]
+(default 1 8 32 128 1280)
 Prints one JSON line and writes BENCH_FUNNEL_SCALE.json.
 """
 
@@ -103,7 +107,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ["SPARK_GRAFT_CPUS"] = cpus
-    mults = [int(a) for a in sys.argv[1:]] or [1, 8, 32, 128]
+    mults = [int(a) for a in sys.argv[1:]] or [1, 8, 32, 128, 1280]
 
     from pyspark.sql import functions as F
 
@@ -130,6 +134,14 @@ def main() -> None:
     stop_alt = "|".join(STOPWORDS)
     token_pat = rf"(^|\s)(?!(?:{stop_alt})(?:\s|$))(\S+)"
 
+    # 52-letter tag alphabet: 52^2 = 2704 distinct fixed-width tags,
+    # enough for the >=5M-doc decade (1280 copies); the 26-letter
+    # scheme capped out at 676. Stopword matching is unaffected (the
+    # lookahead tests the ORIGINAL token), tag width stays 3 chars.
+    _ALPHA = (
+        "abcdefghijklmnopqrstuvwxyz" "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    )
+
     def widen(m):
         copies = [
             docs.select(
@@ -137,7 +149,7 @@ def main() -> None:
                 F.regexp_replace(
                     "text",
                     token_pat,
-                    rf"$1$2_{chr(97 + i // 26)}{chr(97 + i % 26)}",
+                    rf"$1$2_{_ALPHA[i // 52]}{_ALPHA[i % 52]}",
                 ).alias("text"),
             )
             for i in range(m)
@@ -212,19 +224,23 @@ def main() -> None:
             }
             if m >= (mults[-2] if len(mults) >= 2 else mults[-1]):
                 # capped A/B at the largest multipliers: quantify the
-                # oversized-bucket guard inside the composed pipeline
-                t0 = time.perf_counter()
-                capped_rows = run_funnel(collect_rows=True, cap=256)
-                row["capped256"] = {
-                    "total_wall_s": round(time.perf_counter() - t0, 3),
-                    "near_dup_wall_s": capped_rows["near_dup_groups"][
-                        "wall_s"
-                    ],
-                    "near_dup_shuffle_mb": capped_rows["near_dup_groups"][
-                        "shuffle_mb"
-                    ],
-                    "survivors": capped_rows["near_dup_groups"]["n_docs"],
-                }
+                # oversized-bucket guard inside the composed pipeline,
+                # hand-tuned (256, the r10 protocol) vs "auto" (the
+                # in-graph forecast that is now run_curation_funnel's
+                # default — round-10 VERDICT item 4 asks auto ≈ hand)
+                for key, cap in (("capped256", 256), ("auto_cap", "auto")):
+                    t0 = time.perf_counter()
+                    capped_rows = run_funnel(collect_rows=True, cap=cap)
+                    row[key] = {
+                        "total_wall_s": round(time.perf_counter() - t0, 3),
+                        "near_dup_wall_s": capped_rows["near_dup_groups"][
+                            "wall_s"
+                        ],
+                        "near_dup_shuffle_mb": capped_rows["near_dup_groups"][
+                            "shuffle_mb"
+                        ],
+                        "survivors": capped_rows["near_dup_groups"]["n_docs"],
+                    }
             results.append(row)
             print(json.dumps({"progress": row["mult"],
                               "wall": row["total_wall_s"]}),
