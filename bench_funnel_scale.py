@@ -41,14 +41,17 @@ funnel ONCE (stages are internally min-of-1 — the funnel is too
 stateful to best-of-N per stage, and the cross-M trend, not the
 per-point noise, is the claim).
 
-At the two largest multipliers the funnel also runs TWO more passes
-on the near-dup stage: bucket_star_cap=256 (hand-tuned, the r10
-protocol) and bucket_star_cap="auto" (the in-graph pair-mass
+At the second-largest multiplier (128x) the funnel also runs TWO
+more passes on the near-dup stage: bucket_star_cap=256 (hand-tuned,
+the r10 protocol) and bucket_star_cap="auto" (the in-graph pair-mass
 forecast, now the funnel default) — the A/B quantifies what the cap
 buys inside the composed pipeline AND that auto tracks hand-tuned
 (round-10 VERDICT item 4). Round 11 adds the >=5M-doc decade
-(multiplier 1280) to pin that the 128x broadcast→exchange regime
-flip is a step, not a slope (round-10 VERDICT item 6).
+(multiplier 1280, run with the engine's DEFAULT auto cap — the
+uncapped pass at 5M docs is the quadratic-spill regime the cap
+exists to avoid, and a first attempt ran the host out of disk) to
+pin that the 128x broadcast→exchange regime flip is a step, not a
+slope (round-10 VERDICT item 6).
 
 Usage: python bench_funnel_scale.py [multipliers...]
 (default 1 8 32 128 1280)
@@ -195,6 +198,10 @@ def main() -> None:
                     benchmark=spark.read.parquet(bench_path),
                     bucket_star_cap=cap,
                     run_stage=run_stage,
+                    # peak block storage = two adjacent stages, not
+                    # #stages corpus copies — the 5M-doc point ran
+                    # the host out of disk without this
+                    release_stage_frames=True,
                 )
                 split_summary.collect()
                 spark.catalog.clearCache()
@@ -204,12 +211,20 @@ def main() -> None:
                 run_funnel(collect_rows=False)
                 warmed = True
 
+            # the >=5M-doc decade point runs the engine's DEFAULT
+            # configuration (bucket_star_cap="auto") only: the
+            # uncapped pass at 5M docs is exactly the quadratic-spill
+            # regime the cap exists to avoid (a first attempt ran the
+            # host out of shuffle-spill disk), and the capped-vs-
+            # uncapped attribution is filed at 128x where both fit
+            main_cap = "auto" if m >= 1000 else None
             t0 = time.perf_counter()
-            rows = run_funnel(collect_rows=True)
+            rows = run_funnel(collect_rows=True, cap=main_cap)
             total = time.perf_counter() - t0
 
             row = {
                 "mult": m,
+                "main_cap": main_cap,
                 "corpus_docs": rows["scan"]["n_docs"],
                 "total_wall_s": round(total, 3),
                 "wall_ms_per_kdoc": round(
@@ -222,7 +237,7 @@ def main() -> None:
                 "corpus_file_input_mb": rows["scan"]["input_mb"],
                 "stages": rows,
             }
-            if m >= (mults[-2] if len(mults) >= 2 else mults[-1]):
+            if m == (mults[-2] if len(mults) >= 2 else mults[-1]):
                 # capped A/B at the largest multipliers: quantify the
                 # oversized-bucket guard inside the composed pipeline,
                 # hand-tuned (256, the r10 protocol) vs "auto" (the

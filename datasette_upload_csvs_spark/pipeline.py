@@ -142,6 +142,7 @@ def run_curation_funnel(
     bucket_star_cap: int | str | None = "auto",
     run_stage=None,
     capture_plans: bool = False,
+    release_stage_frames: bool = False,
 ) -> tuple[list[FunnelStage], DataFrame, DataFrame]:
     """The full curation funnel composed as a STAGED job graph:
 
@@ -176,6 +177,20 @@ def run_curation_funnel(
       can pin scan provenance: stages after the first must contain
       no parquet FileScan of the corpus — only the decontamination
       stage may scan `benchmark`.
+
+    `release_stage_frames=True` frees each stage's checkpoint BLOCKS
+    as soon as the next stage has materialized (and sets that
+    FunnelStage.frame to None — an unpersisted localCheckpoint cannot
+    be recomputed, so a dangling reference must fail loudly, not
+    lazily). Default False keeps every frame addressable (tests,
+    interactive use). At scale the default holds ~#stages
+    corpus-sized text copies in block storage simultaneously — the
+    5M-doc bench point ran a 78 GB host out of disk exactly this way
+    — while the release mode's peak is two adjacent stages. The last
+    stage's frame is always kept (the split/shard consumers read it).
+    Note DataFrame.unpersist() is a NO-OP for localCheckpoint frames
+    (they are not cacheManager entries); the release goes through the
+    checkpointed RDD on the logical plan.
 
     `benchmark` defaults to None = skip decontamination (counts
     pass through). The near-dup stage reuses dedup_groups' exact
@@ -212,6 +227,11 @@ def run_curation_funnel(
             )
 
         stage = run_stage(name, thunk)
+        if release_stage_frames and stages:
+            # the new stage's checkpoint is self-contained — the
+            # previous stage's blocks are no longer reachable work
+            _release_checkpoint_blocks(stages[-1].frame)
+            stages[-1].frame = None
         stages.append(stage)
         return stage.frame
 
@@ -347,6 +367,22 @@ def run_curation_funnel(
         F.sum("n_tok").alias("n_tokens"),
     )
     return stages, split_summary, shard_stage.frame
+
+
+def _release_checkpoint_blocks(frame: DataFrame | None) -> None:
+    """Free a localCheckpoint frame's persisted blocks. Dataset.
+    unpersist() only uncaches cacheManager entries, which a local
+    checkpoint is not — the storage lives on the checkpointed RDD
+    inside the LogicalRDD plan node, so that is what gets
+    unpersisted (verified: getRDDStorageInfo drops to zero)."""
+    if frame is None:
+        return
+    try:
+        frame._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        # a non-checkpointed frame (no .rdd() on the node) — nothing
+        # to free; never let storage hygiene fail the pipeline
+        pass
 
 
 def gopher_keep_expr(text_col: str = "text"):

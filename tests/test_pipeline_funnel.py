@@ -157,3 +157,43 @@ def test_funnel_without_benchmark_skips_decontam(spark):
     # contaminated doc survives when no benchmark is supplied
     assert by["decontaminated"].n_docs == by["near_dup_groups"].n_docs == 26
     spark.catalog.clearCache()
+
+
+def test_funnel_release_stage_frames_frees_blocks(spark):
+    """release_stage_frames=True: identical staged counts and split
+    summary, earlier frames None-ed with their checkpoint BLOCKS
+    actually freed (the default mode holds ~#stages corpus-sized
+    copies simultaneously — the 5M-doc bench point ran the host out
+    of disk exactly this way). The last stage's frame stays live for
+    the split/shard consumers."""
+    docs = spark.createDataFrame(
+        _corpus_rows(), "doc_id long, text string"
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    base = len(jsc.getRDDStorageInfo())
+
+    stages_r, split_r, _ = run_curation_funnel(
+        docs, benchmark=None, num_shards=2, release_stage_frames=True
+    )
+    got = [(s.name, s.n_docs, s.n_tokens) for s in stages_r]
+    got_split = {tuple(r) for r in split_r.collect()}
+    # every non-final stage frame is released and None-ed; the split
+    # and shard frames (the consumers' inputs) stay live
+    assert all(s.frame is None for s in stages_r[:-2])
+    assert stages_r[-2].frame is not None  # cluster_safe_split
+    assert stages_r[-1].frame is not None  # shard summary (tiny)
+    spark.catalog.clearCache()  # drop operator-internal persists
+    kept_release = len(jsc.getRDDStorageInfo()) - base
+
+    stages, split_summary, _ = run_curation_funnel(
+        docs, benchmark=None, num_shards=2
+    )
+    assert got == [(s.name, s.n_docs, s.n_tokens) for s in stages]
+    assert got_split == {tuple(r) for r in split_summary.collect()}
+    spark.catalog.clearCache()
+    kept_default = len(jsc.getRDDStorageInfo()) - base - kept_release
+    # default keeps every stage checkpoint; release keeps 2 (+ the
+    # same CC-internal rounds in both) — at least the five released
+    # stage frames separate the two counts
+    assert kept_default >= kept_release + 4, (kept_default, kept_release)
