@@ -18,7 +18,13 @@ rows written. The auto mode then runs the post-drain fold
 fold is metadata-scale, so its wall should be epoch-sized, not
 corpus-sized.
 
-Usage: python bench_funnel_stream.py [E [K [U]]]   (default 6 400 200)
+Per-epoch rows carry `cand_pairs` — the distinct candidate count the
+near-dup maintainer generated (rides the pairs write via Observation,
+no extra job). On a SUB-threshold family verified pairs are 0 by
+design; candidates are the quantity the cap bounds, and the uncapped
+mode's candidates grow linearly with history while auto stays flat.
+
+Usage: python bench_funnel_stream.py [E [K [U]]]   (default 8 1500 200)
 Writes BENCH_FUNNEL_STREAM.json and prints one JSON line.
 """
 
@@ -32,8 +38,8 @@ import time
 
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
-    e_total = int(sys.argv[1]) if len(sys.argv) > 1 else 6
-    k_fam = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+    e_total = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    k_fam = int(sys.argv[2]) if len(sys.argv) > 2 else 1500
     u_unique = int(sys.argv[3]) if len(sys.argv) > 3 else 200
 
     from pyspark.sql import functions as F
@@ -89,7 +95,7 @@ def main() -> None:
             for ep in range(e_total):
                 batch = epoch_docs(ep).localCheckpoint(eager=True)
                 t0 = time.perf_counter()
-                funnel_epoch(
+                stats = funnel_epoch(
                     batch, ep, prefix, None, bucket_star_cap=cap
                 )
                 wall = time.perf_counter() - t0
@@ -101,6 +107,7 @@ def main() -> None:
                 )
                 per_epoch.append(
                     {"epoch": ep, "wall_s": round(wall, 3),
+                     "cand_pairs": (stats or {}).get("cand_pairs"),
                      "pairs_written": pairs_ep}
                 )
                 print(

@@ -91,14 +91,17 @@ def funnel_epoch(
     num_perm: int = 128,
     n_bands: int = 32,
     bucket_star_cap: int | str | None = "auto",
-) -> None:
+) -> dict | None:
     """One funnel epoch — factored out of the foreachBatch closure so
     crash/replay tests can drive a single epoch. All writes are
     per-epoch dynamic partition overwrites and all history reads mask
     this epoch's own partition (epoch_write recipe), so a replayed
-    epoch is idempotent across all four state tables."""
+    epoch is idempotent across all four state tables.
+
+    Returns the near-dup maintainer's stats dict (``cand_pairs`` —
+    see near_dup_epoch) or None for an empty batch."""
     if batch_df.isEmpty():
-        return
+        return None
     spark = batch_df.sparkSession
     docs_table = f"{prefix}_docs"
     from datasette_upload_csvs_spark.functions.text import token_count
@@ -152,7 +155,7 @@ def funnel_epoch(
         )
         firsts = firsts.join(seen, "h", "left_anti")
     to_index = firsts.select("doc_id", "text").persist()
-    near_dup_epoch(
+    nd_stats = near_dup_epoch(
         to_index,
         epoch,
         f"{prefix}_pairs",
@@ -175,6 +178,7 @@ def funnel_epoch(
     )
     b.unpersist()
     to_index.unpersist()
+    return nd_stats
 
 
 def run_curation_funnel_stream(

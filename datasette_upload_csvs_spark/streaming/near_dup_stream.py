@@ -60,7 +60,7 @@ def near_dup_epoch(
     num_perm: int = 128,
     n_bands: int = 32,
     bucket_star_cap: int | str | None = None,
-) -> None:
+) -> dict | None:
     """One epoch of incremental near-dup maintenance — factored out of
     the foreachBatch closure so the replay test can invoke a single
     epoch directly. Exactly-once across the three mutable stores
@@ -77,9 +77,17 @@ def near_dup_epoch(
     (the same s-curve failure mode BENCH_DEDUP_SKEW measures for the
     batch operator). Jaccard is still exactly verified on every
     emitted pair; genuine families stay CC-connected through anchor
-    edges, since every member was a probe once."""
+    edges, since every member was a probe once.
+
+    Returns ``{"cand_pairs": n}`` — the distinct candidate count this
+    epoch generated (the quantity ``bucket_star_cap`` bounds; verified
+    pairs can be 0 on a sub-threshold relation while candidates grow
+    with history). The count rides the pairs write via Observation —
+    no extra job. None for an empty batch."""
+    from pyspark.sql import Observation
+
     if batch_df.isEmpty():
-        return
+        return None
     spark = batch_df.sparkSession
     rows = num_perm // n_bands
     sets_table = f"{index_table}__sets"
@@ -124,6 +132,8 @@ def near_dup_epoch(
         )
         .distinct()
     )
+    obs = Observation()
+    cand = cand.observe(obs, F.count(F.lit(1)).alias("cand_pairs"))
     if spark.catalog.tableExists(sets_table):
         spark.catalog.refreshTable(sets_table)
         old_sets = read_state(spark, sets_table, epoch).select(
@@ -156,6 +166,7 @@ def near_dup_epoch(
     )
     sets.unpersist()
     new_bands.unpersist()
+    return {"cand_pairs": obs.get["cand_pairs"]}
 
 
 def maintain_near_dup_stream(

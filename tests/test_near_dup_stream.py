@@ -160,3 +160,56 @@ def test_near_dup_epoch_mid_batch_replay_idempotent(spark, sf_dir):
     assert got == want and got
     for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_near_dup_epoch_reports_candidate_mass(spark):
+    """near_dup_epoch returns {"cand_pairs": n} — the distinct
+    candidate count the epoch generated (rides the pairs write via
+    Observation, no extra job). On a sub-threshold template family
+    verified pairs are 0 while candidates are not; with
+    bucket_star_cap engaged the reported candidates must shrink,
+    which is exactly the quantity BENCH_FUNNEL_STREAM attributes."""
+    from datasette_upload_csvs_spark.streaming.near_dup_stream import (
+        near_dup_epoch,
+    )
+
+    stop = "the and for with that this from "
+    tmpl = " ".join(f"tmpl{j}" for j in range(30))
+    fam = [
+        (i, stop + tmpl + " " + " ".join(f"u{j}x{i}" for j in range(12)))
+        for i in range(40)
+    ]
+    batch = spark.createDataFrame(fam, "doc_id long, text string")
+
+    def run(cap, suffix):
+        tables = (f"ndc_pairs_{suffix}", f"ndc_index_{suffix}",
+                  f"ndc_index_{suffix}__sets")
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        try:
+            stats = near_dup_epoch(
+                batch, 0, tables[0], tables[1],
+                threshold=0.7, bucket_star_cap=cap,
+            )
+            spark.catalog.refreshTable(tables[0])
+            verified = spark.table(tables[0]).count()
+            return stats["cand_pairs"], verified
+        finally:
+            for t in tables:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    cand_uncapped, ver_uncapped = run(None, "u")
+    cand_capped, ver_capped = run(4, "c")
+    # the family band-collides: at shingle-Jaccard ~0.59 a pair
+    # collides in >=1 of 32 bands w.p. ~0.99, so uncapped candidates
+    # sit just under all-pairs (deterministic hashes — stable count)
+    assert 40 * 39 // 2 * 0.8 <= cand_uncapped <= 40 * 39 // 2
+    # sub-threshold: nothing verifies, on either path
+    assert ver_uncapped == 0 and ver_capped == 0
+    # the cap collapses the joined-against side to anchors
+    assert 0 < cand_capped < cand_uncapped
+
+    # empty batch: no stats, no tables touched
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert near_dup_epoch(empty, 0, "ndc_pairs_e", "ndc_index_e") is None
+    assert not spark.catalog.tableExists("ndc_pairs_e")
