@@ -117,7 +117,27 @@ def main() -> None:
     from datasette_upload_csvs_spark.pipeline import run_curation_funnel
     from datasette_upload_csvs_spark.session import get_spark
 
-    spark = get_spark(app_name="bench-funnel-scale")
+    # zstd shuffle blocks: the 5M-doc decade's near-dup stage keeps
+    # every intermediate shuffle on disk for the life of its one job
+    # (normal Spark — scratch scales with cluster nodes; this bench
+    # host has ONE disk), and lz4'd shingle-array shuffles overran an
+    # 80 GB scratch partition. zstd compresses these long-array
+    # blocks ~2-3x tighter for a few % CPU; walls are reported under
+    # the same codec at every multiplier, so the trendline is
+    # self-consistent.
+    # periodicGC 30s: ContextCleaner only deletes a released shuffle's
+    # files after a DRIVER GC collects its ShuffleDependency, and the
+    # default periodic GC (30 min) outlives a whole decade-scale
+    # funnel stage — garbage identified by the lineage cuts (CC's
+    # checkpointed adjacency, released stage frames) must actually be
+    # collected WHILE the stage runs or it accumulates to disk-full.
+    spark = get_spark(
+        app_name="bench-funnel-scale",
+        extra_confs={
+            "spark.io.compression.codec": "zstd",
+            "spark.cleaner.periodicGC.interval": "30s",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     meter = _ShuffleMeter(spark)
 
@@ -257,6 +277,10 @@ def main() -> None:
                         "survivors": capped_rows["near_dup_groups"]["n_docs"],
                     }
             results.append(row)
+            # this multiplier's corpus is never read again — free its
+            # scratch before the next (10x larger) corpus lands
+            shutil.rmtree(corpus_path, ignore_errors=True)
+            shutil.rmtree(bench_path, ignore_errors=True)
             print(json.dumps({"progress": row["mult"],
                               "wall": row["total_wall_s"]}),
                   file=sys.stderr)

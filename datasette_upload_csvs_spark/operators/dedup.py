@@ -747,8 +747,15 @@ def minhash_lsh_candidates(
     bands: int = 32,
     rows: int = 4,
     bucket_star_cap: int | str | None = None,
+    scratch_checkpoints: bool = False,
 ) -> DataFrame:
     """Candidate pairs whose signatures collide in ≥1 LSH band.
+
+    ``scratch_checkpoints`` (default off): materialize the banded
+    relation as a localCheckpoint instead of a persist. Identical
+    reuse semantics, but the checkpoint CUTS lineage, so the
+    signature relation's upstream shuffles become collectable once
+    banding lands — see minhash_near_dup_pairs' scratch contract.
 
     Each doc emits `bands` (band_id, band_hash) keys; a shuffle on
     that composite key groups colliding docs. Self-join happens per
@@ -816,7 +823,10 @@ def minhash_lsh_candidates(
     # persist() lives until the caller's plan is materialized and is
     # then LRU-evicted (or dropped by a catalog clearCache) — same
     # accepted storage trade as the signature cache note above.
-    banded = banded.persist()
+    if scratch_checkpoints:
+        banded = banded.localCheckpoint(eager=True)
+    else:
+        banded = banded.persist()
     stats = banded.groupBy("band", "bucket").agg(
         F.count("*").alias("_bc"), F.min(id_col).alias("_anchor")
     )
@@ -863,8 +873,24 @@ def minhash_near_dup_pairs(
     collapse_exact: bool = True,
     pair_mode: str = "clique",
     bucket_star_cap: int | str | None = None,
+    scratch_checkpoints: bool = False,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
+
+    ``scratch_checkpoints`` (default off — plans and results are
+    identical either way): bound peak shuffle-scratch disk by
+    breaking the one signatures→bands→candidates→verify job into
+    sub-jobs at the candidate boundary. The combined candidate
+    relation (LSH ∪ exact floor — tiny: 16 bytes/pair) is local-
+    checkpointed, the signature cache is dropped, and a driver GC is
+    triggered, so every exchange upstream of candidates (signature
+    agg, band self-join, cap stats joins, floor df explode) is
+    RELEASED before the verify join starts. Without this the whole
+    chain is one job and its live exchange set is the SUM of all
+    phases — measured ~80 GB at 5.8M docs, where the phased peak is
+    the max (~30 GB). On a cluster the same pinning eats per-executor
+    scratch; the barrier trades one extra job + a small checkpoint
+    write for a bounded high-water mark.
 
     ``bucket_star_cap`` (default None = off) passes through to
     minhash_lsh_candidates: oversized band buckets contribute
@@ -1039,7 +1065,8 @@ def minhash_near_dup_pairs(
     # here; measured 1.4s vs 2.1s end-to-end.)
     sig = _signatures_from_hashes(hashed, id_col, num_perm).persist()
     cand = minhash_lsh_candidates(
-        sig, id_col, bands, rows, bucket_star_cap=bucket_star_cap
+        sig, id_col, bands, rows, bucket_star_cap=bucket_star_cap,
+        scratch_checkpoints=scratch_checkpoints,
     )
     if exact_floor_max_df is not None:
         # deterministic floor: low-df shingle candidates from the
@@ -1102,6 +1129,17 @@ def minhash_near_dup_pairs(
                 .distinct()
             )
         cand = cand.select("id_a", "id_b").unionByName(floor_cand).distinct()
+    if scratch_checkpoints:
+        # the scratch barrier (see docstring): candidates are tiny —
+        # checkpoint them, drop the signature cache (only banding
+        # needed it), and let the driver GC hand every upstream
+        # exchange to ContextCleaner before the verify join runs
+        cand = cand.localCheckpoint(eager=True)
+        sig.unpersist()
+        try:
+            docs.sparkSession.sparkContext._jvm.System.gc()
+        except Exception:
+            pass  # storage hygiene must never fail the operator
     # Verify ONLY the candidate pairs: join each side to its shingle
     # set and intersect arrays. Cost is O(candidates), not O(pairs
     # sharing a shingle) — the whole point of LSH at corpus scale.

@@ -58,8 +58,15 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("v"), F.col(dst).alias("n")
     ).unionByName(edges.select(F.col(dst).alias("v"), F.col(src).alias("n")))
-    # adjacency is reused every round: materialize once
-    adj = sym.distinct().persist()
+    # adjacency is reused every round: materialize once. A local
+    # CHECKPOINT, not persist — persist keeps the edge relation's
+    # full lineage referenced for every round, which pins the shuffle
+    # files of whatever produced the edges (a multi-million-doc
+    # MinHash candidate+verify graph upstream of dedup's CC measurably
+    # holds tens of GB of scratch through the whole loop). The
+    # checkpoint cuts that lineage at CC entry, so upstream shuffles
+    # become collectable the moment the loop starts.
+    adj = sym.distinct().localCheckpoint(eager=True)
     # seed labels with the first propagation round folded in: the
     # min of the closed neighborhood costs the same shuffle a plain
     # distinct-vertices init would, and dense near-dup clumps
@@ -115,12 +122,24 @@ def connected_components(
             )
             .select("v", "c")
         ).localCheckpoint()
+        try:
+            # the superseded round's label blocks are dead weight the
+            # moment the new checkpoint exists — release them (same
+            # no-op-unpersist caveat as the adjacency below)
+            labels._jdf.queryExecution().logical().rdd().unpersist(False)
+        except Exception:
+            pass
         labels = new_labels
         changed = obs.get["changed"]
         if changed == 0:
             break
 
-    adj.unpersist()
+    try:
+        # DataFrame.unpersist is a no-op for a local checkpoint — the
+        # blocks live on the checkpointed RDD inside the plan node
+        adj._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception:
+        pass  # storage hygiene must never fail the labeling
     if changed is None or changed > 0:
         # the seed fold (above) is itself one propagation round, so
         # max_iter == 0 on a non-trivial graph is also unverified

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datasette_upload_csvs_spark.operators import curation, dedup, graph, textstats
@@ -232,6 +232,15 @@ def run_curation_funnel(
             # previous stage's blocks are no longer reachable work
             _release_checkpoint_blocks(stages[-1].frame)
             stages[-1].frame = None
+            # shuffle files behind the released stage are removed by
+            # ContextCleaner only after a DRIVER GC collects their
+            # ShuffleDependency; the default periodic GC (30 min)
+            # outlives a whole multi-million-doc funnel, so the
+            # scratch dir accumulates every stage's shuffle at once
+            # (observed: 5.76M-doc run filling an 80 GB disk). Force
+            # the GC at the stage boundary — the one moment the
+            # previous stage's lineage truly is garbage.
+            _trigger_context_cleaner(docs.sparkSession)
         stages.append(stage)
         return stage.frame
 
@@ -283,6 +292,10 @@ def run_curation_funnel(
             # nobody runs one at 100 TB) and is a proven no-op while
             # candidate mass stays corpus-linear.
             bucket_star_cap=bucket_star_cap,
+            # bounded-scratch mode rides the same flag as frame
+            # release: both exist so corpus-scale runs have a
+            # high-water mark of max-over-phases, not sum
+            scratch_checkpoints=release_stage_frames,
         ).select("id_a", "id_b")
         cc = graph.connected_components(pairs)
         labeled = s2.join(
@@ -382,6 +395,16 @@ def _release_checkpoint_blocks(frame: DataFrame | None) -> None:
     except Exception:
         # a non-checkpointed frame (no .rdd() on the node) — nothing
         # to free; never let storage hygiene fail the pipeline
+        pass
+
+
+def _trigger_context_cleaner(spark: SparkSession) -> None:
+    """Run a JVM GC so ContextCleaner reclaims shuffle files whose
+    dependencies just became unreachable (see release path above).
+    Best-effort: storage hygiene must never fail the pipeline."""
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
         pass
 
 

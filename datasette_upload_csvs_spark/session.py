@@ -73,11 +73,14 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     warehouse_dir: str | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's configs.
 
     If a session already exists (e.g. the driver harness owns it),
-    runtime-settable confs are applied to it and it is returned.
+    runtime-settable confs are applied to it and it is returned
+    (``extra_confs`` that are static confs cannot apply then — they
+    must land before the JVM launches).
     """
     active = SparkSession.getActiveSession()
     if active is not None:
@@ -114,6 +117,8 @@ def get_spark(
     )
     if warehouse_dir:
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     return spark
 

@@ -351,3 +351,30 @@ def test_restrict_to_ids_matches_full_edges_filtered(spark):
     got = {(r["id_a"], r["id_b"]) for r in sub.collect()}
     assert got == want and want  # non-empty and identical
     spark.catalog.clearCache()
+
+
+def test_scratch_checkpoints_identical_pairs(spark, sf_dir):
+    """scratch_checkpoints=True bounds peak shuffle scratch (sub-job
+    barrier at the candidate boundary) and must be invisible in the
+    result: identical (id_a, id_b, jaccard) row set to the default
+    single-job plan, with the exact floor and auto cap engaged."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def pairs(scratch):
+        out = dedup.minhash_near_dup_pairs(
+            docs,
+            threshold=0.7,
+            exact_floor_max_df=5,
+            pair_mode="star",
+            bucket_star_cap="auto",
+            scratch_checkpoints=scratch,
+        )
+        rows = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 10))
+            for r in out.collect()
+        }
+        spark.catalog.clearCache()
+        return rows
+
+    base = pairs(False)
+    assert pairs(True) == base and base
