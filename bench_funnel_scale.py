@@ -186,6 +186,16 @@ def main() -> None:
     warmed = False
     try:
         for m in mults:
+            # partitions sized to the data, as a cluster would: 32
+            # partitions at 4M+ docs force multi-pass sort spills
+            # (each shuffle partition's sort outgrows its share of
+            # execution memory and rewrites itself to disk several
+            # times); AQE coalesces the small stages back down, so
+            # the only cost at small multipliers is scheduler noise
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(256 if m >= 320 else 32),
+            )
             corpus_path = f"{work}/corpus_{m}"
             bench_path = f"{work}/bench_{m}"
             wide = widen(m)
@@ -211,6 +221,12 @@ def main() -> None:
                             "n_docs": stage.n_docs,
                             "n_tokens": stage.n_tokens,
                         }
+                        # live progress: a died run still tells us
+                        # which stage it was in and what it cost
+                        print(
+                            json.dumps({"stage": name, **rows[name]}),
+                            file=sys.stderr,
+                        )
                     return stage
 
                 stages, split_summary, shards = run_curation_funnel(

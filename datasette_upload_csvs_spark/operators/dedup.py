@@ -636,7 +636,15 @@ def bucket_stats(
 # corpus keeps pair_mass within a small constant of the keyed-row
 # count (BENCH_DEDUP_SKEW: candidates/doc constant at 8x/32x/128x
 # widening); a template corpus blows orders of magnitude past it.
-_AUTO_PAIR_BUDGET = 8  # allowed join rows per keyed row before capping
+# Allowed join rows per keyed row before capping. Healthy bucketed
+# corpora measure ~0.1-1 (BENCH_FUNNEL_STREAM's maintained index:
+# 0.12; the funnel fixture: <1), so 2 keeps them no-op with margin.
+# The r11 decade run showed why 8 was too loose: a corpus at 6 pairs
+# per keyed row (190 candidates/doc, linear but pathologically dense)
+# passed the old budget and pushed ~820M pre-distinct rows through
+# the candidate join at 5.8M docs — the exact mass the star collapse
+# exists to absorb, at zero cost to group consumers.
+_AUTO_PAIR_BUDGET = 2
 _AUTO_MIN_CAP = 16  # engaged cap is never below this (p99 is usually 1-2)
 
 
@@ -751,11 +759,15 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate pairs whose signatures collide in ≥1 LSH band.
 
-    ``scratch_checkpoints`` (default off): materialize the banded
-    relation as a localCheckpoint instead of a persist. Identical
-    reuse semantics, but the checkpoint CUTS lineage, so the
-    signature relation's upstream shuffles become collectable once
-    banding lands — see minhash_near_dup_pairs' scratch contract.
+    ``scratch_checkpoints`` (default off): materialize the candidate
+    relation eagerly (localCheckpoint) INSIDE this function and
+    release the banded cache + trigger a driver GC before returning,
+    so the band self-join / cap-stats exchanges are collectable the
+    moment candidates exist. The banded relation stays a persist
+    either way — the (band, bucket) exchange reuse between the stats
+    aggregate and the self-join is worth 3× the stage's shuffle
+    volume (measured at 576k docs). See minhash_near_dup_pairs'
+    scratch contract.
 
     Each doc emits `bands` (band_id, band_hash) keys; a shuffle on
     that composite key groups colliding docs. Self-join happens per
@@ -805,17 +817,37 @@ def minhash_lsh_candidates(
     banded = sig.select(
         id_col, F.explode(F.expr(band_sql)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
+
+    def _finish(cand: DataFrame, cached: DataFrame | None) -> DataFrame:
+        # scratch barrier (see docstring): candidates are 16 B/pair —
+        # materialize them now, drop the banded cache, and let a
+        # driver GC hand the band-join/cap-stats exchanges to
+        # ContextCleaner before the caller's verify phase runs
+        if not scratch_checkpoints:
+            return cand
+        cand = cand.localCheckpoint(eager=True)
+        if cached is not None:
+            cached.unpersist()
+        try:
+            sig.sparkSession.sparkContext._jvm.System.gc()
+        except Exception:
+            pass  # storage hygiene must never fail the operator
+        return cand
+
     if bucket_star_cap is None:
+        if scratch_checkpoints:
+            banded = banded.persist()
         a = banded.alias("a")
         b = banded.alias("b")
-        return (
+        return _finish(
             a.join(b, on=["band", "bucket"])
             .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(
                 F.col(f"a.{id_col}").alias("id_a"),
                 F.col(f"b.{id_col}").alias("id_b"),
             )
-            .distinct()
+            .distinct(),
+            banded if scratch_checkpoints else None,
         )
     auto = _validate_cap(bucket_star_cap)
     # bucket stats share the (band, bucket) shuffle key with the
@@ -823,10 +855,7 @@ def minhash_lsh_candidates(
     # persist() lives until the caller's plan is materialized and is
     # then LRU-evicted (or dropped by a catalog clearCache) — same
     # accepted storage trade as the signature cache note above.
-    if scratch_checkpoints:
-        banded = banded.localCheckpoint(eager=True)
-    else:
-        banded = banded.persist()
+    banded = banded.persist()
     stats = banded.groupBy("band", "bucket").agg(
         F.count("*").alias("_bc"), F.min(id_col).alias("_anchor")
     )
@@ -858,7 +887,9 @@ def minhash_lsh_candidates(
             F.col("_anchor").alias("id_a"), F.col(id_col).alias("id_b")
         )
     )
-    return small_pairs.unionByName(star_pairs).distinct()
+    return _finish(
+        small_pairs.unionByName(star_pairs).distinct(), banded
+    )
 
 
 def minhash_near_dup_pairs(
@@ -1068,6 +1099,10 @@ def minhash_near_dup_pairs(
         sig, id_col, bands, rows, bucket_star_cap=bucket_star_cap,
         scratch_checkpoints=scratch_checkpoints,
     )
+    if scratch_checkpoints:
+        # candidates are materialized (lsh_candidates' scratch
+        # barrier) — the signature cache has no further consumer
+        sig.unpersist()
     if exact_floor_max_df is not None:
         # deterministic floor: low-df shingle candidates from the
         # persisted hash-set frame (full 64-bit hashes — the pmod'd
@@ -1088,6 +1123,18 @@ def minhash_near_dup_pairs(
             )
             .select("h64")
         )
+        if scratch_checkpoints:
+            # phase the floor too: the df count and the doc-list join
+            # each exchange the full exploded-shingle relation (docs ×
+            # shingles rows); as ONE job their exchanges coexist —
+            # checkpoint the (small) low-df hash set between them so
+            # the count phase's exchange is collectable before the
+            # join phase runs
+            dup_hashes = dup_hashes.localCheckpoint(eager=True)
+            try:
+                docs.sparkSession.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         grouped = ex.join(dup_hashes, "h64").groupBy("h64").agg(
             F.collect_list(F.col(id_col)).alias("ds")
         )
@@ -1130,12 +1177,12 @@ def minhash_near_dup_pairs(
             )
         cand = cand.select("id_a", "id_b").unionByName(floor_cand).distinct()
     if scratch_checkpoints:
-        # the scratch barrier (see docstring): candidates are tiny —
-        # checkpoint them, drop the signature cache (only banding
-        # needed it), and let the driver GC hand every upstream
-        # exchange to ContextCleaner before the verify join runs
+        # the scratch barrier (see docstring): the combined candidate
+        # relation is tiny — checkpoint it and let the driver GC hand
+        # the floor's join/agg exchanges to ContextCleaner before the
+        # verify join runs (the LSH phase's exchanges were already
+        # released inside minhash_lsh_candidates)
         cand = cand.localCheckpoint(eager=True)
-        sig.unpersist()
         try:
             docs.sparkSession.sparkContext._jvm.System.gc()
         except Exception:
