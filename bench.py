@@ -143,6 +143,48 @@ def _extra_queries():
     }
 
 
+def _canary_df(spark):
+    """Host-speed canary: a fixed CPU-bound, IO-free plan (seeded
+    synthetic agg over spark.range — xxhash64 + trig into a 1024-key
+    partial agg, pure whole-stage codegen, zero file scans, zero
+    shuffled bytes beyond 1024 rows). Its wall time tracks the HOST
+    (CPU clock, scheduler, thermal state), not the repo: any
+    cross-round move in the canary is drift, and the comparable
+    block is additionally reported canary-normalized so plan
+    regressions stop costing a full attribution round-trip
+    (round-11 VERDICT item 2 — r9→r10 simhash and r10→r11 dedup
+    each burned one)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(0, 512_000_000, 1, 32)
+        .select(
+            F.xxhash64("id").alias("h"),
+            F.sin(F.col("id").cast("double") * 1e-7).alias("s"),
+        )
+        .groupBy(F.pmod("h", F.lit(1024)).alias("k"))
+        .agg(F.sum("s").alias("ss"), F.sum(F.xxhash64("h")).alias("sh"))
+    )
+
+
+def _time_canary(spark) -> dict:
+    """One discarded warmup + 5 timed runs of the canary; min is the
+    host-speed number (same steady-state protocol as the queries)."""
+    samples = []
+    for i in range(6):
+        t0 = time.perf_counter()
+        _canary_df(spark).count()
+        el = time.perf_counter() - t0
+        if i > 0:
+            samples.append(el)
+    srt = sorted(samples)
+    return {
+        "min": round(srt[0], 3),
+        "median": round(srt[len(srt) // 2], 3),
+        "spread": round(srt[-1] - srt[0], 3),
+    }
+
+
 def _load_prev_detail(detail_path: str) -> dict:
     """Previous round's per-query numbers, read BEFORE this run
     overwrites the sidecar. Used for the comparable_prev_total field:
@@ -175,6 +217,11 @@ def main() -> None:
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     prev_detail = _load_prev_detail(detail_path)
+
+    # Host-speed canary FIRST — a fixed point in every round's run,
+    # before any query has touched caches or block storage.
+    canary = _time_canary(spark)
+    print(f"# canary: {canary}", file=sys.stderr)
 
     # Warm-up: one untimed pass of every headline query at the target
     # SF so JVM/codegen/Arrow compilation and file-footer caches are
@@ -252,6 +299,17 @@ def main() -> None:
                 "prev": round(sum(prev_q[q] for q in common), 3),
                 "now": round(sum(timings[q] for q in common), 3),
             }
+            # canary-normalized same-set comparison: scale `now` by
+            # prev_canary/now_canary so uniform host drift cancels.
+            # A normalized delta that persists is a plan/code change;
+            # a raw delta that normalizes away is the host.
+            prev_canary = (prev_detail.get("canary") or {}).get("min")
+            if prev_canary and canary["min"]:
+                comparable["canary_prev"] = prev_canary
+                comparable["canary_now"] = canary["min"]
+                comparable["now_normalized"] = round(
+                    comparable["now"] * prev_canary / canary["min"], 3
+                )
     # Per-query detail (min + median + spread) goes to a sidecar file:
     # the driver captures only the ~2 kB tail of stdout, and at 34+
     # headline queries a single line carrying the full per-query map
@@ -265,6 +323,7 @@ def main() -> None:
         "median": medians,
         "spread": spreads,
         "quiet": quiet,
+        "canary": canary,
         "sf": sf_val,
         "comparable": comparable,
     }
@@ -285,7 +344,11 @@ def main() -> None:
                 "n_queries": len(timings),
                 "comparable_prev_total": comparable["prev"],
                 "comparable_now_total": comparable["now"],
+                "comparable_now_normalized": comparable.get(
+                    "now_normalized"
+                ),
                 "comparable_n": comparable["n_common"],
+                "canary_sec": canary["min"],
                 "detail": "BENCH_DETAIL.json",
             }
         )

@@ -305,6 +305,20 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_FUNNEL_SCALE.json")
+    # merge by multiplier: a partial rerun (e.g. `128 1280` after a
+    # code change) replaces only the re-measured rows and keeps the
+    # rest of the curve, so the filed artifact stays the full sweep
+    prior_rows = {}
+    try:
+        with open(path) as f:
+            prior = json.load(f)
+        prior_rows = {r["mult"]: r for r in prior.get("results", [])}
+    except (OSError, ValueError, KeyError):
+        pass
+    for r in results:
+        prior_rows[r["mult"]] = r
     out = {
         "metric": "funnel_scale",
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
@@ -313,10 +327,9 @@ def main() -> None:
             "scan", "gopher_quality", "exact_dedup", "near_dup_groups",
             "decontaminated", "cluster_safe_split", "export_shards",
         ],
-        "results": results,
+        "results": [prior_rows[m] for m in sorted(prior_rows)],
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FUNNEL_SCALE.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

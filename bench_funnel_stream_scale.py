@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Streaming-funnel DECADE bench (round-11 VERDICT item 6): drive
+>=500k docs through run_curation_funnel_stream — the full composed
+funnel as a foreachBatch drain (gopher gate -> exact-dedup increment
+-> maintained near-dup band index -> decontam flag -> state tables)
+— with state COMPACTION firing mid-drain and the auto bucket cap on,
+and pin per-epoch cost FLAT in history size.
+
+BENCH_FUNNEL_STREAM.json's base section proves the cap's flatness
+at 8 epochs x 1.7k docs; this run is the two-orders-up leg matching
+the batch side's 5.76M-doc proof: E epochs x D docs (default
+40 x 13k = 520k docs through the maintained index). Each epoch =
+mostly-unique background + a RECURRING sub-threshold template family
+(the history-coupling adversary: uncapped, family probes join every
+historical member) + a recurring exact-dup family (exact stage stays
+live). Generated engine-side (spark.range expressions, one parquet
+file per epoch; maxFilesPerTrigger=1 maps files to epochs).
+
+Flatness gate: mean per-epoch wall of the LAST quartile vs the
+FIRST quartile (epoch 0 excluded — codegen warmup) is reported as
+`last_over_first`; a maintained index that leaks history coupling
+shows a monotone climb instead (~E/4x at these shapes).
+
+Appends a "scale" section to BENCH_FUNNEL_STREAM.json (base section
+preserved). Usage: python bench_funnel_stream_scale.py [E [D]]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+    e_total = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    d_epoch = int(sys.argv[2]) if len(sys.argv) > 2 else 13_000
+
+    from pyspark.sql import functions as F
+
+    from datasette_upload_csvs_spark.session import get_spark
+    from datasette_upload_csvs_spark.streaming.funnel_stream import (
+        funnel_tables,
+        run_curation_funnel_stream,
+    )
+
+    spark = get_spark(app_name="bench-funnel-stream-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    stop = "the and for with that this from "
+    tmpl = " ".join(f"tmpl{j}" for j in range(30))
+    k_fam = max(200, d_epoch // 10)   # recurring template family
+    k_dup = 50                        # recurring exact-dup family
+    src_dir = tempfile.mkdtemp(prefix="bfs_scale_src_")
+    ckpt_dir = tempfile.mkdtemp(prefix="bfs_scale_ckpt_")
+
+    def epoch_frame(ep: int):
+        base = ep * 1_000_000
+        fam = spark.range(k_fam).select(
+            (F.lit(base) + F.col("id")).alias("doc_id"),
+            F.concat(
+                F.lit(stop + tmpl + " "),
+                F.concat_ws(" ", F.array(*[
+                    F.concat(F.lit(f"u{j}x"),
+                             (F.lit(base) + F.col("id")).cast("string"))
+                    for j in range(12)
+                ])),
+            ).alias("text"),
+        )
+        uniq = spark.range(d_epoch - k_fam - k_dup).select(
+            (F.lit(base + 100_000) + F.col("id")).alias("doc_id"),
+            F.concat(
+                F.lit(stop),
+                F.concat_ws(" ", F.array(*[
+                    F.concat(
+                        F.lit(f"v{j}w"),
+                        (F.lit(base + 100_000) + F.col("id"))
+                        .cast("string"),
+                    )
+                    for j in range(20)
+                ])),
+            ).alias("text"),
+        )
+        dup_text = stop + " ".join(f"dupXt{j}" for j in range(25))
+        dups = spark.range(k_dup).select(
+            (F.lit(base + 900_000) + F.col("id")).alias("doc_id"),
+            F.lit(dup_text).alias("text"),
+        )
+        return fam.unionByName(uniq).unionByName(dups)
+
+    print(f"# generating {e_total} x {d_epoch} docs …", file=sys.stderr)
+    for ep in range(e_total):
+        # one file per epoch: zero-padded name so AvailableNow's
+        # lexicographic file order matches epoch order
+        epoch_frame(ep).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src_dir, f"tmp_ep{ep:04d}")
+        )
+        part = [
+            f for f in os.listdir(os.path.join(src_dir, f"tmp_ep{ep:04d}"))
+            if f.endswith(".parquet")
+        ][0]
+        os.rename(
+            os.path.join(src_dir, f"tmp_ep{ep:04d}", part),
+            os.path.join(src_dir, f"ep{ep:04d}.parquet"),
+        )
+        shutil.rmtree(os.path.join(src_dir, f"tmp_ep{ep:04d}"))
+
+    prefix = "bfs_scale"
+    for t in funnel_tables(prefix):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    per_epoch: list[dict] = []
+    marks = {"last": time.perf_counter()}
+
+    def on_epoch(ep: int) -> None:
+        now = time.perf_counter()
+        per_epoch.append(
+            {"epoch": ep, "wall_s": round(now - marks["last"], 3)}
+        )
+        marks["last"] = now
+        print(json.dumps(per_epoch[-1]), file=sys.stderr, flush=True)
+
+    compact_every = max(4, e_total // 5)  # fires >=4 times mid-drain
+    t0 = time.perf_counter()
+    n = run_curation_funnel_stream(
+        spark,
+        src_dir,
+        "doc_id long, text string",
+        prefix=prefix,
+        bucket_star_cap="auto",
+        checkpoint_dir=ckpt_dir,
+        compact_every=compact_every,
+        on_epoch=on_epoch,
+    )
+    drain_wall = round(time.perf_counter() - t0, 3)
+
+    walls = [r["wall_s"] for r in per_epoch[1:]]  # epoch 0 = warmup
+    q = max(1, len(walls) // 4)
+    first_q = statistics.mean(walls[:q])
+    last_q = statistics.mean(walls[-q:])
+    indexed = spark.table(f"{prefix}_index").select("doc_id").distinct().count()
+    scale = {
+        "epochs": n,
+        "docs_per_epoch": d_epoch,
+        "total_docs": e_total * d_epoch,
+        "family_per_epoch": k_fam,
+        "compact_every": compact_every,
+        "drain_wall_s": drain_wall,
+        "per_epoch": per_epoch,
+        "first_quartile_mean_s": round(first_q, 3),
+        "last_quartile_mean_s": round(last_q, 3),
+        "last_over_first": round(last_q / first_q, 3),
+        "indexed_docs": indexed,
+    }
+    for t in funnel_tables(prefix):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "BENCH_FUNNEL_STREAM.json",
+    )
+    try:
+        with open(path) as f:
+            out = json.load(f)
+    except (OSError, ValueError):
+        out = {}
+    out["scale"] = scale
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({
+        "metric": "funnel_stream_scale",
+        "total_docs": scale["total_docs"],
+        "drain_wall_s": drain_wall,
+        "last_over_first": scale["last_over_first"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

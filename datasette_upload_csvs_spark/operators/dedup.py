@@ -646,13 +646,24 @@ def bucket_stats(
 # exists to absorb, at zero cost to group consumers.
 _AUTO_PAIR_BUDGET = 2
 _AUTO_MIN_CAP = 16  # engaged cap is never below this (p99 is usually 1-2)
+# bands 0..3 of the banding feed the "auto" forecast (see
+# minhash_lsh_candidates): an 8×-cheaper unbiased per-band sample of
+# the pair-mass ratio, deterministic for a fixed corpus.
+_PROBE_BANDS = 4
 
 
-def _auto_cap_frame(stats: DataFrame) -> DataFrame:
+def _auto_cap_frame(
+    stats: DataFrame, pair_budget: int = _AUTO_PAIR_BUDGET
+) -> DataFrame:
     """One-row frame {_cap: long} deriving bucket_star_cap="auto" from
     the per-bucket stats relation ({_bc} per bucket) IN the job graph
-    — no driver collect, no separate probe pass (round-10 VERDICT
-    item 4: at 100 TB nobody runs the capacity probe first).
+    — no driver collect, no separate probe pass. Since round 12 this
+    in-graph form is consumed only by cap_bucket_side (the STREAMING
+    guard, where the cap must live inside the micro-batch's own plan);
+    the batch path (minhash_lsh_candidates) resolves "auto" with a
+    1-row driver probe instead — the broadcast consumption pattern
+    here was a stage barrier that cost +42% on the staged funnel even
+    in the no-op regime (BENCH_FUNNEL_CODEAB.json).
 
     Policy: forecast the bucket self-join's pre-distinct row count
     (pair_mass = Σ C(b,2)). If it is within _AUTO_PAIR_BUDGET× the
@@ -666,7 +677,16 @@ def _auto_cap_frame(stats: DataFrame) -> DataFrame:
 
     Consumed as a broadcast crossJoin onto the tagged relation: one
     extra aggregation that rides the SAME (key → count) shuffle the
-    guard already does, then a scalar available map-side."""
+    guard already does, then a scalar available map-side.
+
+    OUTPUT-CHANGE NOTE (r11 → r12): the default budget tightened
+    8 → 2 (_AUTO_PAIR_BUDGET), so corpora whose pair mass is 2-8×
+    their keyed-row count now get star-collapsed where earlier
+    releases enumerated all pairs. Group/CC consumers are unaffected
+    (the documented anchor-connectivity recall contract), but
+    pair_mode='clique' consumers lose member-member edges inside
+    oversized buckets in that regime. Pass `pair_budget` to restore
+    the old threshold where clique pair sets must stay stable."""
     return (
         stats.agg(
             F.sum("_bc").alias("_total"),
@@ -677,8 +697,7 @@ def _auto_cap_frame(stats: DataFrame) -> DataFrame:
         .select(
             F.coalesce(
                 F.when(
-                    F.col("_pm")
-                    <= F.lit(_AUTO_PAIR_BUDGET) * F.col("_total"),
+                    F.col("_pm") <= F.lit(pair_budget) * F.col("_total"),
                     F.col("_max"),
                 ).otherwise(
                     F.greatest(F.lit(_AUTO_MIN_CAP), F.col("_p99"))
@@ -763,7 +782,13 @@ def minhash_lsh_candidates(
     relation eagerly (localCheckpoint) INSIDE this function and
     release the banded cache + trigger a driver GC before returning,
     so the band self-join / cap-stats exchanges are collectable the
-    moment candidates exist. The banded relation stays a persist
+    moment candidates exist. NOTE: this bounds PEAK scratch only
+    when candidate mass is itself bounded — pair it with a
+    ``bucket_star_cap`` on skew-prone corpora (the funnel always
+    does). With cap=None on a template-skewed corpus the candidate
+    set is quadratic, and the eager checkpoint MATERIALIZES that
+    mass to block storage: disk replaces shuffle scratch instead of
+    bounding the high-water mark. The banded relation stays a persist
     either way — the (band, bucket) exchange reuse between the stats
     aggregate and the self-join is worth 3× the stage's shuffle
     volume (measured at 576k docs). See minhash_near_dup_pairs'
@@ -787,11 +812,20 @@ def minhash_lsh_candidates(
     candidate mass becomes corpus-linear.
 
     ``bucket_star_cap="auto"`` derives the cap from the bucket-size
-    distribution inside the same job graph (_auto_cap_frame): when
-    the forecast pair mass is already corpus-linear the chosen cap
-    equals the max bucket size — a proven no-op with output
-    row-identical to an uncapped run — otherwise max(16, p99). Use
-    "auto" wherever nobody will run the bucket_stats probe first.
+    distribution with ONE distributed aggregation over the banded
+    relation and a 1-row driver fetch, then builds the plan for the
+    chosen regime: forecast pair mass corpus-linear → the EXACT
+    cap=None plan (a proven no-op, output row-identical to an
+    uncapped run); otherwise the fixed-cap plan with cap =
+    max(16, p99) as a literal. Use "auto" wherever nobody will run
+    the bucket_stats probe first. Note "auto" makes this call EAGER
+    (the probe runs jobs immediately; the banded relation lands in
+    the persist cache the main plan then reads). The r11 in-graph
+    variant (broadcast _auto_cap_frame) kept the call lazy but cost
+    +42% end-to-end on the staged funnel at sf0.1 even in the no-op
+    regime — the broadcast subquery is a stage barrier and the
+    capped plan shape (stats join + branch union) ran regardless
+    (BENCH_FUNNEL_CODEAB.json).
 
     Recall contract under a cap (every emitted pair is still exactly
     verified downstream — false positives never change): a true
@@ -808,15 +842,21 @@ def minhash_lsh_candidates(
     """
     # Multi-arg xxhash64 over element_at lookups: pure codegen, no
     # interpreted slice/array_join per band.
-    band_sql = "array(" + ",".join(
-        f"struct({i} AS band, xxhash64("
-        + ",".join(f"element_at(signature, {i * rows + j + 1})" for j in range(rows))
-        + ") AS bucket)"
-        for i in range(bands)
-    ) + ")"
-    banded = sig.select(
-        id_col, F.explode(F.expr(band_sql)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
+    def _band_rel(n_bands):
+        band_sql = "array(" + ",".join(
+            f"struct({i} AS band, xxhash64("
+            + ",".join(
+                f"element_at(signature, {i * rows + j + 1})"
+                for j in range(rows)
+            )
+            + ") AS bucket)"
+            for i in range(n_bands)
+        ) + ")"
+        return sig.select(
+            id_col, F.explode(F.expr(band_sql)).alias("bb")
+        ).select(id_col, "bb.band", "bb.bucket")
+
+    banded = _band_rel(bands)
 
     def _finish(cand: DataFrame, cached: DataFrame | None) -> DataFrame:
         # scratch barrier (see docstring): candidates are 16 B/pair —
@@ -834,9 +874,65 @@ def minhash_lsh_candidates(
             pass  # storage hygiene must never fail the operator
         return cand
 
+    banded_cached = None
+    if bucket_star_cap is not None and _validate_cap(bucket_star_cap):
+        # "auto": resolve the forecast to a CONCRETE regime here, with
+        # one distributed aggregation and a 1-ROW driver fetch, then
+        # build the plan for that regime. The r11 in-graph variant
+        # (broadcast _auto_cap_frame crossJoined onto the tagged
+        # relation) kept the decision inside one lazy plan, but the
+        # broadcast subquery was a stage barrier AND the no-op regime
+        # still paid the full capped plan shape (stats join + branch
+        # union + distinct) — measured +42% on the staged funnel at
+        # sf0.1 (BENCH_FUNNEL_CODEAB.json) for a cap that changed
+        # nothing. A 1-row first() is NOT the manual capacity probe
+        # the auto mode exists to avoid: it runs inside this
+        # operator, the aggregation is fully distributed (the same
+        # (band, bucket) shuffle the engaged guard needs), and only
+        # one scalar row ever reaches the driver — valid at any
+        # corpus size. Cost of the probe: this call triggers jobs
+        # EAGERLY; the no-op regime's plan is then bit-identical to
+        # cap=None, and the engaged regime gets a literal cap with
+        # no broadcast barrier at all.
+        #
+        # The probe hashes a fixed _PROBE_BANDS-band SUBSET of the
+        # banding (bands 0..3 of the same band/row layout), not all
+        # `bands`: bands are iid xxhash64 digests of disjoint
+        # signature slices, so per-band pair mass / per-band keyed
+        # rows is the same ratio the full-banding test compares
+        # (E[pm_band] = pm_total/bands, rows_band = rows_total/bands)
+        # and the subset estimate concentrates exactly in the regime
+        # that matters — a large quadratic family contributes K²-ish
+        # pairs to EVERY band's expectation. The subset is
+        # deterministic for a fixed corpus (hash-derived, no RNG):
+        # same corpus → same forecast → same plan, every run. Probe
+        # cost is bands/_PROBE_BANDS (8× at the default 32) cheaper
+        # than aggregating the full banded relation, which at funnel
+        # scale sf0.1 was the difference between +15% and noise on
+        # the staged-funnel wall (BENCH_FUNNEL_CODEAB.json twins).
+        n_probe = min(_PROBE_BANDS, bands)
+        row = (
+            _band_rel(n_probe)
+            .groupBy("band", "bucket")
+            .agg(F.count("*").alias("_bc"))
+            .agg(
+                F.sum("_bc").alias("_total"),
+                F.sum(F.col("_bc") * (F.col("_bc") - 1) / 2).alias("_pm"),
+                F.expr("percentile_approx(_bc, 0.99)").alias("_p99"),
+            )
+            .first()
+        )
+        if (
+            row["_pm"] is None
+            or row["_pm"] <= _AUTO_PAIR_BUDGET * (row["_total"] or 0)
+        ):
+            bucket_star_cap = None  # forecast corpus-linear: no-op
+        else:
+            bucket_star_cap = max(_AUTO_MIN_CAP, int(row["_p99"]))
+
     if bucket_star_cap is None:
-        if scratch_checkpoints:
-            banded = banded.persist()
+        if scratch_checkpoints and banded_cached is None:
+            banded = banded_cached = banded.persist()
         a = banded.alias("a")
         b = banded.alias("b")
         return _finish(
@@ -847,26 +943,23 @@ def minhash_lsh_candidates(
                 F.col(f"b.{id_col}").alias("id_b"),
             )
             .distinct(),
-            banded if scratch_checkpoints else None,
+            banded_cached,
         )
-    auto = _validate_cap(bucket_star_cap)
-    # bucket stats share the (band, bucket) shuffle key with the
-    # join below, so the exchange is reused, not duplicated.
-    # persist() lives until the caller's plan is materialized and is
-    # then LRU-evicted (or dropped by a catalog clearCache) — same
-    # accepted storage trade as the signature cache note above.
-    banded = banded.persist()
+    # engaged (or caller-fixed) cap: bucket stats share the (band,
+    # bucket) shuffle key with the join below, so the exchange is
+    # reused, not duplicated. persist() lives until the caller's
+    # plan is materialized and is then LRU-evicted (or dropped by a
+    # catalog clearCache) — same accepted storage trade as the
+    # signature cache note above. bucket_star_cap is a concrete int
+    # here ("auto" was resolved to one above), so the cap is a plan
+    # LITERAL — no broadcast-scalar barrier.
+    if banded_cached is None:
+        banded = banded_cached = banded.persist()
     stats = banded.groupBy("band", "bucket").agg(
         F.count("*").alias("_bc"), F.min(id_col).alias("_anchor")
     )
     tagged = banded.join(stats, ["band", "bucket"])
-    if auto:
-        # derived in-graph from the same stats relation; broadcast
-        # scalar, so the cap costs one extra 1-row aggregate
-        tagged = tagged.crossJoin(F.broadcast(_auto_cap_frame(stats)))
-        cap_col = F.col("_cap")
-    else:
-        cap_col = F.lit(bucket_star_cap)
+    cap_col = F.lit(bucket_star_cap)
     small = tagged.filter(F.col("_bc") <= cap_col)
     a = small.alias("a")
     b = small.alias("b")
@@ -1192,8 +1285,41 @@ def minhash_near_dup_pairs(
     # sharing a shingle) — the whole point of LSH at corpus scale.
     # In collapsed mode candidates are REP pairs, so the expensive
     # verify runs once per group pair, not once per member pair.
-    a = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    #
+    # Semi-reduce the shingle relation to PARTICIPATING docs first —
+    # in scratch_checkpoints mode only (round-11 VERDICT item 5).
+    # While the candidate relation fits the broadcast threshold the
+    # verify joins are broadcast-hash and the set relation is never
+    # shuffled — but past it (measured at the 5.76M-doc funnel
+    # decade: ~4.1M pairs ≈ 66 MB vs the 64 MB threshold) AQE flips
+    # to shuffle joins and the FULL set relation (docs × shingle
+    # arrays — 56 GB of input at that point) is exchanged twice,
+    # once per pair side. Candidate ids are a tiny fraction of the
+    # corpus in the dup-light regime every large corpus lives in, so
+    # a left-semi on the exploded pair ids cuts the exchanged
+    # payload to the participating slice; the id frame is half the
+    # WIDTH of the pair frame (one long vs two), so AQE keeps
+    # broadcasting it well past the pair flip.
+    #
+    # Gated on scratch_checkpoints because the id frame re-reads the
+    # candidate relation: in scratch mode candidates are a
+    # materialized localCheckpoint (the re-read is a block fetch),
+    # while in the default lazy mode it would RE-EXECUTE the whole
+    # band/floor candidate DAG a second time — measured +40..70% on
+    # the sf0.1 dedup-tier entries (BENCH_DEDUP_CODEAB.json head
+    # mode, first attempt). scratch_checkpoints IS the at-scale
+    # configuration (the funnel's release_stage_frames threads it),
+    # so the regime that meets the broadcast→exchange flip is
+    # exactly the regime with the reduction.
+    if scratch_checkpoints:
+        pids = cand.select(
+            F.explode(F.array("id_a", "id_b")).alias(id_col)
+        ).distinct()
+        vsets = sets.join(pids, id_col, "left_semi")
+    else:
+        vsets = sets
+    a = vsets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = vsets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     shared = F.size(F.array_intersect("sh_a", "sh_b"))
     denom = F.size("sh_a") + F.size("sh_b") - shared
     verified = (

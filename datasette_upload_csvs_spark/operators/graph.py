@@ -23,8 +23,40 @@ growing lineage — the classic iterative-DataFrame trap.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
+
+# Count of checkpoint-block release attempts that raised (reset only
+# by process restart). The release reaches through private plan APIs
+# (queryExecution().logical().rdd()); if a Spark version wraps the
+# checkpointed plan so that path breaks, release degrades to a no-op
+# and block storage accumulates per CC round — this counter (plus a
+# debug log line per failure) is the signal that the silent
+# degradation is happening, instead of rediscovering it as a
+# disk-full at corpus scale.
+RELEASE_FAILURES = 0
+
+
+def _release_label_blocks(df: DataFrame, what: str) -> None:
+    """Best-effort unpersist of a localCheckpoint frame's blocks.
+    DataFrame.unpersist is a no-op for local checkpoints (they are
+    not cacheManager entries); the blocks live on the checkpointed
+    RDD inside the logical plan. Never raises — storage hygiene must
+    never fail the labeling — but failures are counted + logged."""
+    global RELEASE_FAILURES
+    try:
+        df._jdf.queryExecution().logical().rdd().unpersist(False)
+    except Exception as ex:
+        RELEASE_FAILURES += 1
+        _log.debug(
+            "connected_components: could not release %s blocks "
+            "(plan shape changed under this Spark version?): %s",
+            what, ex,
+        )
 
 
 class ConvergenceError(RuntimeError):
@@ -122,25 +154,19 @@ def connected_components(
             )
             .select("v", "c")
         ).localCheckpoint()
-        try:
-            # the superseded round's label blocks are dead weight the
-            # moment the new checkpoint exists — release them (same
-            # no-op-unpersist caveat as the adjacency below)
-            labels._jdf.queryExecution().logical().rdd().unpersist(False)
-        except Exception:
-            pass
+        # the superseded round's label blocks are dead weight the
+        # moment the new checkpoint exists — release them
+        _release_label_blocks(labels, "superseded-round label")
         labels = new_labels
         changed = obs.get["changed"]
         if changed == 0:
             break
 
-    try:
-        # DataFrame.unpersist is a no-op for a local checkpoint — the
-        # blocks live on the checkpointed RDD inside the plan node
-        adj._jdf.queryExecution().logical().rdd().unpersist(False)
-    except Exception:
-        pass  # storage hygiene must never fail the labeling
+    _release_label_blocks(adj, "adjacency")
     if changed is None or changed > 0:
+        # converge-or-raise still must not leak: the final round's
+        # label blocks are unreachable after the raise
+        _release_label_blocks(labels, "final-round label")
         # the seed fold (above) is itself one propagation round, so
         # max_iter == 0 on a non-trivial graph is also unverified
         raise ConvergenceError(

@@ -146,15 +146,17 @@ def _png_unfilter(raw, off, n_rows, stride, bpp):
 def png_decoder():
     """Decoder factory for REAL compressed bytes with no external
     codec: a pure stdlib-zlib PNG decoder (RFC 2083). Supports the
-    full still-image profile — 8- AND 16-bit depth (16-bit reduces
-    to the high byte, the standard 8-bit reduction), color types 0
-    (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), all five
-    scanline filters, non-interlaced AND Adam7-interlaced (each of
-    the seven passes unfiltered as its own sub-image, round-10
-    VERDICT item 7) — and raises DecoderUnavailable on anything else
-    (sub-byte depths) rather than guessing. Color is reduced to
-    grayscale with integer BT.601 luma ((299R + 587G + 114B) //
-    1000).
+    full still-image profile — every legal depth (1/2/4-bit packed
+    gray + palette with MSB-first bit order and 255/(2^d−1) gray
+    scaling per the spec; 8-bit; 16-bit reduced to the high byte,
+    the standard 8-bit reduction), color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA), all five scanline
+    filters, non-interlaced AND Adam7-interlaced (each of the seven
+    passes unfiltered as its own sub-image, round-10 VERDICT item
+    7). DecoderUnavailable now only means "not a decodable PNG byte
+    stream" (bad magic/chunks, spec-illegal depth/type combos).
+    Color is reduced to grayscale with integer BT.601 luma
+    ((299R + 587G + 114B) // 1000).
 
     This is the CI-able second implementation of the decoder seam
     (round-9 verdict item 4): pil_decoder stays the production path;
@@ -190,27 +192,45 @@ def png_decoder():
             raise DecoderUnavailable("missing IHDR/IDAT chunk")
         w, h, depth, ctype, _comp, _filt, interlace = ihdr
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-        if (
-            depth not in (8, 16)
-            or channels is None
-            or interlace not in (0, 1)
-            or (ctype == 3 and depth != 8)  # PLTE indices are ≤ 8-bit
-        ):
+        # spec-legal depth set per color type (RFC 2083 §4.1.1):
+        # gray any of {1,2,4,8,16}; palette {1,2,4,8}; the
+        # multi-channel types 8/16 only
+        legal = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(
+            ctype, (8, 16)
+        )
+        if channels is None or depth not in legal or interlace not in (0, 1):
             raise DecoderUnavailable(
                 f"unsupported PNG profile (depth={depth}, "
                 f"color_type={ctype}, interlace={interlace})"
             )
         raw = zlib.decompress(bytes(idat))
-        bypp = channels * (depth // 8)  # filter distance in bytes
+        # filter distance in bytes; sub-byte depths filter on whole
+        # bytes with distance 1 (spec: "bpp is rounded up to one")
+        bypp = max(1, channels * (depth // 8))
+
+        def row_bytes(n_cols):
+            # scanline stride: packed samples rounded up to bytes
+            return (n_cols * channels * depth + 7) // 8
 
         def samples(block, n_rows, n_cols):
-            # (n_rows, n_cols·bypp) bytes → (n_rows, n_cols, channels)
-            # 8-bit samples; for 16-bit the high byte IS the value
-            px = block.reshape(n_rows, n_cols, channels, depth // 8)
-            return px[..., 0]
+            # (n_rows, stride) bytes → (n_rows, n_cols, channels)
+            if depth >= 8:
+                # 8-bit samples; for 16-bit the high byte IS the value
+                px = block.reshape(n_rows, n_cols, channels, depth // 8)
+                return px[..., 0]
+            # sub-byte (1/2/4-bit, channels == 1): samples packed
+            # MSB-first within each byte; trailing pad bits ignored
+            bits = np.unpackbits(
+                block.astype(np.uint8), axis=1
+            )[:, : n_cols * depth]
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            vals = (bits.reshape(n_rows, n_cols, depth) * weights).sum(
+                axis=2
+            )
+            return vals[..., None].astype(np.int64)
 
         if interlace == 0:
-            stride = w * bypp
+            stride = row_bytes(w)
             if len(raw) != h * (stride + 1):
                 raise DecoderUnavailable("IDAT length mismatch")
             px = samples(_png_unfilter(raw, 0, h, stride, bypp), h, w)
@@ -220,7 +240,7 @@ def png_decoder():
                 for x0, y0, dx, dy in _ADAM7
             ]
             expected = sum(
-                ph * (pw * bypp + 1) for pw, ph in dims if pw and ph
+                ph * (row_bytes(pw) + 1) for pw, ph in dims if pw and ph
             )
             if len(raw) != expected:
                 raise DecoderUnavailable("IDAT length mismatch")
@@ -229,8 +249,8 @@ def png_decoder():
             for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, dims):
                 if not pw or not ph:
                     continue  # pass empty at this image size
-                sub = _png_unfilter(raw, off, ph, pw * bypp, bypp)
-                off += ph * (pw * bypp + 1)
+                sub = _png_unfilter(raw, off, ph, row_bytes(pw), bypp)
+                off += ph * (row_bytes(pw) + 1)
                 px[y0::dy, x0::dx, :] = samples(sub, ph, pw)
         if ctype == 3:
             if palette is None:
@@ -244,6 +264,10 @@ def png_decoder():
             ) // 1000
         elif ctype in (0, 4):  # gray / gray+alpha: luma is the gray channel
             gray = px[..., 0]
+            if depth < 8:
+                # spec sample scaling: v · 255 / (2^d − 1) is exact
+                # integer math for d ∈ {1,2,4} (255 % (2^d−1) == 0)
+                gray = gray * (255 // ((1 << depth) - 1))
         else:  # RGB / RGBA: ignore alpha
             gray = (
                 299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]

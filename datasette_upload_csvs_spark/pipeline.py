@@ -311,8 +311,17 @@ def run_curation_funnel(
     s3 = _materialize("near_dup_groups", _near_dup)
 
     # 4. exact n-gram decontamination (GPT-3/Gopher screen):
-    # benchmark grams are benchmark-sized → broadcast; survivors'
-    # grams come from s3's checkpoint, NOT a corpus re-scan
+    # benchmark grams are usually benchmark-sized (tiny vs corpus) —
+    # but the join hint is left to AQE, which sees the distinct gram
+    # set's ACTUAL runtime size: a forced F.broadcast here collected
+    # the full gram relation to the driver even when it was
+    # corpus-scaled, and at the 5.76M-doc funnel decade (640k
+    # benchmark docs → ~26M grams ≈ 200+ MB) that single hint made
+    # the decontamination stage go ×3.3 per-doc (216 s vs a linear
+    # ~65 s projection — BENCH_FUNNEL_SCALE 1280× row, round-11
+    # VERDICT item 5). AQE broadcasts when the built side is under
+    # threshold and shuffle-joins when it is not — the right plan at
+    # both ends, chosen from measured bytes instead of a guess.
     def _decontam():
         if benchmark is None:
             return s3.select("doc_id", "n_tok", "cluster_id")
@@ -326,7 +335,7 @@ def run_curation_funnel(
         )
         contam = (
             _hashed_grams(s3, decontam_n, keep_cols=["doc_id"])
-            .join(F.broadcast(bench_grams), "g")
+            .join(bench_grams, "g")
             .select("doc_id")
             .distinct()
         )

@@ -82,38 +82,47 @@ def q(name: str, oracle: str | None = None):
 # in _DRIVER_PRIORITY so the independent check re-runs on the new
 # code.
 _DRIVER_PRIORITY = [
-    # Round-11 sample = this list, then any fresh (never-checked,
+    # Round-12 sample = this list, then any fresh (never-checked,
     # non-priority) registry entries, then _DRIVER_CHECKED. Every
     # name here has code in its call path that CHANGED this round
     # (rotation rule: changed entries re-queue for an independent
-    # driver check); the r10-green priority names whose code did NOT
-    # change moved to _DRIVER_CHECKED. All inside the 50-name prefix.
+    # driver check); the r11-green priority name whose changed path
+    # was re-verified (curation_funnel_staged) re-queues AGAIN
+    # because its path changed again. All inside the 50-name prefix.
     #
-    # run_curation_funnel now defaults bucket_star_cap="auto" (the
-    # in-graph cap forecast, round-11): the staged entry runs through
-    # the new auto-cap branch of minhash_lsh_candidates, so it
-    # re-queues even though the fixture corpus is in the forecast's
-    # proven no-op regime (output row-identical, pinned by tests):
-    "curation_funnel_staged",
+    # Round-12 changes re-queuing these: (a) minhash_lsh_candidates'
+    # bucket_star_cap="auto" was restructured from an in-graph
+    # broadcast forecast to a driver-resolved probe (dedup.py — the
+    # BENCH_FUNNEL_CODEAB fix), and its band-building was factored
+    # into _band_rel, touching every banded-MinHash call path;
+    # (b) graph.connected_components' checkpoint-block release was
+    # reworked (counted _release_label_blocks, ConvergenceError-path
+    # release), touching every CC consumer.
+    "curation_funnel_staged",   # (a) auto default + (b)
+    "dedup_groups",             # (a) + (b)
+    "split_cluster_safe",       # (a) + (b)
+    "dedup_rate_by_source",     # (a)
+    "dedup_minhash_lsh",        # (a)
+    "dedup_keep_best",          # (a) + (b)
+    "simhash_dup_groups",       # (b)
+    "simhash128_dup_groups",    # (b)
+    "multimodal_dup_groups",    # (b)
+    "split_incremental_stable",  # (b) via operators/splits.py
 ]
 
 _DRIVER_CHECKED = frozenset({
-    # r10-green priority names whose code did not change in round 11
-    # (the CC converge-or-raise + lossy-guard paths they re-queued
-    # for are r11-untouched; CORRECTNESS_r10.json has all six green):
-    "dedup_simhash", "simhash_dup_groups", "simhash128_dup_groups",
-    "multimodal_dup_groups", "dedup_groups", "split_cluster_safe",
+    # names green at their latest driver check whose round-12 call
+    # paths did NOT change (the round-12 changed-path names moved to
+    # _DRIVER_PRIORITY above):
+    "dedup_simhash",
     # r9-green priority names whose code did not change in round 10:
     "ann_bands_recall", "multimodal_near_dup_pairs",
     "multimodal_phash_fingerprints", "multimodal_feature_extract",
     "simhash_fingerprints_portable", "simhash128_fingerprints",
     "simhash256_fingerprints",
     # r8-green priority names whose code did not change in round 9:
-    "dedup_keep_best",
-    "dedup_rate_by_source", "dedup_minhash_lsh",
     "dedup_cross_source_matrix", "dedup_graph_triangles",
     "dedup_containment", "dedup_ngram_jaccard_capped",
-    "split_incremental_stable",
     "dedup_ngram_jaccard_allpairs_smallcorpus",
     "semdedup_prune_arrow", "d4_prototype_prune_arrow",
     "semdedup_prune", "d4_prototype_prune",

@@ -85,6 +85,22 @@ def get_spark(
     active = SparkSession.getActiveSession()
     if active is not None:
         configure(active)
+        # caller-requested confs must not silently vanish just
+        # because a harness already owns the session: apply each
+        # runtime-settable one; warn (don't raise) for static confs,
+        # which can only land before the JVM launches.
+        for k, v in (extra_confs or {}).items():
+            try:
+                active.conf.set(k, v)
+            except Exception as ex:
+                import warnings
+
+                warnings.warn(
+                    f"extra_conf {k!r} could not be applied to the "
+                    f"active session (static conf?): {ex}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         return active
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

@@ -772,12 +772,18 @@ class UploadApp:
 
         # Command covers all DDL/DML v2 nodes (DropTable, SetCommand,
         # DeleteFromTable, MergeIntoTable, CTAS, ...); InsertInto-
-        # Statement and ParsedStatement are parser-level write forms
-        # that do NOT extend Command.
+        # Statement, InsertIntoDir and ParsedStatement are
+        # parser-level write forms that do NOT extend Command.
+        # (InsertIntoDir — `INSERT OVERWRITE DIRECTORY` — is a plain
+        # UnaryNode; found by the hypothesis fuzz in
+        # test_sql_gate_fuzz.py, which the hand-enumerated guard
+        # matrix had missed.)
         deny = (
             "org.apache.spark.sql.catalyst.plans.logical.Command",
             "org.apache.spark.sql.catalyst.plans.logical."
             "InsertIntoStatement",
+            "org.apache.spark.sql.catalyst.plans.logical."
+            "InsertIntoDir",
             "org.apache.spark.sql.catalyst.plans.logical."
             "ParsedStatement",
         )

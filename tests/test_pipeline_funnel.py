@@ -171,7 +171,16 @@ def test_funnel_release_stage_frames_frees_blocks(spark):
     )
     jsc = spark.sparkContext._jsc.sc()
     spark.catalog.clearCache()
-    base = len(jsc.getRDDStorageInfo())
+
+    def stored_ids():
+        return {i.id() for i in jsc.getRDDStorageInfo()}
+
+    # compare NEW rdd-id sets per run, not raw counts: in a shared
+    # test session the ContextCleaner reclaims ABANDONED checkpoints
+    # from earlier tests concurrently, so count deltas drift under
+    # test ordering (observed in-suite: a later reclamation made the
+    # default run look 4 RDDs lighter than the release run)
+    base_ids = stored_ids()
 
     stages_r, split_r, _ = run_curation_funnel(
         docs, benchmark=None, num_shards=2, release_stage_frames=True
@@ -184,7 +193,7 @@ def test_funnel_release_stage_frames_frees_blocks(spark):
     assert stages_r[-2].frame is not None  # cluster_safe_split
     assert stages_r[-1].frame is not None  # shard summary (tiny)
     spark.catalog.clearCache()  # drop operator-internal persists
-    kept_release = len(jsc.getRDDStorageInfo()) - base
+    release_ids = stored_ids() - base_ids
 
     stages, split_summary, _ = run_curation_funnel(
         docs, benchmark=None, num_shards=2
@@ -192,8 +201,10 @@ def test_funnel_release_stage_frames_frees_blocks(spark):
     assert got == [(s.name, s.n_docs, s.n_tokens) for s in stages]
     assert got_split == {tuple(r) for r in split_summary.collect()}
     spark.catalog.clearCache()
-    kept_default = len(jsc.getRDDStorageInfo()) - base - kept_release
+    default_ids = stored_ids() - base_ids - release_ids
     # default keeps every stage checkpoint; release keeps 2 (+ the
     # same CC-internal rounds in both) — at least the five released
-    # stage frames separate the two counts
-    assert kept_default >= kept_release + 4, (kept_default, kept_release)
+    # stage frames separate the two sets
+    assert len(default_ids) >= len(release_ids) + 4, (
+        sorted(default_ids), sorted(release_ids)
+    )

@@ -30,7 +30,20 @@ def _chunk(typ: bytes, data: bytes) -> bytes:
 
 def _row_bytes(row, depth):
     """Flatten one scanline of pixel values (ints or tuples) to raw
-    bytes; 16-bit samples are big-endian sample pairs."""
+    bytes; 16-bit samples are big-endian sample pairs; sub-byte
+    samples (depth 1/2/4, single-channel only) pack MSB-first with
+    zero pad bits closing the final byte, per RFC 2083 §2.3."""
+    if depth < 8:
+        bits = []
+        for p in row:
+            v = p if not isinstance(p, (tuple, list)) else p[0]
+            bits.extend((v >> (depth - 1 - i)) & 1 for i in range(depth))
+        while len(bits) % 8:
+            bits.append(0)
+        return [
+            sum(b << (7 - i) for i, b in enumerate(bits[o:o + 8]))
+            for o in range(0, len(bits), 8)
+        ]
     flat = []
     for p in row:
         for v in p if isinstance(p, (tuple, list)) else (p,):
@@ -95,7 +108,7 @@ def encode_png(rows, ctype=0, palette=None, filters=None, depth=8,
     passes, each filtered as an independent sub-image."""
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
     h, w = len(rows), len(rows[0])
-    bpp = channels * (depth // 8)
+    bpp = max(1, channels * (depth // 8))
     if interlace == 0:
         raw = _filter_scanlines(
             [_row_bytes(row, depth) for row in rows], bpp, filters
@@ -181,11 +194,60 @@ def test_unsupported_profiles_raise():
     with pytest.raises(multimodal.DecoderUnavailable):
         dec(b"not a png at all")
     with pytest.raises(multimodal.DecoderUnavailable):
-        dec(encode_png(_gray_matrix(2, 2), depth=4))  # sub-byte depth
+        # sub-byte depth is gray/palette-only: 4-bit RGB is illegal
+        rgb = [[(1, 2, 3), (3, 2, 1)], [(0, 1, 2), (2, 1, 0)]]
+        dec(encode_png(rgb, ctype=2, depth=4))
     with pytest.raises(multimodal.DecoderUnavailable):
         # 16-bit palette indices are not legal PNG
         pal = [0, 0, 0, 255, 255, 255]
         dec(encode_png([[0, 1], [1, 0]], ctype=3, palette=pal, depth=16))
+
+
+def test_sub_byte_depths_decode():
+    """Round-11 VERDICT item 7: 1/2/4-bit packed gray and palette
+    images decode exactly — MSB-first bit order, pad bits at the row
+    tail ignored, gray scaled by 255/(2^d−1), palette indices mapped
+    through PLTE then luma — through every scanline filter and both
+    interlace modes. Widths are chosen so rows do NOT end on byte
+    boundaries (the pad-bit path)."""
+    dec = multimodal.png_decoder()
+    for depth in (1, 2, 4):
+        top = (1 << depth) - 1
+        scale = 255 // top
+        # gray, width forcing pad bits (w*depth % 8 != 0)
+        h, w = 7, 11
+        px = [[(r * 5 + c * 3) % (top + 1) for c in range(w)]
+              for r in range(h)]
+        png = encode_png(px, ctype=0, depth=depth,
+                         filters=[r % 5 for r in range(h)])
+        assert dec(png).tolist() == [
+            [v * scale for v in row] for row in px
+        ], ("gray", depth)
+        # same image Adam7-interlaced: per-pass strides are re-packed
+        png_i = encode_png(px, ctype=0, depth=depth, interlace=1,
+                           filters=[1, 2, 3, 4, 0])
+        assert dec(png_i).tolist() == [
+            [v * scale for v in row] for row in px
+        ], ("gray-adam7", depth)
+        # palette: indices are NOT scaled, they map through PLTE
+        pal = []
+        for i in range(top + 1):
+            pal.extend(((i * 97) % 256, (i * 53) % 256, (i * 29) % 256))
+        idx = [[(r + c) % (top + 1) for c in range(w)] for r in range(h)]
+        expect = [
+            [
+                (
+                    299 * ((i * 97) % 256)
+                    + 587 * ((i * 53) % 256)
+                    + 114 * ((i * 29) % 256)
+                ) // 1000
+                for i in row
+            ]
+            for row in idx
+        ]
+        png_p = encode_png(idx, ctype=3, palette=pal, depth=depth,
+                           filters=[(r + 1) % 5 for r in range(h)])
+        assert dec(png_p).tolist() == expect, ("palette", depth)
 
 
 def test_16bit_depth_reduces_to_high_byte():
@@ -377,3 +439,52 @@ if _HAVE_HYP:
             ) // 1000
 
         assert got == [[lum(p) for p in r] for r in rows]
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        data=st.data(),
+        h=st.integers(1, 10),
+        w=st.integers(1, 13),
+        ctype=st.sampled_from([0, 3]),
+        depth=st.sampled_from([1, 2, 4]),
+        interlace=st.sampled_from([0, 1]),
+    )
+    def test_png_subbyte_roundtrip_property(
+        data, h, w, ctype, depth, interlace
+    ):
+        """Sub-byte profile (round-11 VERDICT item 7): any small
+        shape × any per-row filter sequence × depth ∈ {1,2,4} ×
+        {gray, palette} × {sequential, Adam7} decodes to the exact
+        scaled-gray / palette-luma matrix — including widths whose
+        packed rows end mid-byte and Adam7 passes one sample wide."""
+        top = (1 << depth) - 1
+        rows = [
+            [data.draw(st.integers(0, top)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+        if ctype == 3:
+            pal = []
+            for i in range(top + 1):
+                pal.extend(
+                    data.draw(st.integers(0, 255)) for _ in range(3)
+                )
+            png = encode_png(rows, ctype=3, palette=pal, depth=depth,
+                             filters=filters, interlace=interlace)
+            expect = [
+                [
+                    (
+                        299 * pal[3 * i]
+                        + 587 * pal[3 * i + 1]
+                        + 114 * pal[3 * i + 2]
+                    ) // 1000
+                    for i in row
+                ]
+                for row in rows
+            ]
+        else:
+            png = encode_png(rows, ctype=0, depth=depth,
+                             filters=filters, interlace=interlace)
+            scale = 255 // top
+            expect = [[v * scale for v in row] for row in rows]
+        assert multimodal.png_decoder()(png).tolist() == expect
