@@ -385,6 +385,40 @@ def test_funnel_default_auto_cap_matches_uncapped_output(spark):
     spark.catalog.clearCache()
 
 
+def test_auto_cap_noop_regime_builds_plain_plan(spark):
+    """Round-11 VERDICT item 3 (structural pin): when the auto
+    forecast lands in the no-op regime, the PLAN — not just the row
+    set — must be the plain cap=None candidate plan: no per-bucket
+    stats join (_bc/_anchor), no cap literal filter, no broadcast
+    scalar. The r11 in-graph variant carried the full capped plan
+    shape through the no-op regime and cost +42% end-to-end on the
+    staged funnel (BENCH_FUNNEL_CODEAB.json)."""
+    rows = [
+        (i, " ".join(f"p{i}q{j}" for j in range(25))) for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = _sig(spark, docs)
+    plan = (
+        dedup.minhash_lsh_candidates(sig, "doc_id", bucket_star_cap="auto")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("_bc", "_anchor", "_cap"):
+        assert marker not in plan, f"no-op auto plan carries {marker}"
+    # and on the template corpus the ENGAGED plan does carry the guard
+    tdocs = _template_docs(spark, 300)
+    tsig = _sig(spark, tdocs)
+    tplan = (
+        dedup.minhash_lsh_candidates(tsig, "doc_id", bucket_star_cap="auto")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_bc" in tplan and "_anchor" in tplan
+    spark.catalog.clearCache()
+
+
 def test_capped_candidate_plan_has_no_cartesian(spark):
     docs = _template_docs(spark, 200)
     sig = _sig(spark, docs)
