@@ -33,7 +33,14 @@ def run_suite(n: int) -> bool:
         cwd=HERE, capture_output=True, text=True,
     )
     wall = round(time.time() - t0, 1)
-    tail = proc.stdout.strip().splitlines()[-1] if proc.stdout else ""
+    # persist the run's tail (short summary + FAILED lines) — without
+    # it a 1-failure run leaves no record of WHICH test failed
+    # (round-12 lesson: a 638-pass/1-fail suite cost a triage pass
+    # because only the count survived)
+    lines = proc.stdout.strip().splitlines() if proc.stdout else []
+    with open(os.path.join(HERE, f"SUITE_r{n:02d}_tail.log"), "w") as f:
+        f.write("\n".join(lines[-120:]) + "\n")
+    tail = lines[-1] if lines else ""
     m = re.search(r"(\d+) passed", tail)
     passed = int(m.group(1)) if m else 0
     m = re.search(r"(\d+) failed", tail)
