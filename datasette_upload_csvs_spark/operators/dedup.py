@@ -685,8 +685,20 @@ def _auto_cap_frame(
     releases enumerated all pairs. Group/CC consumers are unaffected
     (the documented anchor-connectivity recall contract), but
     pair_mode='clique' consumers lose member-member edges inside
-    oversized buckets in that regime. Pass `pair_budget` to restore
-    the old threshold where clique pair sets must stay stable."""
+    oversized buckets in that regime. The threshold IS caller-tunable
+    (ADVICE r12): pass ``auto_pair_budget=8`` to any public entry —
+    minhash_lsh_candidates, minhash_near_dup_pairs, cap_bucket_side,
+    run_curation_funnel — to restore the old threshold where clique
+    pair sets must stay stable.
+
+    Estimator note: this in-graph form decides the regime from the
+    FULL bucket stats of the relation it guards; the batch path's
+    driver probe decides from a _PROBE_BANDS-band subset estimate
+    (see minhash_lsh_candidates). Near the budget boundary or on
+    small corpora the two can pick different regimes for the same
+    corpus; once ENGAGED, both derive the cap from a full-stats p99
+    (batch re-aggregates the cached full banding), so the engaged
+    threshold agrees."""
     return (
         stats.agg(
             F.sum("_bc").alias("_total"),
@@ -727,6 +739,7 @@ def cap_bucket_side(
     key_cols: list,
     id_col: str,
     cap: int | str | None,
+    auto_pair_budget: int = _AUTO_PAIR_BUDGET,
 ) -> DataFrame:
     """Collapse oversized buckets of a candidate-join SIDE to their
     min-id anchor row (all other columns ride along) — the streaming
@@ -744,7 +757,9 @@ def cap_bucket_side(
     cap="auto" derives the threshold from the relation's own bucket
     distribution in the same job graph (_auto_cap_frame): a proven
     no-op while forecast pair mass stays corpus-linear, max(16, p99)
-    once it doesn't."""
+    once it doesn't. ``auto_pair_budget`` tunes that regime boundary
+    (see _auto_cap_frame's OUTPUT-CHANGE NOTE); ignored unless
+    cap == "auto"."""
     if cap is None:
         return rel
     auto = _validate_cap(cap)
@@ -753,7 +768,9 @@ def cap_bucket_side(
     )
     tagged = rel.join(stats, list(key_cols))
     if auto:
-        tagged = tagged.crossJoin(F.broadcast(_auto_cap_frame(stats)))
+        tagged = tagged.crossJoin(
+            F.broadcast(_auto_cap_frame(stats, pair_budget=auto_pair_budget))
+        )
         cap_col = F.col("_cap")
     else:
         cap_col = F.lit(cap)
@@ -775,6 +792,7 @@ def minhash_lsh_candidates(
     rows: int = 4,
     bucket_star_cap: int | str | None = None,
     scratch_checkpoints: bool = False,
+    auto_pair_budget: int = _AUTO_PAIR_BUDGET,
 ) -> DataFrame:
     """Candidate pairs whose signatures collide in ≥1 LSH band.
 
@@ -814,18 +832,44 @@ def minhash_lsh_candidates(
     ``bucket_star_cap="auto"`` derives the cap from the bucket-size
     distribution with ONE distributed aggregation over the banded
     relation and a 1-row driver fetch, then builds the plan for the
-    chosen regime: forecast pair mass corpus-linear → the EXACT
-    cap=None plan (a proven no-op, output row-identical to an
-    uncapped run); otherwise the fixed-cap plan with cap =
-    max(16, p99) as a literal. Use "auto" wherever nobody will run
-    the bucket_stats probe first. Note "auto" makes this call EAGER
-    (the probe runs jobs immediately; the banded relation lands in
-    the persist cache the main plan then reads). The r11 in-graph
-    variant (broadcast _auto_cap_frame) kept the call lazy but cost
-    +42% end-to-end on the staged funnel at sf0.1 even in the no-op
-    regime — the broadcast subquery is a stage barrier and the
-    capped plan shape (stats join + branch union) ran regardless
-    (BENCH_FUNNEL_CODEAB.json).
+    chosen regime: forecast pair mass corpus-linear → the cap=None
+    plan (a proven no-op, output row-identical to an uncapped run);
+    otherwise the fixed-cap plan with cap = max(16, p99) as a
+    literal. Use "auto" wherever nobody will run the bucket_stats
+    probe first. Note "auto" makes this call EAGER: the probe
+    PERSISTS the banded relation and materializes it while
+    aggregating a _PROBE_BANDS-band subset, so the main plan (either
+    regime) reads banding from cache instead of recomputing it, and
+    an unpersisted ``sig`` has its DAG executed exactly once — by
+    the probe — not once per consumer. (The persist is held past
+    return and LRU-evicted — the same accepted storage trade as the
+    engaged path's cache; it also means the no-op regime's plan is
+    the cap=None plan reading a cache, not a bit-identical re-scan.)
+    The r11 in-graph variant (broadcast _auto_cap_frame) kept the
+    call lazy but cost +42% end-to-end on the staged funnel at sf0.1
+    even in the no-op regime — the broadcast subquery is a stage
+    barrier and the capped plan shape (stats join + branch union)
+    ran regardless (BENCH_FUNNEL_CODEAB.json).
+
+    ``auto_pair_budget`` (default _AUTO_PAIR_BUDGET = 2) is the
+    "auto" regime threshold: forecast pair mass ≤ budget × keyed
+    rows → no-op. Pass 8 to restore the pre-r12 threshold where
+    pair_mode='clique' consumers need their r11 pair sets stable
+    (see _auto_cap_frame's OUTPUT-CHANGE NOTE). Ignored unless
+    bucket_star_cap == "auto".
+
+    Estimator note (round-13, vs the streaming guard): the REGIME
+    decision here uses the _PROBE_BANDS-band subset estimate of the
+    pair-mass ratio (unbiased, concentrates in the regime that
+    matters — see the inline note below), while cap_bucket_side's
+    in-graph "auto" decides from the FULL bucket stats of its own
+    relation. Near the budget boundary, or on very small corpora,
+    the two can therefore pick different regimes for the same data.
+    Once the probe decides ENGAGED, the cap VALUE is no longer the
+    subset's: a second aggregation over the now-cached FULL banding
+    computes the exact p99 the streaming guard would use, so an
+    engaged batch run and an engaged streaming run cap at the same
+    threshold.
 
     Recall contract under a cap (every emitted pair is still exactly
     verified downstream — false positives never change): a true
@@ -895,9 +939,9 @@ def minhash_lsh_candidates(
         # cap=None, and the engaged regime gets a literal cap with
         # no broadcast barrier at all.
         #
-        # The probe hashes a fixed _PROBE_BANDS-band SUBSET of the
-        # banding (bands 0..3 of the same band/row layout), not all
-        # `bands`: bands are iid xxhash64 digests of disjoint
+        # The probe aggregates a fixed _PROBE_BANDS-band SUBSET of
+        # the banding (bands 0..3 of the same band/row layout), not
+        # all `bands`: bands are iid xxhash64 digests of disjoint
         # signature slices, so per-band pair mass / per-band keyed
         # rows is the same ratio the full-banding test compares
         # (E[pm_band] = pm_total/bands, rows_band = rows_total/bands)
@@ -905,30 +949,46 @@ def minhash_lsh_candidates(
         # that matters — a large quadratic family contributes K²-ish
         # pairs to EVERY band's expectation. The subset is
         # deterministic for a fixed corpus (hash-derived, no RNG):
-        # same corpus → same forecast → same plan, every run. Probe
-        # cost is bands/_PROBE_BANDS (8× at the default 32) cheaper
-        # than aggregating the full banded relation, which at funnel
-        # scale sf0.1 was the difference between +15% and noise on
-        # the staged-funnel wall (BENCH_FUNNEL_CODEAB.json twins).
+        # same corpus → same forecast → same plan, every run. The
+        # probe's aggregation SHUFFLE is bands/_PROBE_BANDS (8× at
+        # the default 32) cheaper than aggregating the full banded
+        # relation, which at funnel scale sf0.1 was the difference
+        # between +15% and noise on the staged-funnel wall
+        # (BENCH_FUNNEL_CODEAB.json twins). Since round 13 the probe
+        # RIDES the banded persist: materializing the cache computes
+        # the full banding once (instead of a 4-band probe pass PLUS
+        # a fresh full banding in the main plan) and executes an
+        # unpersisted sig's DAG exactly once.
         n_probe = min(_PROBE_BANDS, bands)
+        banded = banded_cached = banded.persist()
         row = (
-            _band_rel(n_probe)
+            banded.filter(F.col("band") < n_probe)
             .groupBy("band", "bucket")
             .agg(F.count("*").alias("_bc"))
             .agg(
                 F.sum("_bc").alias("_total"),
                 F.sum(F.col("_bc") * (F.col("_bc") - 1) / 2).alias("_pm"),
-                F.expr("percentile_approx(_bc, 0.99)").alias("_p99"),
             )
             .first()
         )
         if (
             row["_pm"] is None
-            or row["_pm"] <= _AUTO_PAIR_BUDGET * (row["_total"] or 0)
+            or row["_pm"] <= auto_pair_budget * (row["_total"] or 0)
         ):
             bucket_star_cap = None  # forecast corpus-linear: no-op
         else:
-            bucket_star_cap = max(_AUTO_MIN_CAP, int(row["_p99"]))
+            # engaged: take the cap's p99 from the FULL banding (one
+            # extra aggregation over the warm cache — engaged runs
+            # pay the capped plan anyway) so the threshold matches
+            # the streaming guard's full-stats p99 exactly instead
+            # of the 4-band subset's estimate (ADVICE r12).
+            p99 = (
+                banded.groupBy("band", "bucket")
+                .agg(F.count("*").alias("_bc"))
+                .agg(F.expr("percentile_approx(_bc, 0.99)").alias("_p99"))
+                .first()["_p99"]
+            )
+            bucket_star_cap = max(_AUTO_MIN_CAP, int(p99))
 
     if bucket_star_cap is None:
         if scratch_checkpoints and banded_cached is None:
@@ -998,8 +1058,13 @@ def minhash_near_dup_pairs(
     pair_mode: str = "clique",
     bucket_star_cap: int | str | None = None,
     scratch_checkpoints: bool = False,
+    auto_pair_budget: int = _AUTO_PAIR_BUDGET,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard ≥ threshold.
+
+    ``auto_pair_budget`` passes through to minhash_lsh_candidates'
+    "auto" regime decision (see _auto_cap_frame's OUTPUT-CHANGE
+    NOTE); ignored unless bucket_star_cap == "auto".
 
     ``scratch_checkpoints`` (default off — plans and results are
     identical either way): bound peak shuffle-scratch disk by
@@ -1191,6 +1256,7 @@ def minhash_near_dup_pairs(
     cand = minhash_lsh_candidates(
         sig, id_col, bands, rows, bucket_star_cap=bucket_star_cap,
         scratch_checkpoints=scratch_checkpoints,
+        auto_pair_budget=auto_pair_budget,
     )
     if scratch_checkpoints:
         # candidates are materialized (lsh_candidates' scratch

@@ -143,6 +143,7 @@ def run_curation_funnel(
     run_stage=None,
     capture_plans: bool = False,
     release_stage_frames: bool = False,
+    auto_pair_budget: int | None = None,
 ) -> tuple[list[FunnelStage], DataFrame, DataFrame]:
     """The full curation funnel composed as a STAGED job graph:
 
@@ -152,6 +153,10 @@ def run_curation_funnel(
       train/val split → size-balanced shard export.
 
     Returns (stages, split_summary, shard_summary).
+
+    ``auto_pair_budget`` (None = the operator default) tunes the
+    bucket_star_cap="auto" regime boundary of the near-dup stage —
+    see dedup._auto_cap_frame's OUTPUT-CHANGE NOTE.
 
     Execution contract — what the per-component registry entries
     can't show and BENCH_FUNNEL_SCALE measures:
@@ -296,6 +301,13 @@ def run_curation_funnel(
             # release: both exist so corpus-scale runs have a
             # high-water mark of max-over-phases, not sum
             scratch_checkpoints=release_stage_frames,
+            # "auto" regime boundary, caller-tunable (ADVICE r12:
+            # clique consumers can restore the pre-r12 budget)
+            **(
+                {"auto_pair_budget": auto_pair_budget}
+                if auto_pair_budget is not None
+                else {}
+            ),
         ).select("id_a", "id_b")
         cc = graph.connected_components(pairs)
         labeled = s2.join(

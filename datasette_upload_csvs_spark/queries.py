@@ -82,39 +82,35 @@ def q(name: str, oracle: str | None = None):
 # in _DRIVER_PRIORITY so the independent check re-runs on the new
 # code.
 _DRIVER_PRIORITY = [
-    # Round-12 sample = this list, then any fresh (never-checked,
+    # Round-13 sample = this list, then any fresh (never-checked,
     # non-priority) registry entries, then _DRIVER_CHECKED. Every
     # name here has code in its call path that CHANGED this round
     # (rotation rule: changed entries re-queue for an independent
-    # driver check); the r11-green priority name whose changed path
-    # was re-verified (curation_funnel_staged) re-queues AGAIN
-    # because its path changed again. All inside the 50-name prefix.
+    # driver check). All inside the 50-name prefix.
     #
-    # Round-12 changes re-queuing these: (a) minhash_lsh_candidates'
-    # bucket_star_cap="auto" was restructured from an in-graph
-    # broadcast forecast to a driver-resolved probe (dedup.py — the
-    # BENCH_FUNNEL_CODEAB fix), and its band-building was factored
-    # into _band_rel, touching every banded-MinHash call path;
-    # (b) graph.connected_components' checkpoint-block release was
-    # reworked (counted _release_label_blocks, ConvergenceError-path
-    # release), touching every CC consumer.
-    "curation_funnel_staged",   # (a) auto default + (b)
-    "dedup_groups",             # (a) + (b)
-    "split_cluster_safe",       # (a) + (b)
-    "dedup_rate_by_source",     # (a)
-    "dedup_minhash_lsh",        # (a)
-    "dedup_keep_best",          # (a) + (b)
-    "simhash_dup_groups",       # (b)
-    "simhash128_dup_groups",    # (b)
-    "multimodal_dup_groups",    # (b)
-    "split_incremental_stable",  # (b) via operators/splits.py
+    # Round-13 changes re-queuing these: minhash_lsh_candidates'
+    # bucket_star_cap="auto" probe now rides the banded persist and
+    # takes the engaged cap's p99 from the full banding, and the
+    # auto_pair_budget parameter was threaded through
+    # minhash_lsh_candidates / minhash_near_dup_pairs /
+    # cap_bucket_side / run_curation_funnel (ADVICE r12) — touching
+    # every banded-MinHash call path.
+    "curation_funnel_staged",   # run_curation_funnel, auto default
+    "dedup_groups",
+    "split_cluster_safe",
+    "dedup_rate_by_source",
+    "dedup_minhash_lsh",
+    "dedup_keep_best",
 ]
 
 _DRIVER_CHECKED = frozenset({
-    # names green at their latest driver check whose round-12 call
-    # paths did NOT change (the round-12 changed-path names moved to
+    # names green at their latest driver check whose round-13 call
+    # paths did NOT change (the round-13 changed-path names moved to
     # _DRIVER_PRIORITY above):
     "dedup_simhash",
+    # r12-green priority names whose code did not change in round 13:
+    "simhash_dup_groups", "simhash128_dup_groups",
+    "multimodal_dup_groups", "split_incremental_stable",
     # r9-green priority names whose code did not change in round 10:
     "ann_bands_recall", "multimodal_near_dup_pairs",
     "multimodal_phash_fingerprints", "multimodal_feature_extract",

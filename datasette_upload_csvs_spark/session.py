@@ -81,6 +81,15 @@ def get_spark(
     runtime-settable confs are applied to it and it is returned
     (``extra_confs`` that are static confs cannot apply then — they
     must land before the JVM launches).
+
+    SHARED-SESSION SIDE EFFECT (ADVICE r12): ``extra_confs`` applied
+    to an already-active session PERSIST on it for every subsequent
+    user in the process — they are runtime session confs, and this
+    function never restores prior values. When an extra_conf
+    overwrites a DIFFERING existing value, a RuntimeWarning names
+    the conf and both values so cross-caller leakage is visible;
+    callers that need their confs scoped should snapshot/restore
+    around their work (or run in their own session).
     """
     active = SparkSession.getActiveSession()
     if active is not None:
@@ -91,7 +100,26 @@ def get_spark(
         # which can only land before the JVM launches.
         for k, v in (extra_confs or {}).items():
             try:
+                # no-default get: the EFFECTIVE value (conf.get(k,
+                # None) returns None for any conf not explicitly set,
+                # even when Spark has a live default — overwriting
+                # that default still changes later users' behavior)
+                try:
+                    prev = active.conf.get(k)
+                except Exception:
+                    prev = None  # no effective value registered
                 active.conf.set(k, v)
+                if prev is not None and prev != str(v):
+                    import warnings
+
+                    warnings.warn(
+                        f"extra_conf {k!r} overwrites {prev!r} with "
+                        f"{v!r} on the shared active session; the new "
+                        "value persists for later users of this "
+                        "session (see get_spark docstring)",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
             except Exception as ex:
                 import warnings
 

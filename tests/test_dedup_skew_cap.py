@@ -430,3 +430,123 @@ def test_capped_candidate_plan_has_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     spark.catalog.clearCache()
+
+
+def test_auto_pair_budget_is_public_and_restores_noop(spark):
+    """ADVICE r12 (medium): the "auto" regime boundary must be
+    caller-tunable on every public entry (minhash_lsh_candidates,
+    minhash_near_dup_pairs, cap_bucket_side). A budget large enough
+    to declare any corpus linear turns auto into the exact cap=None
+    output on a corpus where the DEFAULT budget engages — the
+    documented mitigation for the r12 OUTPUT-CHANGE note."""
+    docs = _template_docs(spark, 400)
+    sig = _sig(spark, docs)
+    uncapped = set(
+        map(tuple, dedup.minhash_lsh_candidates(sig, "doc_id").collect())
+    )
+    default_auto = dedup.minhash_lsh_candidates(
+        sig, "doc_id", bucket_star_cap="auto"
+    ).count()
+    assert default_auto < len(uncapped)  # default budget engages here
+    loose = set(
+        map(
+            tuple,
+            dedup.minhash_lsh_candidates(
+                sig,
+                "doc_id",
+                bucket_star_cap="auto",
+                auto_pair_budget=10**9,
+            ).collect(),
+        )
+    )
+    assert loose == uncapped
+    # pass-through on minhash_near_dup_pairs (the clique consumer the
+    # OUTPUT-CHANGE note is about)
+    pairs_none = set(
+        map(
+            tuple,
+            dedup.minhash_near_dup_pairs(docs, bucket_star_cap=None)
+            .select("id_a", "id_b")
+            .collect(),
+        )
+    )
+    pairs_loose = set(
+        map(
+            tuple,
+            dedup.minhash_near_dup_pairs(
+                docs, bucket_star_cap="auto", auto_pair_budget=10**9
+            )
+            .select("id_a", "id_b")
+            .collect(),
+        )
+    )
+    assert pairs_loose == pairs_none
+    # cap_bucket_side: a loose budget keeps the skewed side intact
+    skew = spark.createDataFrame(
+        [(i, 7) for i in range(500)]
+        + [(1000 + i, 100 + i) for i in range(200)],
+        "vec_id long, bucket long",
+    )
+    loose_side = dedup.cap_bucket_side(
+        skew, ["bucket"], "vec_id", "auto", auto_pair_budget=10**9
+    )
+    assert loose_side.count() == 700
+    spark.catalog.clearCache()
+
+
+def test_auto_probe_rides_banded_persist(spark):
+    """ADVICE r12 (low): "auto" on an UNPERSISTED sig must not run
+    the signature DAG once for the probe and again for the main
+    plan. The probe persists the banded relation while resolving the
+    regime, so the returned candidate plan reads that cache (an
+    InMemoryTableScan) instead of recomputing banding + signatures."""
+    rows = [
+        (i, " ".join(f"rp{i}q{j}" for j in range(25)))
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = dedup._hash_shingle_frame(docs, "text", "doc_id", 3)
+    hashed = sets.select(
+        "doc_id",
+        F.explode(
+            F.transform("sh", lambda h: F.pmod(h, F.lit(dedup._MERSENNE)))
+        ).alias("h"),
+    )
+    sig = dedup._signatures_from_hashes(hashed, "doc_id", 128)  # no persist
+    plan = (
+        dedup.minhash_lsh_candidates(sig, "doc_id", bucket_star_cap="auto")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()
+
+
+def test_get_spark_warns_on_shared_session_conf_overwrite(spark):
+    """ADVICE r12 (low): extra_confs applied to an already-active
+    shared session persist for later users — get_spark must make the
+    overwrite visible with a RuntimeWarning naming both values."""
+    import warnings
+
+    from datasette_upload_csvs_spark.session import get_spark
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            got = get_spark(extra_confs={key: str(int(prev) + 1)})
+        assert got is spark
+        assert spark.conf.get(key) == str(int(prev) + 1)
+        msgs = [str(w.message) for w in rec if w.category is RuntimeWarning]
+        assert any(key in m and "persists" in m for m in msgs), msgs
+        # same-value application stays silent
+        with warnings.catch_warnings(record=True) as rec2:
+            warnings.simplefilter("always")
+            get_spark(extra_confs={key: str(int(prev) + 1)})
+        assert not [
+            w for w in rec2 if w.category is RuntimeWarning
+        ], [str(w.message) for w in rec2]
+    finally:
+        spark.conf.set(key, prev)
