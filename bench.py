@@ -116,7 +116,18 @@ HEADLINE = [
 # decontam) with per-stage materialization — benching it quietly
 # gives a per-round composition trendline without re-charging its
 # components in the headline.
-QUIET = ["simhash_dup_groups_fast", "curation_funnel_staged"]
+QUIET = [
+    "simhash_dup_groups_fast",
+    "curation_funnel_staged",
+    # round-13 (r12 VERDICT item 4): the bucket_star_cap=None twin of
+    # curation_funnel_staged, same corpus/split — the auto-cap's
+    # no-op-regime premium becomes a per-round trendline
+    # (BENCH_FUNNEL_CODEAB measured it once at +10.3% median; the
+    # detail sidecar files it as auto_cap_premium). Bench-only: the
+    # cap setting is an execution knob, not a different query, so a
+    # second registry entry would be oracle-duplicating noise.
+    "curation_funnel_staged_capnone",
+]
 
 # Queries whose r7/r8 filed spreads rivaled their medians (up to
 # 6.9 s on a loaded host): 5 timed samples instead of 3, so the
@@ -134,12 +145,36 @@ NOISY = frozenset({
 def _extra_queries():
     from datasette_upload_csvs_spark.queries import _simhash_dup_groups_impl
 
+    def _funnel_staged_capnone(spark, sf):
+        from pyspark.sql import functions as F
+
+        from datasette_upload_csvs_spark.pipeline import (
+            run_curation_funnel,
+        )
+        from datasette_upload_csvs_spark.queries import (
+            _FLOOR_MAX_DF,
+            load,
+        )
+
+        d = load(spark, sf, "documents")
+        stages, _, _ = run_curation_funnel(
+            d.filter(F.pmod("doc_id", F.lit(10)) != 0),
+            benchmark=d.filter(F.pmod("doc_id", F.lit(10)) == 0),
+            exact_floor_max_df=_FLOOR_MAX_DF,
+            bucket_star_cap=None,
+        )
+        return spark.createDataFrame(
+            [(s.name, s.n_docs) for s in stages],
+            "stage string, n_docs bigint",
+        )
+
     return {
         "simhash_dup_groups_fast": (
             lambda spark, sf: _simhash_dup_groups_impl(
                 spark, sf, portable=False
             )
         ),
+        "curation_funnel_staged_capnone": _funnel_staged_capnone,
     }
 
 
@@ -327,6 +362,19 @@ def main() -> None:
         "sf": sf_val,
         "comparable": comparable,
     }
+    # the auto-cap no-op-regime premium trendline (r12 VERDICT item
+    # 4): staged funnel, auto vs cap=None, same corpus, same run
+    if (
+        "curation_funnel_staged" in quiet
+        and "curation_funnel_staged_capnone" in quiet
+    ):
+        a = quiet["curation_funnel_staged"]["median"]
+        b = quiet["curation_funnel_staged_capnone"]["median"]
+        detail["auto_cap_premium"] = {
+            "auto_median": a,
+            "capnone_median": b,
+            "ratio": round(a / b, 3) if b else None,
+        }
     try:
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)

@@ -22,7 +22,19 @@ FIRST quartile (epoch 0 excluded — codegen warmup) is reported as
 shows a monotone climb instead (~E/4x at these shapes).
 
 Appends a "scale" section to BENCH_FUNNEL_STREAM.json (base section
-preserved). Usage: python bench_funnel_stream_scale.py [E [D]]
+preserved). Usage:
+
+    python bench_funnel_stream_scale.py [E [D]] [--attr]
+        [--major M] [--section NAME]
+
+--attr      meter per-stage wall via the on_stage hook (forces extra
+            materializations — attribution runs are NOT headline
+            timings; per-stage quartile means land in the section).
+--major M   tiered compaction: minor folds every compact_every,
+            major folds every M (must be a multiple of
+            compact_every). Default: r12 behavior (major every
+            compact_every).
+--section   JSON section name to write (default "scale").
 """
 
 from __future__ import annotations
@@ -38,8 +50,17 @@ import time
 
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
-    e_total = int(sys.argv[1]) if len(sys.argv) > 1 else 40
-    d_epoch = int(sys.argv[2]) if len(sys.argv) > 2 else 13_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = sys.argv[1:]
+    e_total = int(args[0]) if len(args) > 0 else 40
+    d_epoch = int(args[1]) if len(args) > 1 else 13_000
+    attr = "--attr" in flags
+    major_every = None
+    if "--major" in flags:
+        major_every = int(flags[flags.index("--major") + 1])
+    section = "scale"
+    if "--section" in flags:
+        section = flags[flags.index("--section") + 1]
 
     from pyspark.sql import functions as F
 
@@ -115,6 +136,7 @@ def main() -> None:
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
     per_epoch: list[dict] = []
+    stage_rows: list[dict] = []
     marks = {"last": time.perf_counter()}
 
     def on_epoch(ep: int) -> None:
@@ -124,6 +146,11 @@ def main() -> None:
         )
         marks["last"] = now
         print(json.dumps(per_epoch[-1]), file=sys.stderr, flush=True)
+
+    def on_stage(ep: int, stage: str, secs: float) -> None:
+        stage_rows.append(
+            {"epoch": ep, "stage": stage, "s": round(secs, 3)}
+        )
 
     compact_every = max(4, e_total // 5)  # fires >=4 times mid-drain
     t0 = time.perf_counter()
@@ -135,7 +162,9 @@ def main() -> None:
         bucket_star_cap="auto",
         checkpoint_dir=ckpt_dir,
         compact_every=compact_every,
+        major_every=major_every,
         on_epoch=on_epoch,
+        on_stage=on_stage if attr else None,
     )
     drain_wall = round(time.perf_counter() - t0, 3)
 
@@ -150,6 +179,8 @@ def main() -> None:
         "total_docs": e_total * d_epoch,
         "family_per_epoch": k_fam,
         "compact_every": compact_every,
+        "major_every": major_every,
+        "attributed": attr,
         "drain_wall_s": drain_wall,
         "per_epoch": per_epoch,
         "first_quartile_mean_s": round(first_q, 3),
@@ -157,6 +188,33 @@ def main() -> None:
         "last_over_first": round(last_q / first_q, 3),
         "indexed_docs": indexed,
     }
+    if attr and stage_rows:
+        # per-stage quartile means over non-warmup epochs: the
+        # attribution table — which stage's cost grows with history
+        names = sorted({r["stage"] for r in stage_rows})
+        by_stage = {}
+        epochs_seen = sorted({r["epoch"] for r in stage_rows})
+        warm = set(epochs_seen[1:])  # drop epoch 0 (codegen warmup)
+        for s_name in names:
+            walls = [
+                r["s"] for r in stage_rows
+                if r["stage"] == s_name and r["epoch"] in warm
+            ]
+            if not walls:
+                continue
+            sq = max(1, len(walls) // 4)
+            by_stage[s_name] = {
+                "n": len(walls),
+                "first_quartile_mean_s": round(
+                    statistics.mean(walls[:sq]), 3
+                ),
+                "last_quartile_mean_s": round(
+                    statistics.mean(walls[-sq:]), 3
+                ),
+                "total_s": round(sum(walls), 3),
+            }
+        scale["per_stage"] = by_stage
+        scale["stage_rows"] = stage_rows
     for t in funnel_tables(prefix):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     shutil.rmtree(src_dir, ignore_errors=True)
@@ -171,11 +229,12 @@ def main() -> None:
             out = json.load(f)
     except (OSError, ValueError):
         out = {}
-    out["scale"] = scale
+    out[section] = scale
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({
         "metric": "funnel_stream_scale",
+        "section": section,
         "total_docs": scale["total_docs"],
         "drain_wall_s": drain_wall,
         "last_over_first": scale["last_over_first"],

@@ -386,8 +386,22 @@ def ann_epoch(
         # already have appended this batch's bands
         # read_state also masks sub-BASE partitions (a staging left
         # by a crashed compaction) — see epoch_write.read_state
+        # probe-bucket pruning (round-13, same move as
+        # near_dup_epoch): only history index rows sharing a
+        # (table_id, bucket) key with THIS batch can contribute a
+        # candidate — semi-reduce before the cap so the per-epoch
+        # shuffle is O(batch + matches), not O(index).
+        from datasette_upload_csvs_spark.streaming.near_dup_stream import (
+            _PROBE_KEY_BROADCAST_MAX,
+        )
+
+        probe_keys = bands.select("table_id", "bucket").distinct()
+        if new_vecs.count() * n_tables <= _PROBE_KEY_BROADCAST_MAX:
+            probe_keys = F.broadcast(probe_keys)
         hist = _dedup.cap_bucket_side(
-            read_state(sp, index_table, epoch),
+            read_state(sp, index_table, epoch).join(
+                probe_keys, ["table_id", "bucket"], "left_semi"
+            ),
             ["table_id", "bucket"],
             "vec_id",
             bucket_star_cap,
@@ -427,7 +441,10 @@ def ann_epoch(
     cand = cands[0]
     for c in cands[1:]:
         cand = cand.unionByName(c)
-    cand = cand.distinct()
+    # persisted: the candidate relation has two consumers below (the
+    # verify join and its id-reduction semi) — compute the band joins
+    # once per epoch
+    cand = cand.distinct().persist()
 
     if sp.catalog.tableExists(vecs_table):
         sp.catalog.refreshTable(vecs_table)  # same stale-listing hazard
@@ -435,6 +452,16 @@ def ann_epoch(
     else:
         old_vecs = new_vecs.limit(0)
     all_vecs = old_vecs.unionByName(new_vecs)
+    # verify-input reduction (round-13): only vectors that appear in
+    # a candidate need reading into the cosine verify — the id list
+    # is candidate-bounded, so AQE broadcasts the semi at runtime and
+    # the vector store is scanned, never shuffled.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("vec_id"))
+        .unionByName(cand.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    all_vecs = all_vecs.join(cand_ids, "vec_id", "left_semi")
     pairs = _verified_pairs(cand, all_vecs, all_vecs, threshold)
     # The pairs write materializes its plan BEFORE the index/vecs
     # writes mutate the tables that plan reads — keep this order.
@@ -452,6 +479,7 @@ def ann_epoch(
     )
     bands.unpersist()
     new_vecs.unpersist()
+    cand.unpersist()
 
 
 def maintain_embedding_ann_stream(

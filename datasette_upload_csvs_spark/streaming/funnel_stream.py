@@ -91,6 +91,7 @@ def funnel_epoch(
     num_perm: int = 128,
     n_bands: int = 32,
     bucket_star_cap: int | str | None = "auto",
+    on_stage=None,
 ) -> dict | None:
     """One funnel epoch — factored out of the foreachBatch closure so
     crash/replay tests can drive a single epoch. All writes are
@@ -98,10 +99,29 @@ def funnel_epoch(
     this epoch's own partition (epoch_write recipe), so a replayed
     epoch is idempotent across all four state tables.
 
+    ``on_stage(epoch, stage, seconds)`` (optional) meters the epoch's
+    stages: ``prep`` (projection + Gopher + md5 + decontam flag),
+    ``exact_gate`` (unseen-hash increment vs history), the near-dup
+    maintainer's nd_* sub-stages (see near_dup_epoch — which runs
+    slightly different, forced-eager plans when metered), and
+    ``docs_write``. Attribution mode adds counts on persisted frames,
+    so headline timings should come from unmetered runs.
+
     Returns the near-dup maintainer's stats dict (``cand_pairs`` —
     see near_dup_epoch) or None for an empty batch."""
+    import time
+
     if batch_df.isEmpty():
         return None
+    t_mark = time.perf_counter()
+
+    def _stage(name: str) -> None:
+        nonlocal t_mark
+        if on_stage is not None:
+            now = time.perf_counter()
+            on_stage(epoch, name, now - t_mark)
+            t_mark = now
+
     spark = batch_df.sparkSession
     docs_table = f"{prefix}_docs"
     from datasette_upload_csvs_spark.functions.text import token_count
@@ -130,6 +150,9 @@ def funnel_epoch(
             .drop("_c")
         )
     b = b.persist()
+    if on_stage is not None:
+        b.count()
+    _stage("prep")
     # exact-dedup increment: index min-id per UNSEEN content hash
     # (one doc per exact family ever reaches the near-dup state; the
     # family's final min-id winner is resolved at fold time — any
@@ -147,14 +170,36 @@ def funnel_epoch(
     )
     if spark.catalog.tableExists(docs_table):
         spark.catalog.refreshTable(docs_table)
-        seen = (
+        # UNSEEN check without shuffling history (round-13): a plain
+        # left_anti against the history hash set shuffles O(history)
+        # every epoch (anti joins can only broadcast their right
+        # side, and that side IS the history). Instead: (1) semi-
+        # reduce history to the hashes THIS batch carries — the
+        # batch's hash set is broadcast, history is scanned map-side,
+        # never shuffled; (2) anti-join against that batch-bounded
+        # hit set, which AQE broadcasts at runtime. Same rows out;
+        # per-epoch cost O(history scan + batch), zero history
+        # shuffle. (The r12 form also ran a needless .distinct() —
+        # a full history shuffle+agg — on the anti's build side.)
+        from datasette_upload_csvs_spark.streaming.near_dup_stream import (
+            _PROBE_KEY_BROADCAST_MAX,
+        )
+
+        batch_h = firsts.select("h").distinct()
+        if b.count() <= _PROBE_KEY_BROADCAST_MAX:
+            batch_h = F.broadcast(batch_h)
+        seen_hit = (
             read_state(spark, docs_table, epoch)
             .filter("keep_q")
             .select("h")
+            .join(batch_h, "h", "left_semi")
             .distinct()
         )
-        firsts = firsts.join(seen, "h", "left_anti")
+        firsts = firsts.join(seen_hit, "h", "left_anti")
     to_index = firsts.select("doc_id", "text").persist()
+    if on_stage is not None:
+        to_index.count()
+    _stage("exact_gate")
     nd_stats = near_dup_epoch(
         to_index,
         epoch,
@@ -164,7 +209,9 @@ def funnel_epoch(
         num_perm=num_perm,
         n_bands=n_bands,
         bucket_star_cap=bucket_star_cap,
+        on_stage=on_stage,
     )
+    t_mark = time.perf_counter()  # nd_* stages metered internally
     indexed = to_index.select("doc_id").withColumn(
         "indexed", F.lit(True)
     )
@@ -176,6 +223,7 @@ def funnel_epoch(
     write_epoch_partition(
         out.withColumn("_batch_id", F.lit(epoch)), docs_table
     )
+    _stage("docs_write")
     b.unpersist()
     to_index.unpersist()
     return nd_stats
@@ -194,19 +242,50 @@ def run_curation_funnel_stream(
     bucket_star_cap: int | str | None = "auto",
     checkpoint_dir: str | None = None,
     compact_every: int | None = None,
+    major_every: int | None = None,
     on_epoch=None,
+    on_stage=None,
 ) -> int:
     """Drain a parquet stream of (doc_id, text) through the funnel's
     incremental stages (see module docstring). Trigger.AvailableNow;
-    returns micro-batches processed. `compact_every=N` folds closed
-    epoch partitions of all four state tables into BASE every N
-    epochs — the same bounded-partition contract as the other stream
-    maintainers, proven compatible mid-drain by the composition test.
+    returns micro-batches processed.
+
+    Compaction of the four state tables:
+
+    * ``compact_every=N`` alone (the r12 behavior): a MAJOR fold into
+      BASE every N epochs — bounded partitions, but each fold
+      rewrites the whole history, an amortized O(history/N) per-epoch
+      drain that grows linearly with maintained state
+      (BENCH_FUNNEL_STREAM's r12 scale leg measured exactly this).
+    * ``compact_every=N, major_every=M`` (round-13, M a multiple of
+      N): the generational ``tiered_compact`` schedule — every N
+      epochs the newest closed window folds into a RUN partition
+      (I/O = one window), every M epochs runs+base fold into BASE.
+      Amortized rewrite I/O per epoch drops to
+      O(window + history/M); pass major_every=None-like large M for
+      flat per-epoch cost at long-stream scale.
+
     `on_epoch(epoch)` (optional) is invoked after each non-empty
-    epoch — the per-epoch cost meter hook for the widening bench."""
+    epoch — the per-epoch cost meter hook for the widening bench.
+    `on_stage(epoch, stage, seconds)` (optional) is the per-stage
+    attribution hook (see funnel_epoch; metered runs force extra
+    materializations — keep headline timings unmetered). Compaction
+    is metered as ``compact:<table>`` stages."""
+    import time
+
     from datasette_upload_csvs_spark.streaming.epoch_write import (
         compact_state_table,
+        tiered_compact,
     )
+
+    if major_every is not None:
+        if not compact_every:
+            raise ValueError("major_every requires compact_every")
+        if major_every % compact_every != 0:
+            raise ValueError(
+                f"major_every({major_every}) must be a multiple of "
+                f"compact_every({compact_every})"
+            )
 
     bench_grams = None
     if benchmark is not None:
@@ -228,7 +307,21 @@ def run_curation_funnel_stream(
         if compact_every and epoch > 0 and epoch % compact_every == 0:
             sp = batch_df.sparkSession
             for t in funnel_tables(prefix):
-                compact_state_table(sp, t, before_epoch=epoch)
+                t0 = time.perf_counter()
+                if major_every is not None:
+                    tiered_compact(
+                        sp,
+                        t,
+                        epoch,
+                        minor_every=compact_every,
+                        major_every=major_every,
+                    )
+                else:
+                    compact_state_table(sp, t, before_epoch=epoch)
+                if on_stage is not None:
+                    on_stage(
+                        epoch, f"compact:{t}", time.perf_counter() - t0
+                    )
         if batch_df.isEmpty():
             return
         funnel_epoch(
@@ -241,6 +334,7 @@ def run_curation_funnel_stream(
             num_perm=num_perm,
             n_bands=n_bands,
             bucket_star_cap=bucket_star_cap,
+            on_stage=on_stage,
         )
         batches["n"] += 1
         if on_epoch is not None:

@@ -51,6 +51,13 @@ def _bands(sig: DataFrame, bands: int, rows: int) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
+#: probe-key broadcast guard: the (band, bucket) key set of one
+#: micro-batch is hint-broadcast for the history prune only below
+#: this many keys (batch_docs × n_bands); above it the semi-join is
+#: left to AQE's runtime sizing (no driver-side collect risk).
+_PROBE_KEY_BROADCAST_MAX = 5_000_000
+
+
 def near_dup_epoch(
     batch_df: DataFrame,
     epoch: int,
@@ -60,6 +67,7 @@ def near_dup_epoch(
     num_perm: int = 128,
     n_bands: int = 32,
     bucket_star_cap: int | str | None = None,
+    on_stage=None,
 ) -> dict | None:
     """One epoch of incremental near-dup maintenance — factored out of
     the foreachBatch closure so the replay test can invoke a single
@@ -79,15 +87,50 @@ def near_dup_epoch(
     emitted pair; genuine families stay CC-connected through anchor
     edges, since every member was a probe once.
 
+    PROBE-BUCKET PRUNING (round-13, the history-coupling fix): the
+    maintained band index is joined on (band, bucket), so index rows
+    whose key no row of THIS batch carries can never contribute a
+    candidate — they used to be unioned, cap-aggregated, and shuffled
+    anyway, making every epoch's shuffle O(index) instead of
+    O(batch + matches). History bands are now LEFT-SEMI reduced to
+    the batch's own (band, bucket) key set before the cap and the
+    candidate join: the index is SCANNED once per epoch (columnar,
+    no shuffle) and only matching buckets enter the joins. The same
+    reduction applies to the shingle-set store: only doc_ids that
+    appear in a surviving candidate are read into the verify join.
+    Emitted pairs are unchanged for any FIXED cap (pruned-away rows
+    could never join); with cap="auto" the guard's forecast now sees
+    the probed buckets' distribution instead of the whole index's —
+    the statistic that actually governs this epoch's join mass.
+
     Returns ``{"cand_pairs": n}`` — the distinct candidate count this
     epoch generated (the quantity ``bucket_star_cap`` bounds; verified
     pairs can be 0 on a sub-threshold relation while candidates grow
     with history). The count rides the pairs write via Observation —
-    no extra job. None for an empty batch."""
+    no extra job. None for an empty batch.
+
+    ``on_stage(epoch, stage, seconds)`` (optional) is the per-stage
+    cost meter: when set, sub-stage boundaries are FORCED eager
+    (counts on persisted frames, an eager candidate checkpoint) so
+    each stage's wall is attributable — slightly different execution
+    than the unmetered plan, so benchmark headline numbers come from
+    unmetered runs. Stages: nd_sig, nd_cand, nd_verify_pairs,
+    nd_index_write, nd_sets_write."""
+    import time
+
     from pyspark.sql import Observation
 
     if batch_df.isEmpty():
         return None
+    t_mark = time.perf_counter()
+
+    def _stage(name: str) -> None:
+        nonlocal t_mark
+        if on_stage is not None:
+            now = time.perf_counter()
+            on_stage(epoch, name, now - t_mark)
+            t_mark = now
+
     spark = batch_df.sparkSession
     rows = num_perm // n_bands
     sets_table = f"{index_table}__sets"
@@ -100,6 +143,14 @@ def near_dup_epoch(
     )
     sig = _signatures_from_hashes(hashed, "doc_id", num_perm)
     new_bands = _bands(sig, n_bands, rows).persist()
+    if on_stage is not None:
+        new_bands.count()
+    _stage("nd_sig")
+
+    # this batch's probe keys — the only (band, bucket) groups that
+    # can contribute a candidate this epoch. Distinct over the
+    # persisted new_bands; hint-broadcast while batch-bounded small.
+    probe_keys = new_bands.select("band", "bucket").distinct()
 
     have_index = spark.catalog.tableExists(index_table)
     if have_index:
@@ -113,6 +164,17 @@ def near_dup_epoch(
         # already have written this batch's bands
         old_bands = read_state(spark, index_table, epoch).select(
             "doc_id", "band", "bucket"
+        )
+        # history prune (see docstring): scan the index, keep only
+        # the batch's buckets. Broadcast the probe keys while the
+        # bound (batch_docs × n_bands distinct keys at most) is
+        # small; past the guard let AQE size the semi at runtime.
+        if sets.count() * n_bands <= _PROBE_KEY_BROADCAST_MAX:
+            probe_side = F.broadcast(probe_keys)
+        else:
+            probe_side = probe_keys
+        old_bands = old_bands.join(
+            probe_side, ["band", "bucket"], "left_semi"
         )
         all_bands = old_bands.unionByName(new_bands)
     else:
@@ -134,6 +196,16 @@ def near_dup_epoch(
     )
     obs = Observation()
     cand = cand.observe(obs, F.count(F.lit(1)).alias("cand_pairs"))
+    if on_stage is not None:
+        # attribution mode: materialize candidates so the cand join
+        # and the verify join are separately timed
+        cand = cand.localCheckpoint(eager=True)
+    else:
+        # the candidate relation now has TWO consumers (the verify
+        # join and its id-reduction semi) — persist so the band join
+        # runs once per epoch, not once per consumer
+        cand = cand.persist()
+    _stage("nd_cand")
     if spark.catalog.tableExists(sets_table):
         spark.catalog.refreshTable(sets_table)
         old_sets = read_state(spark, sets_table, epoch).select(
@@ -142,6 +214,16 @@ def near_dup_epoch(
         all_sets = old_sets.unionByName(sets)
     else:
         all_sets = sets
+    # verify-input reduction: only docs that appear in a candidate
+    # need their shingle sets read. The id list is candidate-bounded
+    # (small under any cap), so AQE turns the semi into a broadcast
+    # at runtime — the set store is scanned, never shuffled.
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    all_sets = all_sets.join(cand_ids, "doc_id", "left_semi")
     a = all_sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = all_sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     shared = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -158,14 +240,19 @@ def near_dup_epoch(
     write_epoch_partition(
         pairs.withColumn("_batch_id", F.lit(epoch)), pairs_table
     )
+    _stage("nd_verify_pairs")
     write_epoch_partition(
         new_bands.withColumn("_batch_id", F.lit(epoch)), index_table
     )
+    _stage("nd_index_write")
     write_epoch_partition(
         sets.withColumn("_batch_id", F.lit(epoch)), sets_table
     )
+    _stage("nd_sets_write")
     sets.unpersist()
     new_bands.unpersist()
+    if on_stage is None:
+        cand.unpersist()
     return {"cand_pairs": obs.get["cand_pairs"]}
 
 
@@ -180,6 +267,7 @@ def maintain_near_dup_stream(
     n_bands: int = 32,
     checkpoint_dir: str | None = None,
     compact_every: int | None = None,
+    major_every: int | None = None,
     bucket_star_cap: int | str | None = None,
 ) -> int:
     """Drain a parquet stream of (doc_id, text) into near-dup PAIRS
@@ -201,10 +289,25 @@ def maintain_near_dup_stream(
     `compact_every=N` folds closed epochs into each table's BASE
     partition every N epochs — bounded partitions under unbounded
     streams; see maintain_embedding_ann_stream for the replay-safety
-    argument and the rewrite-amplification tradeoff."""
+    argument and the rewrite-amplification tradeoff. Add
+    ``major_every=M`` (a multiple of N) for the generational
+    ``tiered_compact`` schedule instead: minor window folds every N
+    epochs, full history folds only every M — amortized rewrite I/O
+    O(window + history/M) per epoch instead of O(history/N) (see
+    run_curation_funnel_stream's compaction note)."""
     from datasette_upload_csvs_spark.streaming.epoch_write import (
         compact_state_table,
+        tiered_compact,
     )
+
+    if major_every is not None:
+        if not compact_every:
+            raise ValueError("major_every requires compact_every")
+        if major_every % compact_every != 0:
+            raise ValueError(
+                f"major_every({major_every}) must be a multiple of "
+                f"compact_every({compact_every})"
+            )
 
     batches = {"n": 0}
 
@@ -215,7 +318,16 @@ def maintain_near_dup_stream(
         if compact_every and epoch > 0 and epoch % compact_every == 0:
             sp = batch_df.sparkSession
             for t in (pairs_table, index_table, f"{index_table}__sets"):
-                compact_state_table(sp, t, before_epoch=epoch)
+                if major_every is not None:
+                    tiered_compact(
+                        sp,
+                        t,
+                        epoch,
+                        minor_every=compact_every,
+                        major_every=major_every,
+                    )
+                else:
+                    compact_state_table(sp, t, before_epoch=epoch)
         if batch_df.isEmpty():
             return
         near_dup_epoch(

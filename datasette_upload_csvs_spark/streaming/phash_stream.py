@@ -104,11 +104,23 @@ def phash_epoch(
         # N joins against batch N-2's fingerprints (the stale-listing
         # bug near_dup_epoch documents)
         sp.catalog.refreshTable(fp_table)
+        # probe-bucket pruning (round-13, same move as
+        # near_dup_epoch): only history chunks sharing a (chunk,
+        # val) key with THIS batch can contribute a candidate —
+        # semi-reduce before the cap so the per-epoch shuffle is
+        # O(batch + matches), not O(history). 4 chunks per phash.
+        from datasette_upload_csvs_spark.streaming.near_dup_stream import (
+            _PROBE_KEY_BROADCAST_MAX,
+        )
+
+        probe_keys = new_chunks.select("chunk", "val").distinct()
+        if fp_new.count() * 4 <= _PROBE_KEY_BROADCAST_MAX:
+            probe_keys = F.broadcast(probe_keys)
         hist_chunks = _dedup.cap_bucket_side(
             _fp_chunks(
                 read_state(sp, fp_table, epoch).select(id_col, "dhash64"),
                 id_col,
-            ),
+            ).join(probe_keys, ["chunk", "val"], "left_semi"),
             ["chunk", "val"],
             id_col,
             bucket_star_cap,

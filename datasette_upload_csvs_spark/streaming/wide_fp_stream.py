@@ -150,12 +150,26 @@ def wide_fp_epoch(
         # N joins against batch N-2's fingerprints (the stale-listing
         # bug near_dup_epoch documents)
         sp.catalog.refreshTable(fp_table)
+        # probe-bucket pruning (round-13, same move as
+        # near_dup_epoch): history chunks whose (chunk, val) key no
+        # batch row carries can never contribute a candidate —
+        # left-semi them away BEFORE the cap's groupBy, so the
+        # per-epoch shuffle is O(batch + matches), not O(history).
+        # The chunk expansion itself stays map-side over the fp
+        # scan. Hint-broadcast the batch's key set while bounded.
+        from datasette_upload_csvs_spark.streaming.near_dup_stream import (
+            _PROBE_KEY_BROADCAST_MAX,
+        )
+
+        probe_keys = new_chunks.select("chunk", "val").distinct()
+        if fp_new.count() * n_chunks <= _PROBE_KEY_BROADCAST_MAX:
+            probe_keys = F.broadcast(probe_keys)
         hist_chunks = dedup.cap_bucket_side(
             _wide_chunks(
                 read_state(sp, fp_table, epoch).select(id_col, *FP_COLS),
                 id_col,
                 n_chunks,
-            ),
+            ).join(probe_keys, ["chunk", "val"], "left_semi"),
             ["chunk", "val"],
             id_col,
             bucket_star_cap,

@@ -178,3 +178,79 @@ def test_streaming_funnel_matches_batch_on_template_corpus(
     _assert_stream_equals_batch(
         spark, corpus, benchmark, tmp_path, "tpl"
     )
+
+
+def test_streaming_funnel_tiered_compaction_matches_batch(
+    spark, sf_dir, tmp_path
+):
+    """Round-13: the generational (tiered) compaction schedule under
+    the composed funnel — minor folds every 2 epochs, a MAJOR fold at
+    epoch 4 — still yields the batch funnel's staged outputs id-
+    exactly, and the per-stage attribution hook reports every funnel
+    stage. 6 arrivals so both a minor-only window (epoch 2) and a
+    major fold (epoch 4) fire mid-drain."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.pmod("doc_id", F.lit(10)) != 0)
+    benchmark = d.filter(F.pmod("doc_id", F.lit(10)) == 0)
+    src = str(tmp_path / "tiered_arrivals")
+    _land(corpus, F.col("doc_id"), 6, src, tmp_path, "tiered")
+    _drop_state(spark)
+    stage_rows = []
+    try:
+        n = run_curation_funnel_stream(
+            spark,
+            src,
+            DOC_SCHEMA,
+            benchmark=benchmark,
+            prefix=PREFIX,
+            compact_every=2,
+            major_every=4,
+            checkpoint_dir=str(tmp_path / "ck_tiered"),
+            on_stage=lambda ep, st, s: stage_rows.append((ep, st, s)),
+        )
+        assert n == 6
+        spark.catalog.clearCache()
+        res = funnel_stream_stages(spark, PREFIX)
+        want_counts, batch_stages, _, _ = _batch_funnel(
+            corpus, benchmark
+        )
+        assert res.stages == want_counts
+        split_stage = {s.name: s for s in batch_stages}[
+            "cluster_safe_split"
+        ]
+        want_rows = {
+            (r["doc_id"], r["cluster_id"], r["split"])
+            for r in split_stage.frame.select(
+                "doc_id", "cluster_id", "split"
+            ).collect()
+        }
+        got_rows = {
+            (r["doc_id"], r["cluster_id"], r["split"])
+            for r in res.survivors.select(
+                "doc_id", "cluster_id", "split"
+            ).collect()
+        }
+        assert got_rows == want_rows and got_rows
+        # tiered partition layout: major at epoch 4 folded [0,4) and
+        # the epoch-2 run into BASE; epochs 4..5 remain open-window
+        parts = {
+            r["_batch_id"]
+            for r in spark.table(f"{PREFIX}_docs")
+            .select("_batch_id")
+            .distinct()
+            .collect()
+        }
+        assert -1 in parts, parts
+        assert parts.isdisjoint({0, 1, 2, 3}), parts
+        # attribution: every funnel stage reported for metered epochs
+        names = {st for _, st, _ in stage_rows}
+        for expect in (
+            "prep", "exact_gate", "nd_sig", "nd_cand",
+            "nd_verify_pairs", "nd_index_write", "nd_sets_write",
+            "docs_write",
+        ):
+            assert expect in names, (expect, names)
+        assert any(st.startswith("compact:") for st in names), names
+    finally:
+        _drop_state(spark)
+        spark.catalog.clearCache()
