@@ -441,10 +441,12 @@ def ann_epoch(
     cand = cands[0]
     for c in cands[1:]:
         cand = cand.unionByName(c)
-    # persisted: the candidate relation has two consumers below (the
-    # verify join and its id-reduction semi) — compute the band joins
-    # once per epoch
-    cand = cand.distinct().persist()
+    # eager checkpoint: the candidate relation has two consumers
+    # below (the verify join and its id-reduction semi); a lazy
+    # persist lets the verify job's concurrent stages race the cache
+    # and compute the band joins twice (see near_dup_epoch) — the
+    # checkpoint computes them exactly once and is candidate-bounded
+    cand = cand.distinct().localCheckpoint(eager=True)
 
     if sp.catalog.tableExists(vecs_table):
         sp.catalog.refreshTable(vecs_table)  # same stale-listing hazard
@@ -479,7 +481,6 @@ def ann_epoch(
     )
     bands.unpersist()
     new_vecs.unpersist()
-    cand.unpersist()
 
 
 def maintain_embedding_ann_stream(

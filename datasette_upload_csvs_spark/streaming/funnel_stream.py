@@ -42,6 +42,23 @@ The fold is Θ(survivors + low-df postings) over id/flag/hash state —
 metadata-scale next to the corpus — so "stream then fold" keeps the
 one-corpus-scan contract: arrival text is read exactly once, by the
 epoch that ingests it.
+
+Per-epoch cost contract (round-13; BENCH_FUNNEL_STREAM
+scale_attr_major): every per-epoch stage is O(batch + matches + one
+history SCAN), never an O(history) shuffle — the unseen-hash check
+broadcasts the batch's hashes against the docs scan, the near-dup
+maintainer semi-prunes the band index to the batch's buckets before
+capping/joining, and the verify join reads only candidate ids' sets
+(see near_dup_epoch). Measured flat at 260k docs (last/first
+quartile 1.02, stage-attributed). The remaining history-coupled term
+is the compaction fold itself: the default major-only schedule
+rewrites O(history) every compact_every epochs (amortized
+O(history/N) per epoch, visible as bounded spikes), and
+``major_every`` routes the folds through the generational
+tiered_compact — O(window + history/M) amortized — at the price of
+more state partitions between majors (read amplification measured
+~+25% on nd_cand at 260k: scale_attr_tiered). Pick major-only below
+the crossover, tiered above it.
 """
 
 from __future__ import annotations

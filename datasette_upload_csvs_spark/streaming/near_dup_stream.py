@@ -111,10 +111,11 @@ def near_dup_epoch(
 
     ``on_stage(epoch, stage, seconds)`` (optional) is the per-stage
     cost meter: when set, sub-stage boundaries are FORCED eager
-    (counts on persisted frames, an eager candidate checkpoint) so
-    each stage's wall is attributable — slightly different execution
-    than the unmetered plan, so benchmark headline numbers come from
-    unmetered runs. Stages: nd_sig, nd_cand, nd_verify_pairs,
+    (counts on persisted frames) so each stage's wall is attributable
+    — slightly different execution than the unmetered plan, so
+    benchmark headline numbers come from unmetered runs. (The
+    candidate checkpoint is NOT attribution-only: it always runs, see
+    the inline note.) Stages: nd_sig, nd_cand, nd_verify_pairs,
     nd_index_write, nd_sets_write."""
     import time
 
@@ -196,15 +197,15 @@ def near_dup_epoch(
     )
     obs = Observation()
     cand = cand.observe(obs, F.count(F.lit(1)).alias("cand_pairs"))
-    if on_stage is not None:
-        # attribution mode: materialize candidates so the cand join
-        # and the verify join are separately timed
-        cand = cand.localCheckpoint(eager=True)
-    else:
-        # the candidate relation now has TWO consumers (the verify
-        # join and its id-reduction semi) — persist so the band join
-        # runs once per epoch, not once per consumer
-        cand = cand.persist()
+    # materialize candidates eagerly: the relation has TWO consumers
+    # below (the verify join and its id-reduction semi), and a lazy
+    # persist lets the verify job's concurrent stages RACE the cache
+    # and compute the band join twice (measured +45% per epoch at
+    # 13k-doc batches). Candidates are 16 B/pair and cap-bounded, so
+    # the checkpoint write is trivial; it also cuts the verify plan's
+    # lineage at the candidate boundary (the batch operator's
+    # scratch-barrier argument, minhash_lsh_candidates).
+    cand = cand.localCheckpoint(eager=True)
     _stage("nd_cand")
     if spark.catalog.tableExists(sets_table):
         spark.catalog.refreshTable(sets_table)
@@ -251,8 +252,6 @@ def near_dup_epoch(
     _stage("nd_sets_write")
     sets.unpersist()
     new_bands.unpersist()
-    if on_stage is None:
-        cand.unpersist()
     return {"cand_pairs": obs.get["cand_pairs"]}
 
 
