@@ -56,7 +56,12 @@ def main() -> None:
     from bench_shingle_index import _ShuffleMeter
     from datasette_upload_csvs_spark.session import get_spark
 
-    spark = get_spark(app_name="bench-dedup-scale")
+    spark = get_spark(
+        app_name="bench-dedup-scale",
+        # UI-REST shuffle meter: its measure window must out-live a
+        # stage block, so undo ENGINE_CONFS' bounded stage retention
+        extra_confs={"spark.ui.retainedStages": "20000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     registry = entry_mod.queries()
 

@@ -106,7 +106,12 @@ def main() -> None:
     from datasette_upload_csvs_spark.operators import dedup, graph
     from datasette_upload_csvs_spark.session import get_spark
 
-    spark = get_spark(app_name="bench-dedup-skew")
+    spark = get_spark(
+        app_name="bench-dedup-skew",
+        # UI-REST shuffle meter: its measure window must out-live a
+        # stage block, so undo ENGINE_CONFS' bounded stage retention
+        extra_confs={"spark.ui.retainedStages": "20000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     meter = _ShuffleMeter(spark)
 

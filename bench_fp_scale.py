@@ -40,7 +40,12 @@ def main() -> None:
     from bench_shingle_index import _ShuffleMeter
     from pyspark.sql import functions as F
 
-    spark = get_spark(app_name="bench_fp_scale")
+    spark = get_spark(
+        app_name="bench_fp_scale",
+        # UI-REST shuffle meter: its measure window must out-live a
+        # stage block, so undo ENGINE_CONFS' bounded stage retention
+        extra_confs={"spark.ui.retainedStages": "20000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     work = tempfile.mkdtemp(prefix="fp-scale-")

@@ -136,6 +136,11 @@ def main() -> None:
         extra_confs={
             "spark.io.compression.codec": "zstd",
             "spark.cleaner.periodicGC.interval": "30s",
+            # UI-REST shuffle meter: its measure window must out-live
+            # a stage block (the decade near-dup stage spans hundreds
+            # of Spark stages), so undo ENGINE_CONFS' bounded stage
+            # retention for this metered bench
+            "spark.ui.retainedStages": "20000",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

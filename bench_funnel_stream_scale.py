@@ -61,6 +61,14 @@ def main() -> None:
     section = "scale"
     if "--section" in flags:
         section = flags[flags.index("--section") + 1]
+    # --conf k=v (repeatable): session extra_confs for controlled
+    # experiments (e.g. spark.ui.enabled=false to test whether the
+    # sporadic multi-10s epoch stalls are driver listener/GC state)
+    extra_confs = {}
+    for i, a in enumerate(flags):
+        if a == "--conf":
+            k, _, v = flags[i + 1].partition("=")
+            extra_confs[k] = v
 
     from pyspark.sql import functions as F
 
@@ -70,7 +78,10 @@ def main() -> None:
         run_curation_funnel_stream,
     )
 
-    spark = get_spark(app_name="bench-funnel-stream-scale")
+    spark = get_spark(
+        app_name="bench-funnel-stream-scale",
+        extra_confs=extra_confs or None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     stop = "the and for with that this from "

@@ -109,7 +109,12 @@ def main() -> None:
     from datasette_upload_csvs_spark.operators.shingle_index import ShingleIndex
     from datasette_upload_csvs_spark.session import get_spark
 
-    spark = get_spark(app_name="bench-shingle-index")
+    spark = get_spark(
+        app_name="bench-shingle-index",
+        # UI-REST shuffle meter: its measure window must out-live a
+        # stage block, so undo ENGINE_CONFS' bounded stage retention
+        extra_confs={"spark.ui.retainedStages": "20000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(

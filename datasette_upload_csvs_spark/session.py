@@ -50,6 +50,25 @@ ENGINE_CONFS: dict[str, str] = {
     # keeps unix_micros/epoch arithmetic legal, and matches how the
     # DuckDB oracle treats the same naive column under UTC.
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Long-running-driver hygiene: the UI state store retains 1000
+    # SQL executions BY DEFAULT, each holding the full plan graph of
+    # its query — and this engine's streaming epochs submit very
+    # large plans (state-union reads, CC chains). Measured on the
+    # 520k-doc streaming-funnel leg (40 epochs, one driver): default
+    # retention degrades per-epoch wall progressively (last/first
+    # quartile 2.50, sporadic 30-56 s stalls, no matching GC pauses);
+    # the bounded set below fixes it (1.36, total drain 621 s -> 496 s)
+    # and matches the spark.ui.enabled=false control (1.38) — see
+    # BENCH_FUNNEL_STREAM.json scale_tiered / _noui / _lowret. These
+    # are STATIC confs: they land on fresh sessions (the streaming
+    # drivers that need them) and no-op with a warning on an active
+    # harness-owned session. Benches that meter shuffle bytes via the
+    # UI REST API override retainedStages upward (their measure
+    # window must out-live a stage block; see bench_funnel_scale.py).
+    "spark.sql.ui.retainedExecutions": "50",
+    "spark.ui.retainedJobs": "500",
+    "spark.ui.retainedStages": "500",
+    "spark.ui.retainedTasks": "20000",
     # Write timestamps as TIMESTAMP_MICROS, not the legacy INT96:
     # INT96 columns carry no min/max footer statistics, which silently
     # disables row-group skipping (and broke the clustering-layout

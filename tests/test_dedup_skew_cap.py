@@ -550,3 +550,20 @@ def test_get_spark_warns_on_shared_session_conf_overwrite(spark):
         ], [str(w.message) for w in rec2]
     finally:
         spark.conf.set(key, prev)
+
+
+def test_engine_confs_bound_ui_retention():
+    """Round-13 driver-hygiene finding (BENCH_FUNNEL_STREAM
+    scale_tiered / _noui / _lowret): Spark's default UI state store
+    retains 1000 SQL executions, each holding the full plan graph —
+    on the 520k-doc streaming-funnel leg that degraded per-epoch wall
+    progressively (last/first 2.50 with sporadic 30-56 s stalls and
+    no matching GC pauses); the bounded set restored 1.36 and cut the
+    drain 621 s -> 496 s. Pin the bounds so a conf cleanup cannot
+    silently reintroduce the drift."""
+    from datasette_upload_csvs_spark.session import ENGINE_CONFS
+
+    assert int(ENGINE_CONFS["spark.sql.ui.retainedExecutions"]) <= 100
+    assert int(ENGINE_CONFS["spark.ui.retainedJobs"]) <= 1000
+    assert int(ENGINE_CONFS["spark.ui.retainedStages"]) <= 1000
+    assert int(ENGINE_CONFS["spark.ui.retainedTasks"]) <= 50000
