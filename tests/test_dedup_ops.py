@@ -119,12 +119,15 @@ def test_connected_components_raises_instead_of_split_groups(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(199)], "id_a long, id_b long"
     )
+    # small_graph_rows=0 forces the distributed loop: the guard under
+    # test lives there (the driver union-find fast path is exact and
+    # never raises — parity pinned in tests/test_cc_small_graph.py)
     with pytest.raises(graph.ConvergenceError):
-        graph.connected_components(edges, max_iter=2)
+        graph.connected_components(edges, max_iter=2, small_graph_rows=0)
     # max_iter=0 never observes convergence on a non-trivial graph:
     # also a loud error, never an unverified labeling
     with pytest.raises(graph.ConvergenceError):
-        graph.connected_components(edges, max_iter=0)
+        graph.connected_components(edges, max_iter=0, small_graph_rows=0)
 
 
 def test_max_df_cap_kills_hot_shingle_bucket(spark):
