@@ -88,19 +88,27 @@ _DRIVER_PRIORITY = [
     # (rotation rule: changed entries re-queue for an independent
     # driver check). All inside the 50-name prefix.
     #
-    # Round-13 changes re-queuing these: minhash_lsh_candidates'
+    # Round-13 changes re-queuing these: (a) minhash_lsh_candidates'
     # bucket_star_cap="auto" probe now rides the banded persist and
     # takes the engaged cap's p99 from the full banding, and the
     # auto_pair_budget parameter was threaded through
     # minhash_lsh_candidates / minhash_near_dup_pairs /
     # cap_bucket_side / run_curation_funnel (ADVICE r12) — touching
-    # every banded-MinHash call path.
+    # every banded-MinHash call path; (b) connected_components grew
+    # the bounded small-graph driver-union-find fast path (parity
+    # property-tested, graph.py) — touching every *_dup_groups /
+    # split entry.
     "curation_funnel_staged",   # run_curation_funnel, auto default
     "dedup_groups",
     "split_cluster_safe",
     "dedup_rate_by_source",
     "dedup_minhash_lsh",
     "dedup_keep_best",
+    # CC fast-path consumers (change b):
+    "simhash_dup_groups",
+    "simhash128_dup_groups",
+    "multimodal_dup_groups",
+    "split_incremental_stable",
 ]
 
 _DRIVER_CHECKED = frozenset({
@@ -108,9 +116,6 @@ _DRIVER_CHECKED = frozenset({
     # paths did NOT change (the round-13 changed-path names moved to
     # _DRIVER_PRIORITY above):
     "dedup_simhash",
-    # r12-green priority names whose code did not change in round 13:
-    "simhash_dup_groups", "simhash128_dup_groups",
-    "multimodal_dup_groups", "split_incremental_stable",
     # r9-green priority names whose code did not change in round 10:
     "ann_bands_recall", "multimodal_near_dup_pairs",
     "multimodal_phash_fingerprints", "multimodal_feature_extract",
