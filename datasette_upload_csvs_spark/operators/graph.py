@@ -128,9 +128,12 @@ def connected_components(
 ) -> DataFrame:
     """(vertex, component) — component = min vertex id reachable.
 
-    `edges` is an undirected pair relation (src, dst). Vertices with
-    no edges are absent (join the result back to the full vertex set
-    with coalesce(component, id) for singleton semantics — see
+    `edges` is an undirected pair relation (src, dst) of NON-NULL,
+    orderable ids (every in-repo pair emitter satisfies this; null
+    endpoints would silently drop from the distributed path's joins
+    and are not supported). Vertices with no edges are absent (join
+    the result back to the full vertex set with
+    coalesce(component, id) for singleton semantics — see
     dedup_groups in queries.py).
 
     SMALL-GRAPH FAST PATH: the deduplicated symmetric adjacency is
