@@ -89,6 +89,17 @@ class _ShuffleMeter:
         el = time.perf_counter() - t0
         after = self._stages()
         new = [v for k, v in after.items() if k not in before]
+        evicted = [k for k in before if k not in after]
+        if evicted:
+            import sys as _sys
+
+            print(
+                f"WARN _ShuffleMeter: {len(evicted)} stages evicted "
+                "from the UI store during the measured block — "
+                "shuffle/input bytes undercounted (raise "
+                "spark.ui.retainedStages on a FRESH session)",
+                file=_sys.stderr,
+            )
         return {
             "wall_s": round(el, 3),
             "shuffle_mb": round(sum(v[0] for v in new) / 2**20, 2),

@@ -103,6 +103,23 @@ class _ShuffleMeter:
         out = fn()
         after = self._stages()
         new = [v for k, v in after.items() if k not in before]
+        # Retention eviction check: spark.ui.retainedStages is a core
+        # conf — setting it on an already-active session is silently
+        # ineffective, so verify the window actually out-lived the
+        # block. A 'before' stage missing from 'after' means the UI
+        # store evicted stages mid-measurement and the byte sums
+        # undercount.
+        evicted = [k for k in before if k not in after]
+        if evicted:
+            import sys as _sys
+
+            print(
+                f"WARN _ShuffleMeter: {len(evicted)} stages evicted "
+                "from the UI store during the measured block — "
+                "shuffle/input bytes undercounted (raise "
+                "spark.ui.retainedStages on a FRESH session)",
+                file=_sys.stderr,
+            )
         return sum(v[0] for v in new), sum(v[1] for v in new), out
 
 

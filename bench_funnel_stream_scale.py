@@ -55,19 +55,30 @@ def main() -> None:
     e_total = int(args[0]) if len(args) > 0 else 40
     d_epoch = int(args[1]) if len(args) > 1 else 13_000
     attr = "--attr" in flags
+
+    def _flag_value(name: str) -> str:
+        i = flags.index(name)
+        if i + 1 >= len(flags):
+            sys.exit(f"usage: {name} requires a value")
+        return flags[i + 1]
+
     major_every = None
     if "--major" in flags:
-        major_every = int(flags[flags.index("--major") + 1])
+        major_every = int(_flag_value("--major"))
     section = "scale"
     if "--section" in flags:
-        section = flags[flags.index("--section") + 1]
+        section = _flag_value("--section")
     # --conf k=v (repeatable): session extra_confs for controlled
     # experiments (e.g. spark.ui.enabled=false to test whether the
     # sporadic multi-10s epoch stalls are driver listener/GC state)
     extra_confs = {}
     for i, a in enumerate(flags):
         if a == "--conf":
-            k, _, v = flags[i + 1].partition("=")
+            if i + 1 >= len(flags):
+                sys.exit("usage: --conf requires a k=v value")
+            k, sep, v = flags[i + 1].partition("=")
+            if not sep or not k:
+                sys.exit(f"usage: --conf expects k=v, got {flags[i + 1]!r}")
             extra_confs[k] = v
 
     from pyspark.sql import functions as F

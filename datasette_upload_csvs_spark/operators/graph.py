@@ -125,6 +125,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 20,
     small_graph_rows: int | None = 1_000_000,
+    small_graph_id_bytes: int = 64 << 20,
 ) -> DataFrame:
     """(vertex, component) — component = min vertex id reachable.
 
@@ -144,9 +145,16 @@ def connected_components(
     is a fixed-cost Spark job, and near-dup edge relations at bench
     scale are a few thousand rows — ~4 jobs of scheduling overhead
     (~3 s) to label a graph union-find handles in milliseconds. The
-    collect is BOUNDED by the gate just measured (1M rows ≈ 16 MB of
-    id pairs — the same bounded-driver-sample argument as the PQ
-    codebook fit), labels are identical (component = min reachable
+    collect is BOUNDED by TWO gates measured in the same job: row
+    count (``small_graph_rows``) AND observed id bytes
+    (``small_graph_id_bytes``, default 64 MB, summed string-cast
+    lengths of both endpoints) — the byte gate covers wide string
+    ids (e.g. a doc_id column), where a row-count-only bound would
+    let a 1M-row collect plus the Python union-find dict reach
+    hundreds of MB of driver heap. 1M rows of long ids stays under
+    either gate (≤ ~40 MB of digits); the same rows of 100-char doc
+    ids (~200 MB) falls through to the distributed loop. Labels are
+    identical (component = min reachable
     id under either algorithm; parity is property-tested), and a
     corpus-scale pair graph (billions of edges) exceeds any sane
     threshold and takes the distributed loop unchanged. Pass
@@ -176,10 +184,24 @@ def connected_components(
     size_obs = Observation()
     adj = (
         sym.distinct()
-        .observe(size_obs, F.count(F.lit(1)).alias("rows"))
+        .observe(
+            size_obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.coalesce(
+                F.sum(
+                    F.length(F.col("v").cast("string"))
+                    + F.length(F.col("n").cast("string"))
+                ),
+                F.lit(0),
+            ).alias("id_bytes"),
+        )
         .localCheckpoint(eager=True)
     )
-    if small_graph_rows and size_obs.get["rows"] <= small_graph_rows:
+    if (
+        small_graph_rows
+        and size_obs.get["rows"] <= small_graph_rows
+        and size_obs.get["id_bytes"] <= small_graph_id_bytes
+    ):
         out = _driver_union_find(adj)
         _release_label_blocks(adj, "adjacency")
         return out
@@ -190,8 +212,6 @@ def connected_components(
     labels = (
         adj.groupBy("v").agg(F.least(F.col("v"), F.min("n")).alias("c"))
     ).localCheckpoint()
-
-    from pyspark.sql import Observation
 
     changed = None  # None = loop never ran (max_iter == 0)
     for _ in range(max_iter):

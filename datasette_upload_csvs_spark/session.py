@@ -61,10 +61,16 @@ ENGINE_CONFS: dict[str, str] = {
     # and matches the spark.ui.enabled=false control (1.38) — see
     # BENCH_FUNNEL_STREAM.json scale_tiered / _noui / _lowret. These
     # are STATIC confs: they land on fresh sessions (the streaming
-    # drivers that need them) and no-op with a warning on an active
-    # harness-owned session. Benches that meter shuffle bytes via the
-    # UI REST API override retainedStages upward (their measure
-    # window must out-live a stage block; see bench_funnel_scale.py).
+    # drivers that need them). On an already-active session,
+    # conf.set() on spark.ui.* is accepted SILENTLY but has no
+    # effect — no exception, no warning — so a metered bench reusing
+    # a shared session keeps whatever retention that session started
+    # with. The _ShuffleMeter copies therefore detect stage eviction
+    # between snapshots and warn when the measurement window was
+    # truncated. Benches that meter shuffle bytes via the UI REST API
+    # override retainedStages upward on a FRESH session (their
+    # measure window must out-live a stage block; see
+    # bench_funnel_scale.py).
     "spark.sql.ui.retainedExecutions": "50",
     "spark.ui.retainedJobs": "500",
     "spark.ui.retainedStages": "500",

@@ -87,3 +87,19 @@ def test_fast_path_self_loops_and_dups(spark):
     edges = spark.createDataFrame(rows, "id_a long, id_b long")
     fast, dist = _both(spark, edges)
     assert fast == dist == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_byte_gate_routes_wide_string_ids_to_distributed(spark):
+    """The id-bytes gate: row count alone under-bounds driver heap
+    for wide string ids (ADVICE r13). With a tiny byte budget the
+    same small graph must take the distributed loop — and still
+    produce identical labels."""
+    rows = [("doc-" + "x" * 60 + str(i), "doc-" + "x" * 60 + str(i + 1))
+            for i in range(20)]
+    edges = spark.createDataFrame(rows, "id_a string, id_b string")
+    gated = _labels(
+        graph.connected_components(edges, small_graph_id_bytes=100)
+    )
+    fast = _labels(graph.connected_components(edges))
+    assert gated == fast
+    assert len(set(gated.values())) == 1
