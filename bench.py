@@ -273,7 +273,15 @@ def main() -> None:
     medians: dict[str, float] = {}
     spreads: dict[str, float] = {}
     quiet: dict[str, dict] = {}
+    # The auto-cap twins are measured INTERLEAVED (below), not as two
+    # sequential blocks: the r13 driver filing's premium (1.161) vs
+    # the local one (1.081) showed the sequential protocol lets ~40 s
+    # of host drift between the auto block and the capnone block
+    # masquerade as a cap premium (r13 VERDICT item 3).
+    _TWIN_PAIR = ("curation_funnel_staged", "curation_funnel_staged_capnone")
     for name in HEADLINE + QUIET:
+        if name in _TWIN_PAIR:
+            continue
         fn = registry[name]
         # min of 3 timed runs after one discarded per-query warmup
         # (on top of the global warmup pass above); SUB-1s queries
@@ -315,6 +323,35 @@ def main() -> None:
             f"median {srt[len(srt) // 2]:.3f}s "
             f"(+{srt[-1] - srt[0]:.3f} spread) rows={n}"
             + (" [quiet]" if name in QUIET else ""),
+            file=sys.stderr,
+        )
+
+    # Interleaved twin measurement: one discarded warmup pair, then 4
+    # timed pairs with the within-pair order alternating (A,B),(B,A),
+    # ... so neither mode systematically runs first and slow host
+    # drift lands on both modes equally. Per-mode min is the
+    # steady-state number; the min-ratio is the premium claim.
+    twin_samples: dict[str, list[float]] = {n: [] for n in _TWIN_PAIR}
+    for pair_i in range(5):  # pair 0 discarded
+        order = _TWIN_PAIR if pair_i % 2 == 0 else _TWIN_PAIR[::-1]
+        for name in order:
+            t0 = time.perf_counter()
+            registry[name](spark, sf_dir).count()
+            el = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            if pair_i > 0:
+                twin_samples[name].append(el)
+    for name in _TWIN_PAIR:
+        srt = sorted(twin_samples[name])
+        quiet[name] = {
+            "min": round(srt[0], 3),
+            "median": round(srt[len(srt) // 2], 3),
+            "spread": round(srt[-1] - srt[0], 3),
+        }
+        print(
+            f"# {name}: min {srt[0]:.3f}s "
+            f"median {srt[len(srt) // 2]:.3f}s "
+            f"(+{srt[-1] - srt[0]:.3f} spread) [quiet, interleaved]",
             file=sys.stderr,
         )
 
@@ -370,10 +407,20 @@ def main() -> None:
     ):
         a = quiet["curation_funnel_staged"]["median"]
         b = quiet["curation_funnel_staged_capnone"]["median"]
+        am = quiet["curation_funnel_staged"]["min"]
+        bm = quiet["curation_funnel_staged_capnone"]["min"]
         detail["auto_cap_premium"] = {
             "auto_median": a,
             "capnone_median": b,
             "ratio": round(a / b, 3) if b else None,
+            # steady-state premium from interleaved per-mode mins —
+            # the number the <=1.10 bar is judged on now that the
+            # twins alternate within pairs (median ratio kept for
+            # cross-round continuity with r13's filing)
+            "auto_min": am,
+            "capnone_min": bm,
+            "ratio_min": round(am / bm, 3) if bm else None,
+            "protocol": "interleaved_pairs_alternating_order_4x",
         }
     try:
         with open(detail_path, "w") as f:

@@ -65,6 +65,14 @@ def main() -> None:
     major_every = None
     if "--major" in flags:
         major_every = int(_flag_value("--major"))
+    # --compact N: override the default e_total//5 fold cadence. The
+    # default gives ~5 folds at any scale; the tiered-vs-major
+    # crossover leg needs a FIXED small cadence so major-only pays
+    # O(epochs/N) full-history folds while tiered amortizes
+    # (r13 VERDICT item 4).
+    compact_override = None
+    if "--compact" in flags:
+        compact_override = int(_flag_value("--compact"))
     section = "scale"
     if "--section" in flags:
         section = _flag_value("--section")
@@ -159,14 +167,44 @@ def main() -> None:
 
     per_epoch: list[dict] = []
     stage_rows: list[dict] = []
-    marks = {"last": time.perf_counter()}
+    marks = {"last": time.perf_counter(), "job": -1}
+
+    # jobs-per-epoch meter (r13 VERDICT item 6): max jobId from the
+    # UI REST store at each epoch boundary — monotonic, so the diff
+    # counts jobs the epoch submitted even if old entries were
+    # evicted from the bounded retention window.
+    import urllib.request
+
+    ui_url = spark.sparkContext.uiWebUrl
+    try:
+        _app_id = json.loads(
+            urllib.request.urlopen(f"{ui_url}/api/v1/applications").read()
+        )[0]["id"]
+    except Exception:
+        _app_id = None
+
+    def _max_job_id() -> int:
+        if _app_id is None:
+            return -1
+        try:
+            jobs = json.loads(
+                urllib.request.urlopen(
+                    f"{ui_url}/api/v1/applications/{_app_id}/jobs"
+                ).read()
+            )
+            return max((j["jobId"] for j in jobs), default=-1)
+        except Exception:
+            return -1
 
     def on_epoch(ep: int) -> None:
         now = time.perf_counter()
-        per_epoch.append(
-            {"epoch": ep, "wall_s": round(now - marks["last"], 3)}
-        )
+        jid = _max_job_id()
+        row = {"epoch": ep, "wall_s": round(now - marks["last"], 3)}
+        if jid >= 0 and marks["job"] >= 0:
+            row["jobs"] = jid - marks["job"]
+        per_epoch.append(row)
         marks["last"] = now
+        marks["job"] = jid
         print(json.dumps(per_epoch[-1]), file=sys.stderr, flush=True)
 
     def on_stage(ep: int, stage: str, secs: float) -> None:
@@ -174,7 +212,9 @@ def main() -> None:
             {"epoch": ep, "stage": stage, "s": round(secs, 3)}
         )
 
-    compact_every = max(4, e_total // 5)  # fires >=4 times mid-drain
+    # default fires >=4 times mid-drain at any scale
+    compact_every = compact_override or max(4, e_total // 5)
+    marks["job"] = _max_job_id()  # baseline: epoch 0's diff is real
     t0 = time.perf_counter()
     n = run_curation_funnel_stream(
         spark,
