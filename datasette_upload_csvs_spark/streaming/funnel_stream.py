@@ -167,8 +167,11 @@ def funnel_epoch(
             .drop("_c")
         )
     b = b.persist()
-    if on_stage is not None:
-        b.count()
+    # ONE count per epoch: fills the persist, decides the exact-gate
+    # broadcast, and is the batch_rows_max bound near_dup_epoch uses
+    # to skip its own isEmpty probe + sets.count() guard job (two
+    # fewer Spark jobs per epoch — r13 VERDICT item 6).
+    n_b = b.count()
     _stage("prep")
     # exact-dedup increment: index min-id per UNSEEN content hash
     # (one doc per exact family ever reaches the near-dup state; the
@@ -203,7 +206,7 @@ def funnel_epoch(
         )
 
         batch_h = firsts.select("h").distinct()
-        if b.count() <= _PROBE_KEY_BROADCAST_MAX:
+        if n_b <= _PROBE_KEY_BROADCAST_MAX:
             batch_h = F.broadcast(batch_h)
         seen_hit = (
             read_state(spark, docs_table, epoch)
@@ -227,6 +230,7 @@ def funnel_epoch(
         n_bands=n_bands,
         bucket_star_cap=bucket_star_cap,
         on_stage=on_stage,
+        batch_rows_max=n_b,
     )
     t_mark = time.perf_counter()  # nd_* stages metered internally
     indexed = to_index.select("doc_id").withColumn(

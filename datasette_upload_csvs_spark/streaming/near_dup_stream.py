@@ -68,6 +68,7 @@ def near_dup_epoch(
     n_bands: int = 32,
     bucket_star_cap: int | str | None = None,
     on_stage=None,
+    batch_rows_max: int | None = None,
 ) -> dict | None:
     """One epoch of incremental near-dup maintenance — factored out of
     the foreachBatch closure so the replay test can invoke a single
@@ -109,6 +110,18 @@ def near_dup_epoch(
     with history). The count rides the pairs write via Observation —
     no extra job. None for an empty batch.
 
+    ``batch_rows_max`` (optional): a caller-known UPPER BOUND on
+    ``batch_df``'s row count (e.g. funnel_epoch's pre-dedup batch
+    count). When provided, this epoch runs TWO fewer Spark jobs: the
+    ``isEmpty`` probe (0 means empty → return None; a positive bound
+    skips the probe) and the ``sets.count()`` broadcast guard (the
+    bound decides instead — conservative: a bound over the broadcast
+    limit falls back to AQE sizing, never the reverse). A positive
+    bound over an all-duplicate batch runs the epoch's empty plans
+    instead of short-circuiting — writes of empty frames write no
+    partitions, and the return is ``{"cand_pairs": 0}`` rather than
+    None.
+
     ``on_stage(epoch, stage, seconds)`` (optional) is the per-stage
     cost meter: when set, sub-stage boundaries are FORCED eager
     (counts on persisted frames) so each stage's wall is attributable
@@ -121,7 +134,10 @@ def near_dup_epoch(
 
     from pyspark.sql import Observation
 
-    if batch_df.isEmpty():
+    if batch_rows_max is not None:
+        if batch_rows_max == 0:
+            return None
+    elif batch_df.isEmpty():
         return None
     t_mark = time.perf_counter()
 
@@ -170,7 +186,12 @@ def near_dup_epoch(
         # the batch's buckets. Broadcast the probe keys while the
         # bound (batch_docs × n_bands distinct keys at most) is
         # small; past the guard let AQE size the semi at runtime.
-        if sets.count() * n_bands <= _PROBE_KEY_BROADCAST_MAX:
+        # The caller-supplied bound replaces the count job when
+        # available (see batch_rows_max in the docstring).
+        n_docs_bound = (
+            batch_rows_max if batch_rows_max is not None else sets.count()
+        )
+        if n_docs_bound * n_bands <= _PROBE_KEY_BROADCAST_MAX:
             probe_side = F.broadcast(probe_keys)
         else:
             probe_side = probe_keys
