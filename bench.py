@@ -157,11 +157,17 @@ def _extra_queries():
         )
 
         d = load(spark, sf, "documents")
+        # release_stage_frames mirrors the registry twin: without it
+        # each twin invocation leaks ~6 corpus-sized checkpoint
+        # frames (clearCache can't drop them) and the interleaved
+        # loop degrades monotonically (r14: capnone median 38.6 s vs
+        # a 12.4 s first pair).
         stages, _, _ = run_curation_funnel(
             d.filter(F.pmod("doc_id", F.lit(10)) != 0),
             benchmark=d.filter(F.pmod("doc_id", F.lit(10)) == 0),
             exact_floor_max_df=_FLOOR_MAX_DF,
             bucket_star_cap=None,
+            release_stage_frames=True,
         )
         return spark.createDataFrame(
             [(s.name, s.n_docs) for s in stages],

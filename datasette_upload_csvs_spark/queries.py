@@ -10389,10 +10389,19 @@ def curation_funnel_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasette_upload_csvs_spark.pipeline import run_curation_funnel
 
     d = load(spark, sf_dir, "documents")
+    # release_stage_frames: this entry only reads the staged COUNTS,
+    # so each stage's corpus-sized localCheckpoint is freed the moment
+    # the next stage materializes (guide §5 storage hygiene).
+    # clearCache() cannot drop checkpoint blocks (they are not
+    # cacheManager entries), so without the release every invocation
+    # leaks ~6 stage frames until a driver GC — measured in the r14
+    # bench twin loop as a monotone per-run slowdown (median 17.5 s
+    # on a run whose first pair costs ~9 s; see OPTIMIZATION_r14.md).
     stages, _, _ = run_curation_funnel(
         d.filter(F.pmod("doc_id", F.lit(10)) != 0),
         benchmark=d.filter(F.pmod("doc_id", F.lit(10)) == 0),
         exact_floor_max_df=_FLOOR_MAX_DF,
+        release_stage_frames=True,
     )
     order = {
         "scan": 1,
