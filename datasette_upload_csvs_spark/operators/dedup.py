@@ -837,14 +837,19 @@ def minhash_lsh_candidates(
     otherwise the fixed-cap plan with cap = max(16, p99) as a
     literal. Use "auto" wherever nobody will run the bucket_stats
     probe first. Note "auto" makes this call EAGER: the probe
-    PERSISTS the banded relation and materializes it while
-    aggregating a _PROBE_BANDS-band subset, so the main plan (either
-    regime) reads banding from cache instead of recomputing it, and
-    an unpersisted ``sig`` has its DAG executed exactly once — by
-    the probe — not once per consumer. (The persist is held past
-    return and LRU-evicted — the same accepted storage trade as the
-    engaged path's cache; it also means the no-op regime's plan is
-    the cap=None plan reading a cache, not a bit-identical re-scan.)
+    PERSISTS the signature relation (unless the caller already did)
+    and materializes it while aggregating a _PROBE_BANDS-band
+    banding built directly from it, so an unpersisted ``sig`` has
+    its DAG executed exactly once — by the probe — not once per
+    consumer. The main plan (either regime) recomputes the full
+    banding from the sig cache: one codegen xxhash64/explode pass
+    whose self-join sides collapse to a ReusedExchange. (r14: the
+    probe previously persisted the full BANDED relation instead —
+    caching sig is bands× fewer cached rows and drops the banding
+    cache round-trip from the blocking probe job; the banding layer
+    the main plan re-derives is the cheap part. The persist is held
+    past return and LRU-evicted — the same accepted storage trade
+    as the engaged path's cache.)
     The r11 in-graph variant (broadcast _auto_cap_frame) kept the
     call lazy but cost +42% end-to-end on the staged funnel at sf0.1
     even in the no-op regime — the broadcast subquery is a stage
@@ -904,14 +909,16 @@ def minhash_lsh_candidates(
 
     def _finish(cand: DataFrame, cached: DataFrame | None) -> DataFrame:
         # scratch barrier (see docstring): candidates are 16 B/pair —
-        # materialize them now, drop the banded cache, and let a
-        # driver GC hand the band-join/cap-stats exchanges to
+        # materialize them now, drop the banded/probe caches, and let
+        # a driver GC hand the band-join/cap-stats exchanges to
         # ContextCleaner before the caller's verify phase runs
         if not scratch_checkpoints:
             return cand
         cand = cand.localCheckpoint(eager=True)
         if cached is not None:
             cached.unpersist()
+        if sig_cached is not None:
+            sig_cached.unpersist()
         try:
             sig.sparkSession.sparkContext._jvm.System.gc()
         except Exception:
@@ -919,6 +926,7 @@ def minhash_lsh_candidates(
         return cand
 
     banded_cached = None
+    sig_cached = None
     if bucket_star_cap is not None and _validate_cap(bucket_star_cap):
         # "auto": resolve the forecast to a CONCRETE regime here, with
         # one distributed aggregation and a 1-ROW driver fetch, then
@@ -960,9 +968,25 @@ def minhash_lsh_candidates(
         # a fresh full banding in the main plan) and executes an
         # unpersisted sig's DAG exactly once.
         n_probe = min(_PROBE_BANDS, bands)
-        banded = banded_cached = banded.persist()
+        # r14 probe shave: the probe rides a persist of the SIGNATURE
+        # relation, not the full banded relation. The expensive part
+        # of the probe job is materializing the sig DAG (shingles +
+        # num_perm-min agg) — that is cached either way — but caching
+        # sig instead of banding (1 row/doc of num_perm longs vs
+        # bands rows/doc) drops the bands× row-count cache round-trip
+        # from the probe job, and the probe's banding layer is built
+        # for the n_probe bands only (1/8 of the explode at the
+        # defaults). The main plan recomputes the full banding from
+        # the sig cache — one cheap codegen xxhash64/explode pass
+        # whose self-join sides collapse to a ReusedExchange — so an
+        # unpersisted ``sig`` still has its DAG executed exactly
+        # once, by the probe (the r13 guarantee, one cache level
+        # lower). Probe statistic unchanged: bands 0..n_probe-1 of
+        # the identical band/row layout.
+        if not (sig.storageLevel.useMemory or sig.storageLevel.useDisk):
+            sig = sig_cached = sig.persist()
         row = (
-            banded.filter(F.col("band") < n_probe)
+            _band_rel(n_probe)
             .groupBy("band", "bucket")
             .agg(F.count("*").alias("_bc"))
             .agg(
@@ -978,10 +1002,13 @@ def minhash_lsh_candidates(
             bucket_star_cap = None  # forecast corpus-linear: no-op
         else:
             # engaged: take the cap's p99 from the FULL banding (one
-            # extra aggregation over the warm cache — engaged runs
-            # pay the capped plan anyway) so the threshold matches
-            # the streaming guard's full-stats p99 exactly instead
-            # of the 4-band subset's estimate (ADVICE r12).
+            # extra aggregation — engaged runs pay the capped plan
+            # anyway) so the threshold matches the streaming guard's
+            # full-stats p99 exactly instead of the 4-band subset's
+            # estimate (ADVICE r12). The banding persist happens HERE
+            # (from the sig cache) so the p99 job fills the cache the
+            # engaged stats/join plan below reads.
+            banded = banded_cached = banded.persist()
             p99 = (
                 banded.groupBy("band", "bucket")
                 .agg(F.count("*").alias("_bc"))

@@ -82,22 +82,22 @@ def q(name: str, oracle: str | None = None):
 # in _DRIVER_PRIORITY so the independent check re-runs on the new
 # code.
 _DRIVER_PRIORITY = [
-    # Round-13 sample = this list, then any fresh (never-checked,
+    # Round-14 sample = this list, then any fresh (never-checked,
     # non-priority) registry entries, then _DRIVER_CHECKED. Every
     # name here has code in its call path that CHANGED this round
     # (rotation rule: changed entries re-queue for an independent
     # driver check). All inside the 50-name prefix.
     #
-    # Round-13 changes re-queuing these: (a) minhash_lsh_candidates'
-    # bucket_star_cap="auto" probe now rides the banded persist and
-    # takes the engaged cap's p99 from the full banding, and the
-    # auto_pair_budget parameter was threaded through
-    # minhash_lsh_candidates / minhash_near_dup_pairs /
-    # cap_bucket_side / run_curation_funnel (ADVICE r12) — touching
-    # every banded-MinHash call path; (b) connected_components grew
-    # the bounded small-graph driver-union-find fast path (parity
-    # property-tested, graph.py) — touching every *_dup_groups /
-    # split entry.
+    # Round-14 changes re-queuing these (same 10 names as round 13 —
+    # the r14 optimization round touched the same two call-path
+    # families): (a) minhash_lsh_candidates' "auto" probe now rides a
+    # persist of the SIGNATURE relation instead of the full banded
+    # relation (function body shared by every minhash_near_dup_pairs
+    # caller), and curation_funnel_staged additionally flipped to
+    # release_stage_frames=True / scratch_checkpoints; (b)
+    # connected_components' small-graph fast path gate changed from
+    # row-count to observed id-bytes (ADVICE r13, graph.py) —
+    # touching every *_dup_groups / split entry.
     "curation_funnel_staged",   # run_curation_funnel, auto default
     "dedup_groups",
     "split_cluster_safe",
@@ -112,8 +112,8 @@ _DRIVER_PRIORITY = [
 ]
 
 _DRIVER_CHECKED = frozenset({
-    # names green at their latest driver check whose round-13 call
-    # paths did NOT change (the round-13 changed-path names moved to
+    # names green at their latest driver check whose round-14 call
+    # paths did NOT change (the round-14 changed-path names stay in
     # _DRIVER_PRIORITY above):
     "dedup_simhash",
     # r9-green priority names whose code did not change in round 10:
