@@ -1481,6 +1481,10 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     array of 64 signed contributions — map-side partial aggregation
     keeps the shuffle at one row per doc.
     """
+    # tokenize+hash+ones-count partials are CPU-bound per row and run
+    # in the SCAN stage; spread under-parallel inputs (wide inputs
+    # pass through — see _spread)
+    docs = _spread(docs, id_col)
     tok = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
@@ -1533,6 +1537,9 @@ def simhash_portable(
     verdicts without sharing code. Costs ~8 hex-parses per token vs
     xxhash64's single JVM hash: use `simhash()` on the hot path,
     this when fingerprints cross a system boundary."""
+    # md5-per-token + hex parses are the wall here; spread
+    # under-parallel inputs before the per-row work (see _spread)
+    docs = _spread(docs, id_col)
     tok = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("hhex", F.md5("tok"))
@@ -1596,6 +1603,9 @@ def simhash_wide(
     aggregation, one row per doc, 64·n_words+1 agg columns."""
     if n_words < 1:
         raise ValueError(f"n_words must be >= 1, got {n_words}")
+    # n_digests md5s per token + 64·n_words ones-count partials run
+    # in the scan stage; spread under-parallel inputs (see _spread)
+    docs = _spread(docs, id_col)
     tok = docs.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )

@@ -9195,7 +9195,10 @@ def _anchor_assignment(
         l2_norm,
     )
 
-    emb = load(spark, sf_dir, "embeddings")
+    # the n×k anchor scoring (dot+norm per anchor per vector) runs in
+    # the scan stage: spread under-parallel inputs (r14; measured
+    # semdedup_prune −0.6 s, d4 −0.13 s at sf0.1; see dedup._spread)
+    emb = dedup._spread(load(spark, sf_dir, "embeddings"), "vec_id")
     v = double_array_frame(emb).withColumn("nrm", l2_norm(F.col("v")))
 
     kdf = v.agg(
@@ -9420,7 +9423,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-free), exact-integer ratios inside ln on both engines."""
     from datasette_upload_csvs_spark.functions.text import tokens as _toks
 
-    d = load(spark, sf_dir, "documents")
+    # tokenize+md5-per-token is the wall and runs in the scan stage:
+    # spread under-parallel inputs (wide scans pass through — r14,
+    # measured 2.9 s -> 1.4 s at sf0.1; see dedup._spread)
+    d = dedup._spread(load(spark, sf_dir, "documents"), "doc_id")
     hashed = d.select(
         "doc_id", F.explode(_toks(F.col("text"))).alias("w")
     ).select(
@@ -10721,7 +10727,9 @@ def softdedup_commonness_weights(
     aggregation (three exchanges, each partial-aggregated map-side;
     AQE's skew-join split handles boilerplate-gram hot keys). No
     per-doc state, no driver loop."""
-    d = load(spark, sf_dir, "documents")
+    # 8-gram hashing is per-row CPU in the scan stage: spread
+    # under-parallel inputs (r14; see dedup._spread)
+    d = dedup._spread(load(spark, sf_dir, "documents"), "doc_id")
     sh = _hashed_gram_rows(d, 8, ["doc_id"])
     dfs = sh.groupBy("g").agg(F.count("*").alias("df"))
     return (
@@ -10926,7 +10934,10 @@ def ngram_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, then one hash aggregate per (source, n) with map-side
     partials; COUNT(DISTINCT) expands to the standard two-phase
     distinct aggregate. No stage touches the corpus twice."""
-    d = load(spark, sf_dir, "documents")
+    # the triple-n gram build (sequence/slice/array_join per token
+    # window) is scan-stage CPU: spread under-parallel inputs (r14;
+    # see dedup._spread)
+    d = dedup._spread(load(spark, sf_dir, "documents"), "doc_id")
     t = d.select("source", _text_tokens("text").alias("tok"))
     g = (
         t.select(
