@@ -393,14 +393,15 @@ def ann_epoch(
         # shuffle is O(batch + matches), not O(index).
         from datasette_upload_csvs_spark.streaming.near_dup_stream import (
             _PROBE_KEY_BROADCAST_MAX,
+            semi_prune_fused,
         )
 
-        probe_keys = bands.select("table_id", "bucket").distinct()
-        if new_vecs.count() * n_tables <= _PROBE_KEY_BROADCAST_MAX:
-            probe_keys = F.broadcast(probe_keys)
         hist = _dedup.cap_bucket_side(
-            read_state(sp, index_table, epoch).join(
-                probe_keys, ["table_id", "bucket"], "left_semi"
+            semi_prune_fused(
+                read_state(sp, index_table, epoch),
+                bands,
+                ["table_id", "bucket"],
+                new_vecs.count() * n_tables <= _PROBE_KEY_BROADCAST_MAX,
             ),
             ["table_id", "bucket"],
             "vec_id",

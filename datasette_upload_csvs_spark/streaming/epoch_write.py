@@ -45,6 +45,36 @@ from pyspark.sql import functions as F
 #: the compacted-history partition: all folded closed epochs live here
 BASE_EPOCH = -1
 
+#: fold output sizing: ~one parquet row group per file. A fold that
+#: coalesces history into a FIXED file count writes ever-larger files
+#: whose single row group caps every later history scan's parallelism
+#: at that file count (size-based splits cannot subdivide a row
+#: group) — measured: the 2.08M-doc near-dup index folded to 8 files
+#: scanned on 8 of 32 cores, 8.8-12.5 s of every probe epoch's
+#: nd_cand. 32 MB files keep the scan parallel at any history size
+#: while file count stays linear in bytes (a 3 TB state is ~100k
+#: files — ordinary for a partitioned table).
+_FOLD_FILE_BYTES = 32 * 1024 * 1024
+
+
+def _fold_target_files(src_df, floor: int = 8) -> int:
+    """Size-derived fold file count: ceil(window bytes / 32 MB), at
+    least ``floor``. Reads only scan metadata (the pruned file list
+    of the fold's own source partitions) — no job. Falls back to
+    ``floor`` if the listing is unavailable (non-file table)."""
+    import os
+
+    try:
+        total = 0
+        for uri in src_df.inputFiles():
+            p = uri
+            if p.startswith("file:"):
+                p = "/" + p[5:].lstrip("/")
+            total += os.stat(p).st_size
+    except Exception:
+        return floor
+    return max(floor, -(-total // _FOLD_FILE_BYTES))
+
 
 def _staging_id(before_epoch: int) -> int:
     """Staging partition id for a fold up to `before_epoch` — the
@@ -53,26 +83,35 @@ def _staging_id(before_epoch: int) -> int:
 
 
 def write_epoch_partition(
-    out: DataFrame, table: str, part_col: str = "_batch_id"
+    out: DataFrame,
+    table: str,
+    part_col: str = "_batch_id",
+    parquet_block_bytes: int | None = None,
 ) -> None:
     """Write ``out`` (which must carry a ``part_col`` column) into
     ``table`` under dynamic partition overwrite: only the partitions
     present in ``out`` are replaced, all other epochs' partitions are
     untouched. Creates the table (partitioned by ``part_col``) on
-    first use."""
+    first use. ``parquet_block_bytes`` overrides the parquet row-group
+    size for THIS write (fold writes use _FOLD_FILE_BYTES so large
+    folded files stay splittable — see _fold_target_files)."""
     spark = out.sparkSession
     key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(key, None)
     spark.conf.set(key, "dynamic")
     try:
+        w = out.write
+        if parquet_block_bytes is not None:
+            w = w.option("parquet.block.size", parquet_block_bytes)
         if not spark.catalog.tableExists(table):
-            out.write.mode("overwrite").partitionBy(part_col).saveAsTable(
-                table
-            )
+            w.mode("overwrite").partitionBy(part_col).saveAsTable(table)
         else:
             # insertInto is positional: align to the table column order
             cols = spark.table(table).columns
-            out.select(*cols).write.mode("overwrite").insertInto(table)
+            w = out.select(*cols).write
+            if parquet_block_bytes is not None:
+                w = w.option("parquet.block.size", parquet_block_bytes)
+            w.mode("overwrite").insertInto(table)
     finally:
         if prev is None:
             spark.conf.unset(key)
@@ -96,7 +135,7 @@ def compact_state_table(
     spark,
     table: str,
     before_epoch: int,
-    target_files: int = 8,
+    target_files: int | None = None,
     part_col: str = "_batch_id",
     sort_cols: list | None = None,
     since_epoch: int = 0,
@@ -124,8 +163,12 @@ def compact_state_table(
     the engine could still replay) must be above it — with Structured
     Streaming's single-inflight-epoch contract, `current_epoch` is
     always safe. `target_files` coalesces the folded history so the
-    base partition is few large files, not the sum of every epoch's
-    small ones (the other half of the small-file failure).
+    base partition is not the sum of every epoch's small files (the
+    other half of the small-file failure); the default (None) derives
+    the count from the window's own bytes — ~32 MB ≈ one row group
+    per file (see _FOLD_FILE_BYTES: a fixed count caps every later
+    history scan's parallelism at that count once files out-grow a
+    row group). Pass an int to pin the layout explicitly.
 
     Cost model: each fold rewrites the base once — O(history) — and
     the merge transits the (spillable, MEMORY_AND_DISK) block manager
@@ -199,18 +242,28 @@ def compact_state_table(
         )
         if into_epoch is None:
             src = src | (F.col(part_col) == BASE_EPOCH)
+        n_files = (
+            _fold_target_files(spark.table(table).filter(src))
+            if target_files is None
+            else target_files
+        )
         merged = (
             spark.table(table)
             .filter(src)
             .withColumn(part_col, F.lit(stg))
             .select(*cols)
-            .coalesce(max(1, target_files))
+            .coalesce(max(1, n_files))
         )
         if sort_cols:
             merged = merged.sortWithinPartitions(*sort_cols)
         # materialize OFF the table before overwriting it (Spark
         # refuses, correctly, to overwrite a table it is reading)
-        write_epoch_partition(merged.localCheckpoint(), table, part_col)
+        write_epoch_partition(
+            merged.localCheckpoint(),
+            table,
+            part_col,
+            parquet_block_bytes=_FOLD_FILE_BYTES,
+        )
     promoted = (
         spark.table(table)
         .filter(F.col(part_col) == stg)
@@ -218,7 +271,9 @@ def compact_state_table(
         .select(*cols)
         .localCheckpoint()
     )
-    write_epoch_partition(promoted, table, part_col)
+    write_epoch_partition(
+        promoted, table, part_col, parquet_block_bytes=_FOLD_FILE_BYTES
+    )
     _drop_partitions(
         spark, table, [p for p in window if p != target], part_col
     )

@@ -203,18 +203,21 @@ def funnel_epoch(
         # a full history shuffle+agg — on the anti's build side.)
         from datasette_upload_csvs_spark.streaming.near_dup_stream import (
             _PROBE_KEY_BROADCAST_MAX,
+            semi_prune_fused,
         )
 
-        batch_h = firsts.select("h").distinct()
-        if n_b <= _PROBE_KEY_BROADCAST_MAX:
-            batch_h = F.broadcast(batch_h)
-        seen_hit = (
+        # fused-key probe (semi_prune_fused): the md5-hex string key
+        # would build a string-keyed hashed relation; the fused long
+        # gets the dense one. A collision only admits a foreign h
+        # into seen_hit — the anti below re-matches on the REAL h.
+        seen_hit = semi_prune_fused(
             read_state(spark, docs_table, epoch)
             .filter("keep_q")
-            .select("h")
-            .join(batch_h, "h", "left_semi")
-            .distinct()
-        )
+            .select("h"),
+            firsts,
+            ["h"],
+            n_b <= _PROBE_KEY_BROADCAST_MAX,
+        ).distinct()
         firsts = firsts.join(seen_hit, "h", "left_anti")
     to_index = firsts.select("doc_id", "text").persist()
     if on_stage is not None:

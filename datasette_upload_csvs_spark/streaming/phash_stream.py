@@ -111,16 +111,21 @@ def phash_epoch(
         # O(batch + matches), not O(history). 4 chunks per phash.
         from datasette_upload_csvs_spark.streaming.near_dup_stream import (
             _PROBE_KEY_BROADCAST_MAX,
+            semi_prune_fused,
         )
 
-        probe_keys = new_chunks.select("chunk", "val").distinct()
-        if fp_new.count() * 4 <= _PROBE_KEY_BROADCAST_MAX:
-            probe_keys = F.broadcast(probe_keys)
         hist_chunks = _dedup.cap_bucket_side(
-            _fp_chunks(
-                read_state(sp, fp_table, epoch).select(id_col, "dhash64"),
-                id_col,
-            ).join(probe_keys, ["chunk", "val"], "left_semi"),
+            semi_prune_fused(
+                _fp_chunks(
+                    read_state(sp, fp_table, epoch).select(
+                        id_col, "dhash64"
+                    ),
+                    id_col,
+                ),
+                new_chunks,
+                ["chunk", "val"],
+                fp_new.count() * 4 <= _PROBE_KEY_BROADCAST_MAX,
+            ),
             ["chunk", "val"],
             id_col,
             bucket_star_cap,

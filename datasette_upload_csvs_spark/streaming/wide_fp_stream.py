@@ -159,17 +159,22 @@ def wide_fp_epoch(
         # scan. Hint-broadcast the batch's key set while bounded.
         from datasette_upload_csvs_spark.streaming.near_dup_stream import (
             _PROBE_KEY_BROADCAST_MAX,
+            semi_prune_fused,
         )
 
-        probe_keys = new_chunks.select("chunk", "val").distinct()
-        if fp_new.count() * n_chunks <= _PROBE_KEY_BROADCAST_MAX:
-            probe_keys = F.broadcast(probe_keys)
         hist_chunks = dedup.cap_bucket_side(
-            _wide_chunks(
-                read_state(sp, fp_table, epoch).select(id_col, *FP_COLS),
-                id_col,
-                n_chunks,
-            ).join(probe_keys, ["chunk", "val"], "left_semi"),
+            semi_prune_fused(
+                _wide_chunks(
+                    read_state(sp, fp_table, epoch).select(
+                        id_col, *FP_COLS
+                    ),
+                    id_col,
+                    n_chunks,
+                ),
+                new_chunks,
+                ["chunk", "val"],
+                fp_new.count() * n_chunks <= _PROBE_KEY_BROADCAST_MAX,
+            ),
             ["chunk", "val"],
             id_col,
             bucket_star_cap,

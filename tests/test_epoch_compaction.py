@@ -103,8 +103,8 @@ def test_crash_repair_at_every_step(spark, clean, monkeypatch):
         real_write = epoch_write.write_epoch_partition
         real_drop = epoch_write._drop_partitions
 
-        def wr(out, table, part_col="_batch_id"):
-            real_write(out, table, part_col)
+        def wr(out, table, part_col="_batch_id", **kw):
+            real_write(out, table, part_col, **kw)
             calls["writes"] += 1
             if crash_after == 1 and calls["writes"] == 1:
                 raise RuntimeError("crash after stage")
