@@ -107,8 +107,8 @@ def test_minor_fold_crash_repair(spark, monkeypatch):
         real_write = epoch_write.write_epoch_partition
         calls = {"n": 0}
 
-        def crash_after_stage(out, table, part_col="_batch_id"):
-            real_write(out, table, part_col)
+        def crash_after_stage(out, table, part_col="_batch_id", **kw):
+            real_write(out, table, part_col, **kw)
             calls["n"] += 1
             if calls["n"] == 1:
                 raise RuntimeError("crash after stage")
