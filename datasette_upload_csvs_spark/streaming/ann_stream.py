@@ -37,6 +37,8 @@ tolerance).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -53,10 +55,21 @@ from datasette_upload_csvs_spark.streaming.epoch_write import (
 )
 
 
+@functools.lru_cache(maxsize=16)
 def _table_bucket_entries(n_tables: int, n_planes: int, dim: int):
     """One (table_id, bucket) struct expression per hash table over a
     double-array column `v` — planes disjoint across tables (table t
-    uses plane indices t*n_planes .. t*n_planes+n_planes-1)."""
+    uses plane indices t*n_planes .. t*n_planes+n_planes-1).
+
+    Memoized per process: building the expressions is ~1.5-2.3 s of
+    pure py4j traffic (n_tables×n_planes×dim = 2048 F.lit calls plus
+    the HOF lambdas), paid on EVERY batch-query invocation and every
+    streaming ANN epoch before this cache (measured: of
+    ann_bands_recall's 3.9 s wall, ~2.4 s was driver-side, and this
+    construction is ~2 s of it). Columns are immutable unresolved
+    expression fragments — reusing them across DataFrames/sessions in
+    one process is exactly how prepared plans behave; the JVM gateway
+    outlives any SparkSession restart inside a process."""
     entries = []
     for t in range(n_tables):
         bucket = None
@@ -77,7 +90,8 @@ def _table_bucket_entries(n_tables: int, n_planes: int, dim: int):
                 bucket.cast("int").alias("bucket"),
             )
         )
-    return entries
+    # tuple: the cached value must not be mutable by callers
+    return tuple(entries)
 
 
 def _multi_table_bands(
