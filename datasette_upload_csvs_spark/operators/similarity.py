@@ -12,6 +12,8 @@ All vector math is Catalyst expressions (functions/vector.py).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -418,12 +420,22 @@ def lsh_bucket_ids(
     neighbors at Hamming distance 1).
     """
     v = emb.select(F.col(id_col), as_double_array(F.col(vec_col)).alias("v"))
+    return v.withColumn("bucket", _lsh_bucket_expr(n_planes, dim))
+
+
+@functools.lru_cache(maxsize=16)
+def _lsh_bucket_expr(n_planes: int, dim: int):
+    """The n_planes-bit sign-pattern bucket over the double-array
+    column ``v``. Memoized per process — construction is n_planes×dim
+    F.lit py4j calls rebuilt identically per invocation otherwise
+    (the ann_stream._table_bucket_entries finding, r14 change 6);
+    Columns are immutable unresolved fragments, safe to reuse."""
     bucket = None
     for p in range(n_planes):
         plane = F.array(*[F.lit(c) for c in _hyperplane(p, dim)])
         bit = F.when(dot(F.col("v"), plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return v.withColumn("bucket", bucket.cast("int"))
+    return bucket.cast("int")
 
 
 def lsh_topk(
