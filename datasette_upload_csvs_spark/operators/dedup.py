@@ -26,7 +26,7 @@ array functions, bitwise aggs) — no Python UDFs.
 
 from __future__ import annotations
 
-from functools import reduce
+from functools import lru_cache, reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -1494,17 +1494,27 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     # plus 64 interpreted array reads; plain bit-op sums stay inside
     # codegen with no allocation
     summed = tok.groupBy(id_col).agg(
-        F.count("*").alias("cnt"),
-        *[
-            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(
-                f"o{i}"
-            )
-            for i in range(64)
-        ],
+        F.count("*").alias("cnt"), *_ones_counts_xxhash()
     )
     return summed.select(id_col, _fingerprint_from_ones().alias("simhash64"))
 
 
+@lru_cache(maxsize=1)
+def _ones_counts_xxhash():
+    """The 64 per-bit ones-count aggregates over the token-hash
+    column ``h``. Memoized: each F.* call is a py4j round trip, and
+    the whole simhash expression family costs ~1-5 s of pure
+    construction per call unmemoized (r14 change 7; Columns are
+    immutable unresolved fragments, safe to reuse across frames)."""
+    return tuple(
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(
+            f"o{i}"
+        )
+        for i in range(64)
+    )
+
+
+@lru_cache(maxsize=32)
 def _fingerprint_from_ones(prefix: str = "o"):
     """64-bit fingerprint from per-bit ONES counts {prefix}0..{prefix}63
     plus the token count: the sign sum s_i = 2·o_i − cnt, so s_i > 0 ⟺
@@ -1562,18 +1572,25 @@ def simhash_portable(
         ],
     )
     summed = tok.groupBy(id_col).agg(
-        F.count("*").alias("cnt"),
-        *[
-            F.sum(
-                F.shiftright(
-                    F.col(f"hg{i // 32}"),
-                    (3 - (i // 8) % 4) * 8 + i % 8,
-                ).bitwiseAND(F.lit(1))
-            ).alias(f"o{i}")
-            for i in range(64)
-        ],
+        F.count("*").alias("cnt"), *_ones_counts_md5_groups()
     )
     return summed.select(id_col, _fingerprint_from_ones().alias("simhash64"))
+
+
+@lru_cache(maxsize=1)
+def _ones_counts_md5_groups():
+    """The 64 per-bit ones-count aggregates over the two md5 hex
+    group columns hg0/hg1 (LE-bit↔group-shift permutation, see
+    simhash_portable). Memoized — see _ones_counts_xxhash."""
+    return tuple(
+        F.sum(
+            F.shiftright(
+                F.col(f"hg{i // 32}"),
+                (3 - (i // 8) % 4) * 8 + i % 8,
+            ).bitwiseAND(F.lit(1))
+        ).alias(f"o{i}")
+        for i in range(64)
+    )
 
 
 def simhash_wide(
@@ -1621,28 +1638,7 @@ def simhash_wide(
         # word w = digest w//2, half w%2 (0 = lower = hex chars 17..,
         # 1 = upper = chars 1..), parsed as two 4-byte hex groups —
         # see simhash_portable for the LE-bit↔group-shift permutation
-        tok = tok.select(
-            id_col,
-            *[
-                F.conv(
-                    F.substring(
-                        f"hhex{w // 2}",
-                        (17 - 16 * (w % 2)) + 8 * g,
-                        8,
-                    ),
-                    16,
-                    10,
-                )
-                .cast("long")
-                .alias(f"hg{w}_{g}")
-                for w in range(n_words)
-                for g in range(2)
-            ],
-        )
-        bitsrc = lambda w, i: F.shiftright(  # noqa: E731
-            F.col(f"hg{w}_{i // 32}"),
-            (3 - (i // 8) % 4) * 8 + i % 8,
-        ).bitwiseAND(F.lit(1))
+        tok = tok.select(id_col, *_wide_parse_cols(n_words))
     else:
         tok = tok.select(
             F.col(id_col),
@@ -1652,16 +1648,9 @@ def simhash_wide(
                 for w in range(1, n_words)
             ],
         )
-        bitsrc = lambda w, i: F.shiftright(  # noqa: E731
-            F.col(f"h{w}"), i
-        ).bitwiseAND(F.lit(1))
     summed = tok.groupBy(id_col).agg(
         F.count("*").alias("cnt"),
-        *[
-            F.sum(bitsrc(w, i)).alias(f"s{w}_{i}")
-            for w in range(n_words)
-            for i in range(64)
-        ],
+        *_wide_ones_counts(n_words, portable),
     )
     return summed.select(
         id_col,
@@ -1669,6 +1658,49 @@ def simhash_wide(
             _fingerprint_from_ones(f"s{w}_").alias(f"fp{w}")
             for w in range(n_words)
         ],
+    )
+
+
+@lru_cache(maxsize=8)
+def _wide_parse_cols(n_words: int):
+    """Portable wide parse: word w = digest w//2, half w%2, as two
+    4-byte hex group columns hg{w}_{g}. Memoized — see
+    _ones_counts_xxhash (simhash256's build alone is ~5 s of py4j
+    unmemoized)."""
+    return tuple(
+        F.conv(
+            F.substring(
+                f"hhex{w // 2}",
+                (17 - 16 * (w % 2)) + 8 * g,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias(f"hg{w}_{g}")
+        for w in range(n_words)
+        for g in range(2)
+    )
+
+
+@lru_cache(maxsize=8)
+def _wide_ones_counts(n_words: int, portable: bool):
+    """The 64·n_words per-bit ones-count aggregates s{w}_{i} over the
+    parsed word columns. Memoized — see _ones_counts_xxhash."""
+    if portable:
+        bitsrc = lambda w, i: F.shiftright(  # noqa: E731
+            F.col(f"hg{w}_{i // 32}"),
+            (3 - (i // 8) % 4) * 8 + i % 8,
+        ).bitwiseAND(F.lit(1))
+    else:
+        bitsrc = lambda w, i: F.shiftright(  # noqa: E731
+            F.col(f"h{w}"), i
+        ).bitwiseAND(F.lit(1))
+    return tuple(
+        F.sum(bitsrc(w, i)).alias(f"s{w}_{i}")
+        for w in range(n_words)
+        for i in range(64)
     )
 
 
