@@ -538,16 +538,27 @@ def _signatures_from_hashes(
 ) -> DataFrame:
     """Signatures from an exploded (id, h) relation of 31-bit shingle
     hashes: one hash aggregation with num_perm codegen'd min states."""
+    mins, arr = _perm_min_exprs(num_perm)
+    sig = hashed.groupBy(id_col).agg(*mins)
+    return sig.select(F.col(id_col), arr.alias("signature"))
+
+
+@lru_cache(maxsize=8)
+def _perm_min_exprs(num_perm: int):
+    """(min-state aggregates, collect-array expr) for the
+    num_perm-permutation signature. F.expr per aggregate: small SQL
+    strings parse JVM-side; avoids building num_perm deep py4j
+    Column trees (seconds of driver time). Memoized on top — the
+    remaining num_perm F.expr round trips were still ~0.3-0.4 s per
+    call, paid by every minhash consumer and every near-dup
+    streaming epoch (r14 change 7)."""
     p = _MERSENNE
-    # F.expr per aggregate: small SQL strings parse JVM-side; avoids
-    # building 128 deep py4j Column trees (seconds of driver time).
-    mins = [
+    mins = tuple(
         F.expr(f"min((h * {a}L + {b}L) % {p}L)").alias(f"m{i}")
         for i, (a, b) in enumerate(_perm_consts(num_perm))
-    ]
-    sig = hashed.groupBy(id_col).agg(*mins)
+    )
     arr = F.expr("array(" + ",".join(f"m{i}" for i in range(num_perm)) + ")")
-    return sig.select(F.col(id_col), arr.alias("signature"))
+    return mins, arr
 
 
 def oph_signatures(
