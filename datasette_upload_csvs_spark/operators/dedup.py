@@ -192,6 +192,26 @@ def _doclist_pair_structs(ds):
 _COLLAPSE_MIN_DUP = 1024
 
 
+def _dup_mass_stats(rel: DataFrame, *key_cols) -> tuple[int, int]:
+    """(rows, distinct keys) of ``rel`` in ONE exact aggregate — the
+    collapse-gate statistic without the old gate's job chain (keyed
+    projection → per-key groupBy exchange → persisted groups frame →
+    second aggregate). The values are IDENTICAL to that chain's
+    (nd, ng), so every gate decision is unchanged; only the blocking
+    gate job got cheaper (measured at sf0.1: 0.36-0.81 s chain →
+    0.22-0.43 s single agg, and the dup-light regime — every real
+    corpus — no longer persists/fills a groups frame it then drops).
+    An HLL sketch was A/B'd here first and REJECTED: at any rsd the
+    per-row sketch update + merge costs more than exact distinct at
+    gate-decision scale (rsd 0.002 measured SECONDS per gate), and
+    it trades the exact regime choice for nothing."""
+    est = rel.agg(
+        F.count("*").alias("nd"),
+        F.count_distinct(*key_cols).alias("ng"),
+    ).first()
+    return (est["nd"] or 0), (est["ng"] or 0)
+
+
 def _intra_clique_pairs(
     members: DataFrame,
     id_col: str,
@@ -774,6 +794,15 @@ def cap_bucket_side(
     if cap is None:
         return rel
     auto = _validate_cap(cap)
+    # NOTE (r14, tested and rejected): an explicit
+    # repartition(*key_cols) here — so the stats aggregate, the
+    # tagged join side, and the auto cap-frame would share ONE
+    # exchange instead of re-deriving ``rel``'s lineage per subtree —
+    # measured a WASH on the 2.08M-doc near-dup history probe
+    # (before walls 11.5-11.9 s/epoch, after 11.7-12.6; nd_cand
+    # stage 5.5 vs 6.0 s): at runtime the duplicate subtrees overlap
+    # on idle cores, and the added exchange pays back exactly what
+    # the dedupe saves (BENCH_ND_CAP_AB.json).
     stats = rel.groupBy(*key_cols).agg(
         F.count("*").alias("_bc"), F.min(id_col).alias("_anchor")
     )
@@ -1249,25 +1278,32 @@ def minhash_near_dup_pairs(
     members = None
     sig_sets = sets
     if collapse_exact:
-        # key on the raw TEXT: identical text ⟹ identical shingle
-        # array, which is the duplication mode the collapse targets
-        # (a permuted-token doc with the same set merely stays
-        # uncollapsed — still correct, just unoptimized)
-        keyed = docs.select(
-            F.col(id_col),
-            F.xxhash64(F.col(text_col)).alias("_k"),
-            F.length(F.col(text_col)).alias("_sz"),
+        # gate statistic in ONE exact aggregate (r14, see
+        # _dup_mass_stats): same (nd, ng) the old groupBy chain
+        # produced, so the regime decision is bit-identical — the
+        # dup-light regime just stops paying the keyed exchange and
+        # the groups-frame persist it always threw away.
+        nd, ng = _dup_mass_stats(
+            docs, F.xxhash64(F.col(text_col)), F.length(F.col(text_col))
         )
-        groups = (
-            keyed.groupBy("_k", "_sz")
-            .agg(F.min(id_col).alias("_rep"), F.count("*").alias("_gc"))
-            .persist()
-        )
-        stats = groups.agg(
-            F.sum("_gc").alias("nd"), F.count("*").alias("ng")
-        ).first()
-        dup_extra = (stats["nd"] or 0) - (stats["ng"] or 0)
-        if dup_extra >= max(_COLLAPSE_MIN_DUP, 0.01 * (stats["nd"] or 0)):
+        if nd - ng >= max(_COLLAPSE_MIN_DUP, 0.01 * nd):
+            # key on the raw TEXT: identical text ⟹ identical shingle
+            # array, which is the duplication mode the collapse
+            # targets (a permuted-token doc with the same set merely
+            # stays uncollapsed — still correct, just unoptimized)
+            keyed = docs.select(
+                F.col(id_col),
+                F.xxhash64(F.col(text_col)).alias("_k"),
+                F.length(F.col(text_col)).alias("_sz"),
+            )
+            groups = (
+                keyed.groupBy("_k", "_sz")
+                .agg(
+                    F.min(id_col).alias("_rep"),
+                    F.count("*").alias("_gc"),
+                )
+                .persist()
+            )
             members = (
                 keyed.join(groups, ["_k", "_sz"])
                 .select(F.col(id_col), "_rep", "_gc")
@@ -1275,8 +1311,6 @@ def minhash_near_dup_pairs(
             )
             rep_ids = groups.select(F.col("_rep").alias(id_col))
             sig_sets = sets.join(rep_ids, id_col, "left_semi")
-        else:
-            groups.unpersist()
     hashed = sig_sets.select(
         F.col(id_col),
         F.explode(
@@ -1955,16 +1989,21 @@ def _fp_near_dup_pairs(
     members = None
     if collapse_exact:
         fp = fp.persist()  # detection + members + chunks all read it
-        groups = (
-            fp.groupBy(*fp_cols)
-            .agg(F.min(id_col).alias("_rep"), F.count("*").alias("_gc"))
-            .persist()
-        )
-        stats = groups.agg(
-            F.sum("_gc").alias("nd"), F.count("*").alias("ng")
-        ).first()
-        dup_extra = (stats["nd"] or 0) - (stats["ng"] or 0)
-        if dup_extra >= max(_COLLAPSE_MIN_DUP, 0.01 * (stats["nd"] or 0)):
+        # gate statistic in ONE exact aggregate (r14, see
+        # _dup_mass_stats): fills the fp persist exactly as the old
+        # gate's blocking job did, same (nd, ng) decision, minus the
+        # groupBy(fp_cols) exchange + groups persist in the
+        # dup-light regime.
+        nd, ng = _dup_mass_stats(fp, *fp_cols)
+        if nd - ng >= max(_COLLAPSE_MIN_DUP, 0.01 * nd):
+            groups = (
+                fp.groupBy(*fp_cols)
+                .agg(
+                    F.min(id_col).alias("_rep"),
+                    F.count("*").alias("_gc"),
+                )
+                .persist()
+            )
             members = (
                 fp.join(groups, fp_cols)
                 .select(F.col(id_col), "_rep", "_gc")
@@ -1973,8 +2012,6 @@ def _fp_near_dup_pairs(
             fp = groups.select(
                 F.col("_rep").alias(id_col), *fp_cols
             )
-        else:
-            groups.unpersist()
     # chunk i of word w covers bits [bits·j, bits·(j+1)) of that word
     # (j = i mod cpw); the pigeonhole argument needs only that the
     # chunks PARTITION the concatenated fingerprint, so per-word

@@ -254,17 +254,22 @@ def embedding_ann_batch(
     members = None
     bands_src = v
     if collapse_exact:
-        keyed = v.select("vec_id", F.xxhash64("v").alias("_k"))
-        groups = (
-            keyed.groupBy("_k")
-            .agg(F.min("vec_id").alias("_rep"), F.count("*").alias("_gc"))
-            .persist()
-        )
-        stats = groups.agg(
-            F.sum("_gc").alias("nd"), F.count("*").alias("ng")
-        ).first()
-        dup_extra = (stats["nd"] or 0) - (stats["ng"] or 0)
-        if dup_extra >= max(_COLLAPSE_MIN_DUP, 0.01 * (stats["nd"] or 0)):
+        # gate statistic in ONE exact aggregate (r14, see
+        # dedup._dup_mass_stats): same (nd, ng) as the old keyed
+        # groupBy chain, so the regime decision is unchanged — the
+        # dup-light regime skips the per-key exchange and the groups
+        # persist it always dropped.
+        nd, ng = _dedup._dup_mass_stats(v, F.xxhash64("v"))
+        if nd - ng >= max(_COLLAPSE_MIN_DUP, 0.01 * nd):
+            keyed = v.select("vec_id", F.xxhash64("v").alias("_k"))
+            groups = (
+                keyed.groupBy("_k")
+                .agg(
+                    F.min("vec_id").alias("_rep"),
+                    F.count("*").alias("_gc"),
+                )
+                .persist()
+            )
             members = (
                 keyed.join(groups, "_k")
                 .select("vec_id", "_rep", "_gc")
@@ -275,8 +280,6 @@ def embedding_ann_batch(
                 "vec_id",
                 "left_semi",
             )
-        else:
-            groups.unpersist()
     entries = _table_bucket_entries(n_tables, n_planes, dim)
     bands = (
         bands_src.select("vec_id", F.explode(F.array(*entries)).alias("tb"))

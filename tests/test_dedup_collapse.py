@@ -177,3 +177,28 @@ def test_simhash_gate_skips_light_dup(spark, dup_corpus):
     assert "_rep" not in plan
     assert df.count() > 0
     spark.catalog.clearCache()
+
+
+def test_dup_mass_stats_equals_groupby_gate(spark, dup_corpus):
+    # r14: the collapse gate reads (nd, ng) from ONE exact aggregate
+    # (_dup_mass_stats) instead of the old keyed groupBy chain — pin
+    # the statistic bit-equal to that chain's on a dup-heavy corpus
+    # and on the clean base corpus, so every gate decision is
+    # provably unchanged.
+    for docs in (dup_corpus, dup_corpus.filter("doc_id < 100000")):
+        keyed = docs.select(
+            "doc_id",
+            F.xxhash64("text").alias("_k"),
+            F.length("text").alias("_sz"),
+        )
+        old = (
+            keyed.groupBy("_k", "_sz")
+            .agg(F.count("*").alias("_gc"))
+            .agg(F.sum("_gc").alias("nd"), F.count("*").alias("ng"))
+            .first()
+        )
+        nd, ng = dedup._dup_mass_stats(
+            docs, F.xxhash64("text"), F.length("text")
+        )
+        assert (nd, ng) == (old["nd"], old["ng"])
+    spark.catalog.clearCache()
