@@ -109,15 +109,22 @@ _DRIVER_PRIORITY = [
     "simhash128_dup_groups",
     "multimodal_dup_groups",
     "split_incremental_stable",
+    # (c) resumed r14 session: the exact-dup collapse gate in all
+    # three families (minhash text / fingerprint / embedding ANN)
+    # now reads its statistic from one count_distinct aggregate
+    # (dedup._dup_mass_stats) — the minhash/fp consumers above are
+    # already queued; these two cover the embedding-ANN gate
+    # (embedding_ann_batch) and the fp gate's pigeonhole consumer:
+    "ann_bands_recall",
+    "multimodal_near_dup_pairs",
+    # fp-gate consumer via simhash_near_dup_pairs(portable=True):
+    "dedup_simhash",
 ]
 
 _DRIVER_CHECKED = frozenset({
     # names green at their latest driver check whose round-14 call
     # paths did NOT change (the round-14 changed-path names stay in
     # _DRIVER_PRIORITY above):
-    "dedup_simhash",
-    # r9-green priority names whose code did not change in round 10:
-    "ann_bands_recall", "multimodal_near_dup_pairs",
     "multimodal_phash_fingerprints", "multimodal_feature_extract",
     "simhash_fingerprints_portable", "simhash128_fingerprints",
     "simhash256_fingerprints",
