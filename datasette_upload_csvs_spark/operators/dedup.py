@@ -201,13 +201,21 @@ def _dup_mass_stats(rel: DataFrame, *key_cols) -> tuple[int, int]:
     gate job got cheaper (measured at sf0.1: 0.36-0.81 s chain →
     0.22-0.43 s single agg, and the dup-light regime — every real
     corpus — no longer persists/fills a groups frame it then drops).
+    The keys are wrapped in ONE struct before count_distinct: a bare
+    count_distinct(a, b) DROPS rows where any key expression is NULL
+    (e.g. length(text) of a NULL text), while the groupBy chain
+    counted NULL-keyed groups — the struct is itself never NULL and
+    struct equality treats NULL fields exactly as grouping does, so
+    the statistic matches the chain's on NULL-keyed corpora too
+    (r15, closing the r14 ADVICE gap; pinned by the NULL-corpus case
+    of test_dup_mass_stats_equals_groupby_gate).
     An HLL sketch was A/B'd here first and REJECTED: at any rsd the
     per-row sketch update + merge costs more than exact distinct at
     gate-decision scale (rsd 0.002 measured SECONDS per gate), and
     it trades the exact regime choice for nothing."""
     est = rel.agg(
         F.count("*").alias("nd"),
-        F.count_distinct(*key_cols).alias("ng"),
+        F.count_distinct(F.struct(*key_cols)).alias("ng"),
     ).first()
     return (est["nd"] or 0), (est["ng"] or 0)
 
@@ -1298,11 +1306,19 @@ def minhash_near_dup_pairs(
             # array, which is the duplication mode the collapse
             # targets (a permuted-token doc with the same set merely
             # stays uncollapsed — still correct, just unoptimized)
+            # dup-heavy regime: persist the keyed projection so the
+            # groups aggregate and the members join share ONE scan of
+            # docs instead of re-deriving it per consumer (r15,
+            # closing the r14 ADVICE double-scan). The gate aggregate
+            # above stays a separate pre-pass by construction — it
+            # runs before the regime is known; persisting docs
+            # unconditionally would tax every dup-light call (the
+            # common regime) for the rare corpus that trips.
             keyed = docs.select(
                 F.col(id_col),
                 F.xxhash64(F.col(text_col)).alias("_k"),
                 F.length(F.col(text_col)).alias("_sz"),
-            )
+            ).persist()
             groups = (
                 keyed.groupBy("_k", "_sz")
                 .agg(

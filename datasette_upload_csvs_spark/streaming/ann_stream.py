@@ -206,9 +206,21 @@ def embedding_ann_batch(
     dim: int = 64,
     collapse_exact: bool = True,
     pair_mode: str = "clique",
+    dup_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """One-shot banded near-neighbor pairs over a corpus snapshot —
     the equality twin the streaming path is pinned against.
+
+    ``dup_stats`` (optional): a caller-precomputed ``(nd, ng)`` pair
+    — row count and distinct-``xxhash64(v)`` count of the DOUBLE
+    array relation this function derives from ``emb`` — used for the
+    exact-dup collapse gate instead of running the gate aggregate
+    here. Callers that already aggregate over the corpus (the
+    ann_bands_recall gate folds its planted-count pass and this
+    statistic into ONE job) skip a full corpus action; the values
+    MUST equal what dedup._dup_mass_stats(v, xxhash64(v)) would
+    return, or the regime choice diverges (pinned by
+    test_ann_gate_fold). Ignored when collapse_exact is False.
 
     The interpreted sign-projection bucketing (n_tables×n_planes
     dim-wide dots per vector — the PLANS_r06 §5c ceiling) is paid
@@ -259,9 +271,23 @@ def embedding_ann_batch(
         # groupBy chain, so the regime decision is unchanged — the
         # dup-light regime skips the per-key exchange and the groups
         # persist it always dropped.
-        nd, ng = _dedup._dup_mass_stats(v, F.xxhash64("v"))
+        nd, ng = (
+            dup_stats
+            if dup_stats is not None
+            else _dedup._dup_mass_stats(v, F.xxhash64("v"))
+        )
         if nd - ng >= max(_COLLAPSE_MIN_DUP, 0.01 * nd):
-            keyed = v.select("vec_id", F.xxhash64("v").alias("_k"))
+            # dup-heavy regime: persist the keyed projection so the
+            # groups aggregate and the members join share ONE scan of
+            # the input instead of re-deriving it per consumer (r15,
+            # closing the r14 ADVICE double-scan). The gate aggregate
+            # above remains its own pre-pass by construction — it must
+            # run before the regime is known, and persisting the input
+            # unconditionally would tax every dup-light call (the
+            # common regime) for the rare corpus that trips.
+            keyed = v.select(
+                "vec_id", F.xxhash64("v").alias("_k")
+            ).persist()
             groups = (
                 keyed.groupBy("_k")
                 .agg(

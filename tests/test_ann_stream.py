@@ -213,3 +213,51 @@ def test_stream_ann_restart_from_checkpoint(spark, sf_dir, tmp_path):
     assert spark.table("annr_pairs").count() == len(got)
     for t in ("annr_pairs", "annr_index", "annr_index__vecs"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ann_gate_fold(spark, sf_dir):
+    # r15: ann_bands_recall folds its planted-count pass and the
+    # collapse gate's dup-mass statistic into ONE base aggregate
+    # (queries._ann_recall_stats) and hands embedding_ann_batch the
+    # precomputed (nd, ng). Pin the folded statistic bit-equal to
+    # dedup._dup_mass_stats on the corpus the gate actually sees —
+    # on the clean fixture AND on a dup-heavy corpus (identical
+    # vectors) whose statistic would trip the gate — so the regime
+    # decision is provably unchanged.
+    from datasette_upload_csvs_spark.functions.vector import (
+        double_array_frame,
+    )
+    from datasette_upload_csvs_spark.operators import dedup
+    from datasette_upload_csvs_spark.queries import _ann_recall_stats
+
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    heavy = base.unionByName(
+        base.filter(F.pmod("vec_id", F.lit(2)) == 0).select(
+            (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+            "embedding",
+        )
+    )
+    for b in (base, heavy):
+        st = _ann_recall_stats(b)
+        off = int(st["mx"]) + 1
+        twins = b.filter(F.pmod("vec_id", F.lit(5)) == 0).select(
+            (F.col("vec_id") + off).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + F.when(i == 0, F.lit(0.001)).otherwise(F.lit(0.0)),
+            ).cast("array<float>").alias("embedding"),
+        )
+        corpus = b.unionByName(twins)
+        nd, ng = dedup._dup_mass_stats(
+            double_array_frame(corpus), F.xxhash64("v")
+        )
+        assert (int(st["n"]) + int(st["p"]), int(st["ngc"])) == (nd, ng)
+    # the dup-heavy corpus must actually reach gate-tripping mass
+    # (duplicate rows >= 1% of corpus), or the second leg pins nothing
+    st = _ann_recall_stats(heavy)
+    ndh = int(st["n"]) + int(st["p"])
+    assert ndh - int(st["ngc"]) > 0.01 * ndh
+    spark.catalog.clearCache()

@@ -185,7 +185,26 @@ def test_dup_mass_stats_equals_groupby_gate(spark, dup_corpus):
     # the statistic bit-equal to that chain's on a dup-heavy corpus
     # and on the clean base corpus, so every gate decision is
     # provably unchanged.
-    for docs in (dup_corpus, dup_corpus.filter("doc_id < 100000")):
+    # r15: NULL-keyed corpus too — length(NULL text) is NULL, which a
+    # bare count_distinct(a, b) silently DROPS while groupBy counts
+    # the NULL-keyed group; _dup_mass_stats wraps the keys in one
+    # struct so the statistic stays bit-equal on corpora with NULL
+    # keys (the r14 ADVICE gap).
+    with_nulls = dup_corpus.unionByName(
+        dup_corpus.sparkSession.createDataFrame(
+            [(9_000_001, None), (9_000_002, None), (9_000_003, "x")],
+            "doc_id long, text string",
+        ).select("doc_id", "text", *[
+            F.lit(None).cast(t.dataType).alias(t.name)
+            for t in dup_corpus.schema.fields
+            if t.name not in ("doc_id", "text")
+        ])
+    )
+    for docs in (
+        dup_corpus,
+        dup_corpus.filter("doc_id < 100000"),
+        with_nulls,
+    ):
         keyed = docs.select(
             "doc_id",
             F.xxhash64("text").alias("_k"),
