@@ -355,6 +355,14 @@ def main() -> None:
     if "--probe" in args:
         k = int(args[args.index("--probe") + 1])
         arm = _opt("--arm", "fused")
+        # ann's key space is n_tables×2^n_planes = 1024 (8-bit sign
+        # patterns), so batch size sets in-batch bucket density
+        # QUADRATICALLY — the realistic ann regime is smaller epochs
+        # accumulating history (see OPTIMIZATION_r15.md); text/media
+        # probes keep the nd protocol's 26k
+        probe_docs = int(
+            _opt("--probe-docs", "12500" if op == "ann" else "26000")
+        )
         spark = _mk_spark(wh)
         _register(spark, wh, tables)
         _apply_arm(arm)
@@ -382,7 +390,7 @@ def main() -> None:
             )
             t0 = time.perf_counter()
             run_epoch(
-                spark, batch_fn(spark, ep, 26_000), ep,
+                spark, batch_fn(spark, ep, probe_docs), ep,
                 on_stage=on_stage if j == k - 1 else None,
             )
             el = round(time.perf_counter() - t0, 3)

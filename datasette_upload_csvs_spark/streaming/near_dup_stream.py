@@ -63,6 +63,7 @@ def semi_prune_fused(
     keys_src: DataFrame,
     key_cols: list,
     broadcast_probe: bool,
+    materialize: bool = False,
 ) -> DataFrame:
     """Left-semi-reduce ``hist`` to rows sharing ``key_cols`` with
     ``keys_src``, probing on ONE fused 64-bit key — xxhash64 over the
@@ -71,7 +72,9 @@ def semi_prune_fused(
     key pays generic row hashing per probe. Measured on the 66M-row
     near-dup index at a 26k-doc batch: 9.9 s → 1.9 s for the
     scan+semi stage (the dominant term of every probe epoch once
-    history >> batch).
+    history >> batch); re-verified end-to-end at 71.5M rows in r15
+    (2.2× epoch wall, 2.8× task-time vs the composite key —
+    BENCH_PROBE_SCALE.json).
 
     Correctness: a fused-key collision can only ADMIT a foreign
     history row — every consumer re-matches survivors on the REAL
@@ -79,16 +82,34 @@ def semi_prune_fused(
     unchanged; the survivor superset is only what the cap stage
     sees. Expected extra rows ≈ |keys|·|hist| / 2^64 — zero in
     practice. The probe-key distinct also shrinks: one 8-byte long
-    instead of the composite row."""
+    instead of the composite row.
+
+    ``materialize=True`` eagerly localCheckpoints the SURVIVORS so
+    multi-consumer callers (the cap guard's stats aggregate + tagged
+    join + auto frame) read one materialization instead of
+    re-deriving the scan+semi lineage per subtree. Use it when the
+    semi INPUT embeds per-row expansion work (phash/wide_fp probe a
+    4×-chunk Generate over the fingerprint store) and survivors are
+    match-bounded (small): measured at 2M-fp stores, epoch wall
+    −23% (phash) / −25% (wide_fp) at 32 cores and −15% / −22% at 8
+    cores, task-time −15% / −35% (BENCH_PROBE_SCALE.json). Do NOT
+    use it where survivors are themselves O(millions) — on the
+    71.5M-row near-dup index the checkpoint write+barrier cost 1.7×
+    the epoch wall at 32 idle cores (it only paid under 8-core
+    saturation), so near_dup keeps the plain semi. Row-identical
+    either way (a checkpoint changes execution, never contents)."""
     k = F.xxhash64(*[F.col(c) for c in key_cols])
     pk = keys_src.select(k.alias("_pk")).distinct()
     if broadcast_probe:
         pk = F.broadcast(pk)
-    return (
+    out = (
         hist.withColumn("_pk", k)
         .join(pk, "_pk", "left_semi")
         .drop("_pk")
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+    return out
 
 
 def near_dup_epoch(

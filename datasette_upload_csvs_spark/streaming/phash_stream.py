@@ -114,6 +114,13 @@ def phash_epoch(
             semi_prune_fused,
         )
 
+        # materialize=True (r15): the semi's input embeds the 4×
+        # chunk Generate over the fingerprint store, and the cap
+        # guard below re-derives that scan+expand per subtree (stats
+        # aggregate + tagged join); survivors are match-bounded, so
+        # one eager checkpoint computes the expansion once — epoch
+        # wall −23% at 32 cores / −15% at 8 on the 2M-fp leg
+        # (BENCH_PROBE_SCALE.json).
         hist_chunks = _dedup.cap_bucket_side(
             semi_prune_fused(
                 _fp_chunks(
@@ -125,6 +132,7 @@ def phash_epoch(
                 new_chunks,
                 ["chunk", "val"],
                 fp_new.count() * 4 <= _PROBE_KEY_BROADCAST_MAX,
+                materialize=True,
             ),
             ["chunk", "val"],
             id_col,

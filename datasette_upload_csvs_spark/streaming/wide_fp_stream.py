@@ -162,6 +162,12 @@ def wide_fp_epoch(
             semi_prune_fused,
         )
 
+        # materialize=True (r15): the semi's input embeds the
+        # n_chunks× Generate over the fingerprint store, and the cap
+        # guard below re-derives that scan+expand per subtree;
+        # survivors are match-bounded, so one eager checkpoint
+        # computes the expansion once — epoch wall −25% at 32 cores
+        # / −22% at 8 on the 2M-fp leg (BENCH_PROBE_SCALE.json).
         hist_chunks = dedup.cap_bucket_side(
             semi_prune_fused(
                 _wide_chunks(
@@ -174,6 +180,7 @@ def wide_fp_epoch(
                 new_chunks,
                 ["chunk", "val"],
                 fp_new.count() * n_chunks <= _PROBE_KEY_BROADCAST_MAX,
+                materialize=True,
             ),
             ["chunk", "val"],
             id_col,
